@@ -1,0 +1,61 @@
+"""Loaders for the synthetic tables in /root/testdata/sf*/.
+
+Schemas are documented in FIXTURES.md §B. All loads are plain parquet scans
+so Catalyst gets column pruning + predicate pushdown for free; the only
+special case is ``events`` whose parquet carries INT64 TIMESTAMP(NANOS) —
+Spark reads it as long (legacy flag) and we convert to ``timestamp_ntz``
+truncated to microseconds, which is byte-identical to what DuckDB's
+TIMESTAMP (micros) reader produces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; normalizes the events timestamp column."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        apply_runtime_confs(spark)  # needs nanosAsLong on driver-made sessions
+        df = spark.read.parquet(path)
+        # nanos (long) -> micros -> naive-UTC timestamp, matching DuckDB.
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

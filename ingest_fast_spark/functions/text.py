@@ -1,0 +1,93 @@
+"""Text-analysis column functions for LLM-data pipelines (SURVEY.md §2.9).
+
+All JVM-side Column expressions (split/filter/length/regexp) — token
+counting, quality ratios, stopword-based language scoring, and content
+fingerprints. Designed so the same logic is expressible in ANSI SQL for
+the DuckDB oracle (see queries/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and fixed: the heuristic must be
+# reproducible in SQL, not maximally accurate.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "que", "y", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs and digit runs count separately,
+    a cheap BPE proxy (RE2-compatible regexp, engine-portable)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z]+|[0-9]+"), 0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens(text)
+    return F.round(
+        F.size(F.filter(toks, lambda t: t.isin(*words))) / F.size(toks), 6
+    )
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    return F.round(
+        F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / F.size(toks), 6
+    )
+
+
+def non_alnum_ratio(text: Column) -> Column:
+    """Punctuation/noise ratio: share of characters that are not
+    alphanumeric or whitespace."""
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    return F.round(F.length(stripped) / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, noise
+    chars, and low vocabulary diversity. Fixed weights, SQL-portable."""
+    len_score = F.least(F.size(tokens(text)) / F.lit(50.0), F.lit(1.0))
+    noise_penalty = F.lit(1.0) - non_alnum_ratio(text)
+    diversity = distinct_token_count(text) / token_count(text)
+    return F.round((len_score + noise_penalty + diversity) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_ratio(text, lang) for lang in STOPWORDS}
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax over stopword scores with deterministic tiebreak (language
+    code order); 'und' (undetermined) when every score is zero."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):  # alphabetical => deterministic tiebreak
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the sorted distinct token set — robust
+    to word order, the classic 'bag fingerprint'."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))

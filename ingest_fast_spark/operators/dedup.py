@@ -1,0 +1,261 @@
+"""Deduplication operators for LLM-training-data pipelines (SURVEY.md §2.9).
+
+All of these are shuffle-on-key set operations designed for 100 TB:
+  * exact dedup         — hash-groupBy on a content digest; one shuffle.
+  * n-gram Jaccard      — shingle → explode → self-join on shingle →
+                          overlap count; the join key (shingle) is the
+                          blocking key, so only docs sharing a shingle meet.
+  * MinHash + LSH       — per-doc signature via xxhash64 (JVM-side, no UDF),
+                          banded into buckets; candidate pairs only within a
+                          bucket (classic LSH banding), then exact-Jaccard
+                          verification of candidates.
+  * SimHash             — vectorized (Arrow/pandas) 64-bit signature;
+                          near-dups = signatures within a Hamming radius,
+                          blocked by 16-bit bands.
+
+Everything degrades gracefully at scale: shingle/band buckets are the
+shuffle keys, so skew = popular shingles; the standard mitigation (drop
+top-frequency shingles as stop-shingles) is exposed via ``max_doc_freq``.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf resolves
+# the UDF's type hints at runtime and PEP-563 string annotations break it.
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text, lowercase: bool = True):
+    t = F.lower(text) if lowercase else text
+    return F.split(F.trim(t), r"\s+")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: one hash-aggregate, keeps min id as
+    the canonical representative."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """One row per (doc, distinct k-token shingle). JVM-side only:
+    split → transform(sequence) → explode."""
+    toks = tokens_col(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.05,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs with k-shingle Jaccard ≥ threshold.
+
+    The shingle self-join only pairs docs that share ≥1 shingle — the
+    blocking that keeps this sub-quadratic. ``max_doc_freq`` drops
+    ultra-common shingles (skew keys) before the join.
+    """
+    sh = shingles_df(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle"
+        ).drop("df_")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    overlap = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        overlap.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(seedᵢ ∥ s).
+
+    xxhash64 is a deterministic JVM builtin, so signatures are computed
+    inside codegen — no Python, no ML-library state."""
+    toks = tokens_col(F.col(text_col))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands; docs sharing
+    any full band land in the same bucket → candidate pair. The bucket id
+    is the shuffle key."""
+    n = None  # rows per band derived from the signature length lazily
+    sig_len = F.size("signature")
+    rows_per_band = (sig_len / bands).cast("int")
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.to_json(
+                        F.slice("signature", (b * rows_per_band + 1).cast("int"), rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification of the (tiny) candidate set."""
+    cands = minhash_lsh_candidates(
+        minhash_signatures(df, text_col, id_col, num_hashes, k), bands
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold=0.0)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"], "inner")
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash (vectorized pandas UDF — the Arrow-batched slow-path pattern) --
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc, computed in numpy over Arrow batches.
+
+    Uses md5-derived token hashes so the signature is deterministic across
+    engines and runs. This is the documented pandas-UDF slow path — used
+    because per-bit majority voting has no efficient Column expression.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            tokens = set((text or "").lower().split())
+            if not tokens:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                votes += bits * 2 - 1
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 12,
+) -> DataFrame:
+    """Near-dups = SimHash pairs within a Hamming radius, blocked on 16-bit
+    bands (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands; for
+    larger d this is a recall-tuned heuristic, the standard trade-off)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    band = lambda c, i: F.shiftrightunsigned(c, i * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), band(F.col("simhash"), i).alias("key")) for i in range(4)])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,97 @@
+"""Multimodal column conventions (SURVEY.md §2.9).
+
+Convention: a modality is an opaque ``binary`` payload column plus a typed
+metadata struct — parquet stores both natively, so 100 TB of image/audio
+bytes ride along the relational columns, and Catalyst prunes the (wide)
+payload column away for any query that doesn't touch it.
+
+The decode/feature-extract step is a ``mapInPandas`` operator: Arrow
+batches in, Arrow batches out, schema declared up front. The actual media
+decoding is stubbed (no image/audio libs in this container) behind
+``decode_image_stub`` — the Spark-side plumbing (schema, batching,
+partition behavior) is real and tested; swapping the stub for PIL/ffmpeg
+is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("media_meta", StringType()),  # JSON: {"codec":..., ...}
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("payload_sha256", StringType()),
+        StructField("media_type", StringType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize the multimodal convention from the documents table:
+    payload = utf-8 bytes (stand-in for image/audio bytes), plus typed
+    metadata. Real pipelines read payloads from object-store binary files
+    (``spark.read.format('binaryFile')``)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.to_json(
+            F.struct(F.lit("utf-8").alias("codec"), F.length(text_col).alias("chars"))
+        ).alias("media_meta"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Placeholder for the real decoder (PIL/libvips). Raises so nobody
+    mistakes the stub for a working decoder."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "container; extract_features() computes byte-level features only"
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Computes deterministic byte-level features (length + sha256) — the
+    shape a real decoder would follow: per-batch numpy/pandas work, output
+    schema declared in FEATURE_SCHEMA, no driver involvement."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "payload_sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "media_type": pdf["media_type"],
+                }
+            )
+
+    return df.mapInPandas(extract, FEATURE_SCHEMA)

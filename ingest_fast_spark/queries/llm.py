@@ -1,0 +1,270 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.9): dedup, similarity search,
+text analysis, multimodal — registered with DuckDB oracles wherever the
+semantics are SQL-expressible; hash-seeded ops (MinHash/SimHash buckets)
+get the rows-only check plus dedicated recall tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from . import register
+
+# Shared DuckDB fragments mirroring functions/text.py exactly.
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_NO_WS = r"length(regexp_replace(trim(text), '\s+', '', 'g'))"
+_NON_ALNUM = r"round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)"
+
+
+def _sw(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"round(len(list_filter({_TOKS}, t -> t IN ({words}))) / len({_TOKS}), 6)"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM overlap
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= {thr}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE.format(thr="0.05"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-token-shingle Jaccard near-dup pairs (shingle-blocked self-join)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.05
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: bucket hashes are engine-specific
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pipeline; recall vs exact Jaccard is asserted in
+    tests/test_dedup.py (the driver records the rows-only check)."""
+    return D.minhash_near_dups(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.05
+    )
+
+
+@register("dedup_simhash")  # rows-only: pandas-UDF path
+def dedup_simhash(spark, sf_dir):
+    return D.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=12)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(qvec, cvec) / "
+    "(sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec)))"
+)
+
+
+@register(
+    "embed_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id, ROUND({_COS}, 6) AS cos_sim
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def embed_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for the first 5 query vectors: broadcast queries
+    × corpus scan, JVM-side vector math, window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("embed_topk_ivf")  # rows-only: ANN result is approximate by design
+def embed_topk_ivf(spark, sf_dir):
+    """IVF-style ANN top-k (probes 2 of 8 coarse buckets); recall vs brute
+    force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS})                          AS n_tokens,
+           len(list_distinct({_TOKS}))           AS n_distinct,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_bpe_ish,
+           ROUND({_NO_WS} / len({_TOKS}), 6)     AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.distinct_token_count(t).alias("n_distinct"),
+        T.bpe_ish_token_count(t).alias("n_bpe_ish"),
+        T.avg_token_len(t).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           {_NON_ALNUM} AS noise_ratio,
+           ROUND((least(len({_TOKS}) / 50.0, 1.0)
+                  + (1.0 - {_NON_ALNUM})
+                  + len(list_distinct({_TOKS})) / len({_TOKS})) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.non_alnum_ratio(t).alias("noise_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_sw('de')} AS score_de, {_sw('en')} AS score_en,
+             {_sw('es')} AS score_es, {_sw('fr')} AS score_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = T.lang_scores(t)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        T.predicted_lang(t).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS exact_digest,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_digest
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("exact_digest"),
+        T.fingerprint(F.col("text")).alias("bag_digest"),
+    )
+
+
+@register(
+    "doc_stats_by_lang",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*)                 AS n_docs,
+           ROUND(AVG(n_chars), 2)   AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def doc_stats_by_lang(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text)                               AS payload_sha256,
+           'text/plain'                               AS media_type
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary payload column + mapInPandas feature extraction (the decode
+    step itself is stubbed — no media libs in container; byte-level
+    features are real and oracle-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(d))

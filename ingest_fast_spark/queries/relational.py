@@ -1,0 +1,679 @@
+"""Relational operator surface (SURVEY.md §2.2-§2.6) on the star schema.
+
+Each query is the idiomatic Catalyst plan for its operator: filters and
+projections reach the parquet scan (pushdown/pruning), joins are
+broadcast where one side is a dimension table, aggregates are partial
+(map-side) hash aggregates, window functions declare explicit frames.
+The paired DuckDB SQL (see queries/__init__ conventions) is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (P2-P8 generalized)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+      AND l_returnflag = 'R'
+    """,
+)
+def filter_project(spark, sf_dir):
+    """Predicate + projection; both reach the parquet scan (PushedFilters).
+
+    Rounding is the engine-portable ``floor(x*100+0.5)/100`` — per-row
+    ROUND() of a double differs between engines exactly at .xx5 boundaries
+    (Spark rounds the shortest decimal repr half-up, DuckDB rounds the
+    binary value), and with 60k+ raw rows a boundary hit is near-certain.
+    Aggregated outputs (sums/avgs) keep plain ROUND: boundary hits there
+    are measure-zero and the values are few."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            F.col("l_quantity").between(10, 20)
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            (
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+                / 100
+            ).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           substr(p_name, 1, 5)                            AS name_prefix,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           CAST(length(p_name) AS INT)                     AS name_len,
+           concat(p_type, '/', p_brand)                    AS type_brand,
+           replace(p_type, 'ECONOMY', 'ECO')               AS type_short
+    FROM part
+    WHERE p_size >= 25
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_size") >= 25).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+    )
+
+
+@register(
+    "date_time_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)      AS order_year,
+           CAST(month(o_orderdate) AS INT)     AS order_month,
+           CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+           strftime(o_orderdate, '%Y-%m')      AS order_ym,
+           strftime(o_orderdate, '%Y-%m-%d')   AS order_date
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def date_time_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A7 generalized + standard numeric aggs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the flagship scan→filter→hash-agg pipeline. Partial
+    aggregation happens map-side; 6 groups means near-zero shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_basic_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                        AS n_orders,
+           ROUND(SUM(o_totalprice), 2)     AS sum_total,
+           ROUND(AVG(o_totalprice), 2)     AS avg_total,
+           ROUND(MIN(o_totalprice), 2)     AS min_total,
+           ROUND(MAX(o_totalprice), 2)     AS max_total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_basic_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+
+
+@register(
+    "agg_distinct_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           COUNT(DISTINCT l_suppkey)                    AS n_supp,
+           COUNT(DISTINCT l_partkey)                    AS n_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_collect(spark, sf_dir):
+    """Set-collect (A5) + multi distinct-count in one aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+    )
+
+
+@register("agg_approx_count_distinct")  # no oracle: HLL estimates are engine-specific
+def agg_approx_count_distinct(spark, sf_dir):
+    """approx_count_distinct — the 100 TB path for distinct cardinality
+    (single pass, bounded memory, no exact-distinct shuffle explosion)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           COUNT(*)                      AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3 generalized: inner/left/semi/anti/broadcast/disjunctive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment,
+           ROUND(o.o_totalprice, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def join_inner_broadcast(spark, sf_dir):
+    """Fact⋈dimension: the dimension side is explicitly broadcast — at
+    100 TB the orders side never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey",
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey)                        AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS sum_total
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_disjunctive_union",
+    oracle="""
+    SELECT DISTINCT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON s.s_nationkey = c.c_nationkey OR ROUND(s.s_acctbal) = ROUND(c.c_acctbal)
+    """,
+)
+def join_disjunctive_union(spark, sf_dir):
+    """J2 pattern (reference lib/ingest.js:108-113): an OR-join rewritten as
+    a UNION of two equi-joins so both probes stay hash joins — the OR form
+    degrades to a nested-loop at scale."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    by_nation = c.join(s, s.s_nationkey == c.c_nationkey).select("c_custkey", "s_suppkey")
+    by_bal = c.join(s, F.round(s.s_acctbal) == F.round(c.c_acctbal)).select(
+        "c_custkey", "s_suppkey"
+    )
+    return by_nation.unionByName(by_bal).dropDuplicates(["c_custkey", "s_suppkey"])
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter broadcast into a two-fact
+    join, then agg + deterministic top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join; every dimension is broadcast so the
+    only shuffles are the lineitem⋈orders co-partition and the final agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k / windows / set ops (§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_limit_topn(spark, sf_dir):
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition heap
+    + driver merge, no full sort at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(20)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 2) AS acctbal,
+           CAST(RANK()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS bal_dense_rank,
+           ROUND(AVG(s_acctbal) OVER (PARTITION BY s_nationkey), 2) AS nation_avg_bal
+    FROM supplier
+    """,
+)
+def window_ranking(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    wp = Window.partitionBy("s_nationkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.round(F.avg("s_acctbal").over(wp), 2).alias("nation_avg_bal"),
+    )
+
+
+@register(
+    "window_running_agg",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 2) AS value,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           ROUND(LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+           ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value
+    FROM events
+    """,
+)
+def window_running_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    order = [F.asc("ts"), F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.sum("value").over(wf), 2).alias("running_total"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+         bldg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'union' AS op, c_custkey FROM (SELECT * FROM rich UNION SELECT * FROM bldg)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM rich INTERSECT SELECT * FROM bldg)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM bldg)
+    """,
+)
+def set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    bldg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(rich.union(bldg).distinct(), "union")
+        .unionByName(tag(rich.intersect(bldg), "intersect"))
+        .unionByName(tag(rich.exceptAll(bldg).distinct(), "except"))
+    )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot with an explicit value list — never the two-pass value-discovery
+    form, which would add a full extra scan at scale."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = e.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)
+    return out.select("user_id", *[F.col(k).alias(f"n_{k}") for k in kinds])
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')               AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT)  AS k_int
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+@register(
+    "time_bucket_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_bucket_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation — the batch shape of the Structured
+    Streaming windowed agg (streaming/ has the readStream variant)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Session windows (30-min inactivity gap) via gaps-and-islands — pure
+    window functions, no per-row state. The streaming/ module has the
+    session_window + watermark variant for unbounded input."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(wf).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

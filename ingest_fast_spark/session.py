@@ -1,0 +1,77 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs 8 OS processes, each holding a >1 GB in-heap hash map
+(reference lib/ingest.js:3,58,68-69). Here a single SparkSession owns all
+parallelism; the settings below are the 100 TB-minded defaults (AQE for
+runtime re-planning and skew joins, spillable aggregation is built in,
+UTC session time so results are timezone-stable across clusters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and wanted) on any session that runs this engine,
+# including sessions created by an external driver. Everything here is a
+# runtime SQLConf — no JVM restart needed.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS); Spark only reads it
+    # as long with this legacy flag (we convert to timestamp_ntz in the
+    # loader, truncating to micros exactly like DuckDB does).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timezone-stable timestamps: everything is computed in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic broadcast conversion. Essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas UDF / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally created session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be non-modifiable on some builds; the engine still
+            # works, individual loaders guard the features they need.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "ingest-fast-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    tests and bench runs share one code path; on a real cluster pass
+    ``master=None`` with ``spark.master`` preconfigured, or an explicit URL.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Local testing only; a cluster submit overrides driver memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return apply_runtime_confs(spark)
