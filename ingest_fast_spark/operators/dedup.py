@@ -105,17 +105,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    k: int = 3,
+def doc_shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(seedᵢ ∥ s).
-
-    xxhash64 is a deterministic JVM builtin, so signatures are computed
-    inside codegen — no Python, no ML-library state."""
+    """(doc_id, shingles: array<string>) — distinct k-shingle set per doc,
+    computed once and shared by signature + verification stages."""
     toks = tokens_col(F.col(text_col))
     shingles = F.array_distinct(
         F.transform(
@@ -123,15 +117,29 @@ def minhash_signatures(
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         )
     )
+    return df.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(seedᵢ, s).
+
+    xxhash64 is a deterministic JVM builtin that takes the seed as a
+    leading column, so all ``num_hashes`` hash families run inside codegen
+    over one shared shingle array — no Python, no ML-library state."""
+    sets = doc_shingle_sets(df, text_col, id_col, k)
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s)))
-            )
+            F.array_min(F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s)))
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    return sets.select("doc_id", "shingles", sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -140,7 +148,6 @@ def minhash_lsh_candidates(
     """LSH banding: split the signature into ``bands`` bands; docs sharing
     any full band land in the same bucket → candidate pair. The bucket id
     is the shuffle key."""
-    n = None  # rows per band derived from the signature length lazily
     sig_len = F.size("signature")
     rows_per_band = (sig_len / bands).cast("int")
     banded = signatures.select(
@@ -177,15 +184,27 @@ def minhash_near_dups(
     threshold: float = 0.05,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact-Jaccard verification of the (tiny) candidate set."""
-    cands = minhash_lsh_candidates(
-        minhash_signatures(df, text_col, id_col, num_hashes, k), bands
-    )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold=0.0)
+    exact-Jaccard verification of ONLY the candidate pairs.
+
+    Verification joins each candidate pair back to its two (distinct)
+    shingle sets and intersects them — O(candidates), never the full
+    shingle self-join. At scale the shingle sets ride along the signature
+    DataFrame, so this is two broadcast-able joins on doc_id."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    cands = minhash_lsh_candidates(sigs.select("doc_id", "signature"), bands)
+    sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(exact, ["doc_a", "doc_b"], "inner")
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

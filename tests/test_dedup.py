@@ -1,0 +1,68 @@
+"""Dedup operator tests: exact-dedup semantics on constructed duplicates,
+MinHash-LSH recall against exact Jaccard, SimHash determinism."""
+
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.catalog import load_table
+from ingest_fast_spark.operators import dedup as D
+
+
+def docs_with_dupes(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dupe
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dupe of 1
+        (4, "completely different content about spark query engines at scale"),
+        (5, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dupe
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["canonical_id"]: r["n_copies"] for r in D.exact_dedup(docs_with_dupes(spark)).collect()}
+    assert out[1] == 3  # docs 1,2,5 collapse, min id kept
+    assert out[3] == 1
+    assert out[4] == 1
+
+
+def test_jaccard_finds_near_dupe(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs_with_dupes(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dupes -> jaccard 1
+    assert 0.5 < pairs[(1, 3)] < 1.0  # one-word edit -> high but < 1
+    assert not any(4 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_minhash_lsh_recall_on_real_docs(spark, sf_dir):
+    """LSH candidates must recover most high-Jaccard pairs (recall), and
+    every reported pair must carry the exact (verified) Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(docs, threshold=0.05).collect()
+    }
+    # verified scores must be the exact scores
+    for pair, j in lsh.items():
+        assert abs(exact[pair] - j) < 1e-9
+    # recall over the strongest pairs (jaccard >= 0.2) should be high
+    strong = {p for p, j in exact.items() if j >= 0.2}
+    if strong:
+        recall = len(strong & set(lsh)) / len(strong)
+        assert recall >= 0.8, f"LSH recall {recall} over {len(strong)} strong pairs"
+
+
+def test_simhash_deterministic_and_finds_exact_dupes(spark):
+    sigs1 = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs_with_dupes(spark)).collect()}
+    sigs2 = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs_with_dupes(spark)).collect()}
+    assert sigs1 == sigs2  # deterministic across runs
+    assert sigs1[1] == sigs1[2] == sigs1[5]  # identical docs -> identical signature
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_near_dups(docs_with_dupes(spark)).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # near dupe within hamming radius

@@ -1,0 +1,60 @@
+"""Similarity-search tests: brute-force correctness against a numpy oracle,
+IVF recall against brute force."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.catalog import load_table
+from ingest_fast_spark.operators import similarity as S
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+
+    for qid, got in by_query.items():
+        q = vecs[qid]
+        sims = {
+            vid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+        got_sorted = sorted(got, key=lambda r: r["rank"])
+        for (evid, esim), row in zip(expected, got_sorted):
+            assert row["vec_id"] == evid
+            assert abs(row["cos_sim"] - round(esim, 6)) <= 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=10).collect()
+    approx = S.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # nprobe=4 of 8 buckets: expect to recover a solid share of true top-10
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    # every ANN hit must carry the true cosine (it's exact within bucket)
+    exact_sims = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(exact_sims[key] - r["cos_sim"]) < 1e-9
