@@ -40,11 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         apply_runtime_confs(spark)  # needs nanosAsLong on driver-made sessions
         df = spark.read.parquet(path)
         # nanos (long) -> micros -> naive-UTC timestamp, matching DuckDB.
+        # Integer DIV, not floor(a/b): double division loses ULPs at 1e18 ns
+        # and shifts timestamps by ±1 microsecond.
         return df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
     return spark.read.parquet(path)
 

@@ -106,6 +106,93 @@ def sample_centroids(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup: all (a < b) pairs with cosine >= threshold.
+
+    All-pairs is O(n²) by definition — correct as the small-corpus oracle
+    baseline and for verifying LSH candidates. At 100 TB use
+    ``cosine_near_dup_lsh`` (hyperplane-bucketed candidates, then this
+    scoring applied only to candidates)."""
+    a = emb.select(F.col(id_col).alias("vec_a"), as_double(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, tiny: nbits × dim)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def cosine_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    nbits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup via random-hyperplane (SimHash-style)
+    LSH: sign bits of <v, plane_i> → ``nbits``-bit sketch → banded into
+    ``bands`` buckets; only pairs sharing a band bucket are scored with
+    exact cosine.
+
+    The bucket id is the shuffle key, so candidate generation is an
+    equi-join — sub-quadratic and shuffle-bounded. Recall vs the exact
+    operator is asserted in tests/test_similarity.py. All sketch math is
+    JVM-side (the planes are literal arrays folded into codegen).
+    """
+    planes = _hyperplanes(dim, nbits)
+    v = as_double(F.col(vec_col))
+    bits_per_band = nbits // bands
+    band_keys = []
+    for bnd in range(bands):
+        key = F.lit(0)
+        for j in range(bits_per_band):
+            plane = F.array(*[F.lit(x) for x in planes[bnd * bits_per_band + j]])
+            bit = (dot(v, plane) > 0).cast("int")
+            key = key + F.shiftleft(bit, j)
+        band_keys.append(F.struct(F.lit(bnd).alias("band"), key.alias("key")))
+    sketched = emb.select(
+        F.col(id_col).alias("doc_id"),
+        v.alias("vec"),
+        F.explode(F.array(*band_keys)).alias("bb"),
+    ).select("doc_id", "vec", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = sketched.select(
+        F.col("doc_id").alias("vec_a"), F.col("vec").alias("va"), "band", "key"
+    )
+    b = sketched.select(
+        F.col("doc_id").alias("vec_b"), F.col("vec").alias("vb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -42,6 +42,7 @@ def _load_all() -> None:
     from . import fastq  # noqa: F401
     from . import llm  # noqa: F401
     from . import relational  # noqa: F401
+    from . import streamq  # noqa: F401
 
 
 _load_all()

@@ -88,6 +88,39 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=12)
 
 
+_EMB_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_EMB_COS}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({_EMB_COS}, 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact (all-pairs baseline; the LSH
+    variant below is the 100 TB path)."""
+    return S.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register("dedup_embedding_lsh")  # rows-only: LSH candidate set is approximate
+def dedup_embedding_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dup (bucketed candidates, exact cosine
+    verify); recall vs the exact operator asserted in tests."""
+    return S.cosine_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -677,3 +677,121 @@ def sessionize(spark, sf_dir):
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal / range joins and remaining aggregate shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT a.event_id, a.user_id, a.ts,
+           b.ts    AS matched_ts,
+           b.value AS matched_value
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it. Spark side is the union+window idiom (one shuffle on
+    user_id, no range probe) — see operators/joins.py."""
+    from ..operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(purchases, clicks, keys=["user_id"], right_cols=["value"])
+
+
+_PRICE_BANDS = [
+    ("b900", 900.0, 920.0),
+    ("b920", 920.0, 940.0),
+    ("b940", 940.0, 960.0),
+    ("b960", 960.0, 980.0),
+    ("b980", 980.0, 1000.0),
+]
+
+
+@register(
+    "join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('b900', 900.0, 920.0), ('b920', 920.0, 940.0), ('b940', 940.0, 960.0),
+      ('b960', 960.0, 980.0), ('b980', 980.0, 1000.0))
+    SELECT band, COUNT(*) AS n_parts, ROUND(SUM(p_retailprice), 2) AS sum_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range (band) join: facts into [lo, hi) price bands via a broadcast
+    non-equi join — zero shuffle of the fact side."""
+    from ..operators.joins import range_join
+
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        range_join(p, bands, "p_retailprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           COUNT(*)                      AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (rollup/cube's general form) via Spark SQL."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_grouping_sets")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_quantity), 2)     AS sum_qty,
+               COUNT(*)                      AS n_rows
+        FROM li_grouping_sets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(median(l_extendedprice), 4)              AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (sort-based aggregate). The approx
+    sketch twin (percentile_approx / KLL at scale) is agg_approx_count_
+    distinct's pattern; exact percentile is the oracle-matchable form."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.median("l_extendedprice"), 4).alias("med"),
+    )

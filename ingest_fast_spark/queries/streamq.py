@@ -1,0 +1,113 @@
+"""Structured Streaming queries, registered in the driver's correctness
+gate. Each runs a real streaming query (file-source readStream →
+watermarked stateful aggregation → memory sink, Trigger.AvailableNow) and
+returns the finished result table; since AvailableNow over a static
+directory processes all input, the result must equal the equivalent batch
+SQL — which is exactly what the DuckDB oracle states.
+
+This is the strongest correctness check a streaming operator can get:
+not "it ran", but "the streaming state machine converged to the batch
+answer".
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from ..streaming import events as SE
+from ..streaming import stateful as ST
+from . import register
+
+_SEQ = itertools.count()
+
+
+def _run(df, base_name: str, output_mode: str = "complete"):
+    # Unique sink name per invocation: queries may run several times in one
+    # session (selfcheck, driver, tests) and memory-sink names are global.
+    return SE.run_available_now(df, f"{base_name}_{next(_SEQ)}", output_mode)
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window streaming agg == batch time_bucket."""
+    return _run(SE.windowed_counts(SE.stream_events(spark, sf_dir)), "q_win")
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH cand AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+             AS win_start
+      FROM events
+    )
+    SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+           COUNT(*) AS n_events
+    FROM cand GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """1h/30m sliding windows: every event lands in exactly two windows
+    (the two 30-min-aligned starts covering its timestamp)."""
+    return _run(SE.sliding_window_counts(SE.stream_events(spark, sf_dir)), "q_slide")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL '30 minutes'  AS session_end,
+           COUNT(*)                         AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Streaming session_window (30-min gap). Session semantics: windows
+    are [first_ts, last_ts + gap) and merge only on OVERLAP, so a gap of
+    exactly 30min starts a NEW session (hence `>=` in the oracle; the
+    batch gaps-and-islands `sessionize` uses `>` — documented divergence
+    of the two operators' gap-boundary conventions)."""
+    return _run(
+        SE.session_window_counts(SE.stream_events(spark, sf_dir), gap="30 minutes"),
+        "q_sess",
+    )
+
+
+@register(
+    "stream_user_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_state(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    aggregates. AvailableNow over a static dir = one micro-batch, so each
+    user's final emitted state equals the batch GROUP BY."""
+    return _run(
+        ST.user_running_stats(SE.stream_events(spark, sf_dir)),
+        "q_state",
+        output_mode="update",
+    )

@@ -57,10 +57,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events*.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts",
-        F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
-    )
+    # Integer DIV (floor(a/b) via doubles drifts ±1 µs at 1e18 ns).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -58,3 +58,43 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["vec_id"])
         if key in exact_sims:
             assert abs(exact_sims[key] - r["cos_sim"]) < 1e-9
+
+
+def test_cosine_near_dup_exact_vs_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in S.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    ids = sorted(vecs)
+    expected = {}
+    norms = {i: np.linalg.norm(vecs[i]) for i in ids}
+    for i_pos, a in enumerate(ids):
+        for b in ids[i_pos + 1 :]:
+            c = round(float(np.dot(vecs[a], vecs[b]) / (norms[a] * norms[b])), 6)
+            if c >= 0.35:
+                expected[(a, b)] = c
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) <= 1e-6
+
+
+def test_cosine_lsh_recall_and_precision(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in S.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in S.cosine_near_dup_lsh(emb, threshold=0.35).collect()
+    }
+    # every LSH pair is exact-verified, so no false positives at all
+    for k, v in approx.items():
+        assert k in exact and abs(v - exact[k]) <= 1e-6
+    # recall: 4 bands of 4 bits at cos>=0.35 — expect a reasonable share
+    if exact:
+        recall = len(set(approx) & set(exact)) / len(exact)
+        assert recall >= 0.3, (recall, len(exact), len(approx))

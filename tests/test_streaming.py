@@ -80,3 +80,27 @@ def test_foreach_batch_upsert(spark, sf_dir):
         assert spark.read.parquet(target).count() == batch.count()
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+def test_stateful_user_running_stats(spark, sf_dir):
+    """applyInPandasWithState final state == batch GROUP BY user_id."""
+    from ingest_fast_spark.streaming.stateful import user_running_stats
+
+    stream = SE.stream_events(spark, sf_dir)
+    result = SE.run_available_now(
+        user_running_stats(stream), "t_user_state", output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"]) for r in result.collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["s"]) for r in batch}
+    assert got == expected
