@@ -49,6 +49,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently has fewer partitions
+    than the cluster's parallelism.
+
+    Why: a single-row-group parquet file scans as ONE task, serializing
+    everything pipelined onto the scan (explodes, partial aggregates). One
+    tiny shuffle of the base table unlocks every core. At real scale this
+    is a NO-OP — a 100 TB table scans as thousands of splits, so the guard
+    keeps the extra shuffle out of production plans.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

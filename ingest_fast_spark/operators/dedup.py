@@ -24,6 +24,8 @@ top-frequency shingles as stop-shingles) is exposed via ``max_doc_freq``.
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import ensure_parallelism
+
 
 def tokens_col(text, lowercase: bool = True):
     t = F.lower(text) if lowercase else text
@@ -48,6 +50,7 @@ def shingles_df(
 ) -> DataFrame:
     """One row per (doc, distinct k-token shingle). JVM-side only:
     split → transform(sequence) → explode."""
+    df = ensure_parallelism(df)  # shingling must not serialize onto one scan task
     toks = tokens_col(F.col(text_col))
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
@@ -110,6 +113,7 @@ def doc_shingle_sets(
 ) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct k-shingle set per doc,
     computed once and shared by signature + verification stages."""
+    df = ensure_parallelism(df)
     toks = tokens_col(F.col(text_col))
     shingles = F.array_distinct(
         F.transform(
@@ -247,14 +251,16 @@ def simhash_signatures(
             out[i] = sig.astype(np.int64)
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 12,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dups = SimHash pairs within a Hamming radius, blocked on 16-bit
     bands (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands; for

@@ -76,13 +76,14 @@ def type_from_filename(path: Column) -> Column:
 # P1 — predicate-dispatch project+filter (reference lib/fast_parse.js:17-55)
 # ---------------------------------------------------------------------------
 
-def filter_triples(triples: DataFrame) -> DataFrame:
+def filter_triples(triples: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Route each (subject, predicate, object) triple into a parsed record.
 
     Output columns (NULL = field absent, replacing the reference's ''/false
     sentinels): rec_type ('fast'|'sameAsLabel'), id, prefLabel, altLabel,
     label, sameAsLc, sameAsViaf, normalized, subject. Non-matching triples
-    are dropped (P7 compact).
+    are dropped (P7 compact). ``keep`` passes extra columns through (e.g.
+    the per-file branch tag in the fused multi-file pipeline).
     """
     s, p, o = F.col("subject"), F.col("predicate"), F.col("object")
 
@@ -120,6 +121,7 @@ def filter_triples(triples: DataFrame) -> DataFrame:
         .when(sameas_label_branch, normalize_and_singularize(literal))
         .alias("normalized"),
         F.when(sameas_label_branch, s).alias("subject"),
+        *[F.col(k) for k in keep],
     )
     return parsed.filter(F.col("rec_type").isNotNull())              # P7
 
@@ -186,20 +188,27 @@ def _sorted_set(col: Column) -> Column:
     return F.array_sort(F.array_distinct(F.collect_list(col)))
 
 
-def aggregate_fast(parsed: DataFrame, type_name: str | Column = "Topical") -> DataFrame:
-    """One FAST authority document per id.
+def aggregate_fast(
+    parsed: DataFrame,
+    type_name: str | Column = "Topical",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """One FAST authority document per (``extra_keys``, id).
 
     Spark's spillable hash aggregate replaces the reference's per-process
     in-heap map (reference lib/ingest.js:102,242-262); prefLabel uses
     MAX-priority coalesce (deterministic variant of last-write-wins +
     fill-if-missing, reference lib/ingest.js:245-246); the sameAs arrays
     collect both the URI and its last path segment
-    (reference lib/ingest.js:248-255).
+    (reference lib/ingest.js:248-255). ``extra_keys`` (e.g. the branch tag)
+    lets ALL source files aggregate in one shuffle instead of one job per
+    file — the fused formulation that replaces the reference's
+    process-per-file topology at scale.
     """
     type_col = F.lit(type_name) if isinstance(type_name, str) else type_name
     fast = parsed.filter(F.col("rec_type") == "fast")
     return (
-        fast.groupBy("id")
+        fast.groupBy(*extra_keys, "id")
         .agg(
             F.coalesce(F.max("prefLabel"), F.max("label")).alias("prefLabel"),  # A2
             _sorted_set(F.col("altLabel")).alias("altLabel"),                   # A3
@@ -218,6 +227,7 @@ def aggregate_fast(parsed: DataFrame, type_name: str | Column = "Topical") -> Da
             _sorted_set(F.col("normalized")).alias("normalized"),               # A5
         )
         .select(
+            *extra_keys,
             F.col("id").alias("_id"),                                           # _id = fast id
             F.col("id").alias("fast"),
             type_col.alias("type"),
@@ -230,12 +240,12 @@ def aggregate_fast(parsed: DataFrame, type_name: str | Column = "Topical") -> Da
     )
 
 
-def sameas_index(parsed: DataFrame) -> DataFrame:
+def sameas_index(parsed: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A7 — URI → labels index from 'sameAsLabel' records
     (reference lib/ingest.js:257-260 builds this as ``allSameAs``)."""
     return (
         parsed.filter(F.col("rec_type") == "sameAsLabel")
-        .groupBy("subject")
+        .groupBy(*extra_keys, "subject")
         .agg(
             _sorted_set(F.col("label")).alias("sa_labels"),
             _sorted_set(F.col("normalized")).alias("sa_normalized"),
@@ -247,7 +257,11 @@ def sameas_index(parsed: DataFrame) -> DataFrame:
 # J1 — sameAs enrichment join (reference lib/ingest.js:267-289)
 # ---------------------------------------------------------------------------
 
-def enrich_with_sameas(fast_docs: DataFrame, sameas: DataFrame) -> DataFrame:
+def enrich_with_sameas(
+    fast_docs: DataFrame,
+    sameas: DataFrame,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
     """Append sameAs labels into altLabel/normalized.
 
     Explode the doc's LC+VIAF URIs, probe the (broadcast) label index, and
@@ -255,21 +269,29 @@ def enrich_with_sameas(fast_docs: DataFrame, sameas: DataFrame) -> DataFrame:
     reference's per-record probe of its in-heap ``allSameAs`` map. Only
     full URIs match the index (the reference probes the map with the URIs
     it collected; bare-id segments never hit, reference lib/ingest.js:269,279).
+    With ``extra_keys`` the index is probed per source file (the
+    reference's ``allSameAs`` is file-local state).
     """
+    keys = list(extra_keys)
     uris = F.array_union("sameAsViaf", "sameAsLc")
     exploded = fast_docs.select(
-        "_id", F.explode_outer(uris).alias("uri")
+        *keys, "_id", F.explode_outer(uris).alias("uri")
     ).filter(F.col("uri").contains("/"))  # full URIs only, skip bare segments
     hits = (
-        exploded.join(F.broadcast(sameas), exploded.uri == sameas.subject, "inner")
-        .groupBy("_id")
+        exploded.join(
+            F.broadcast(sameas.withColumnRenamed("subject", "uri")),
+            ["uri", *keys],
+            "inner",
+        )
+        .groupBy(*keys, "_id")
         .agg(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("sa_labels")))).alias("hit_labels"),
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("sa_normalized")))).alias("hit_normalized"),
         )
     )
-    joined = fast_docs.join(F.broadcast(hits), "_id", "left")
+    joined = fast_docs.join(F.broadcast(hits), ["_id", *keys], "left")
     return joined.select(
+        *keys,
         "_id",
         "fast",
         "type",
@@ -402,42 +424,62 @@ def update_viaf(viaf: DataFrame, matches: DataFrame) -> DataFrame:
 # Full job assembly (reference lib/ingest.js:194-319 end-to-end)
 # ---------------------------------------------------------------------------
 
+def _tagged_union(
+    triples_by_type: dict[str, DataFrame], types: tuple[str, ...] | None = None
+) -> DataFrame | None:
+    """Union all per-type triple DataFrames with a ``branch`` tag column —
+    the single-scan replacement for the reference's one-OS-process-per-file
+    topology (reference lib/ingest.js:58,68-69). ``types`` filters which
+    branches participate."""
+    out = None
+    for type_name, triples in triples_by_type.items():
+        if types is not None and type_name not in types:
+            continue
+        t = triples.withColumn("branch", F.lit(type_name))
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
 def build_fast_table(triples_by_type: dict[str, DataFrame]) -> DataFrame:
-    """The complete topical pipeline over per-type triple DataFrames:
-    parse-filter → aggregate → sameAs-enrich → (Event: skip-viaf filter,
-    replacing the FASTTermEvent double-read, reference lib/ingest.js:58,298-302)
-    → cross-file merge → final ``fast`` table.
+    """The complete topical pipeline (§3.2), FUSED across source files:
+    tag each file's triples with a ``branch`` column, then run ONE
+    parse-filter → ONE (branch, id) aggregate → ONE broadcast enrichment
+    join → (Event: skip-viaf filter, replacing the FASTTermEvent
+    double-read, reference lib/ingest.js:58,298-302) → cross-file merge.
+
+    Per-file semantics are preserved because ``branch`` rides in every
+    grouping/join key; the fusion turns 4×(agg+join) jobs into one shuffle
+    per logical step — at 100 TB that is the difference between 8
+    sequential jobs and one wide plan (and locally it removes ~12 tiny
+    stage barriers).
 
     Agent-type files contribute ONLY via the Event re-read minus VIAF-linked
     terms (reference lib/ingest.js:11,298-302): Corporate/Personal feed the
     viaf branch, not this table.
     """
-    branches = []
-    for type_name, triples in triples_by_type.items():
-        parsed = filter_triples(triples)
-        docs = enrich_with_sameas(aggregate_fast(parsed, type_name), sameas_index(parsed))
-        if type_name == "Event":
-            docs = filter_skip_viaf(docs)
-        elif type_name in AGENT_TYPES:
-            continue
-        branches.append(filter_bad_docs(docs))
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return merge_fast(out)
+    non_agent = tuple(
+        t for t in triples_by_type if t not in AGENT_TYPES or t == "Event"
+    )
+    tagged = _tagged_union(triples_by_type, non_agent)
+    parsed = filter_triples(tagged, keep=("branch",))
+    docs = aggregate_fast(parsed, F.col("branch"), extra_keys=("branch",))
+    enriched = enrich_with_sameas(
+        docs, sameas_index(parsed, extra_keys=("branch",)), extra_keys=("branch",)
+    )
+    enriched = enriched.filter(
+        ~((F.col("branch") == "Event") & (F.size("sameAsViaf") > 0))
+    )
+    return merge_fast(filter_bad_docs(enriched).drop("branch"))
 
 
 def build_viaf_updates(
     triples_by_type: dict[str, DataFrame], viaf: DataFrame
 ) -> DataFrame:
     """The Agent/VIAF branch over Corporate/Event/Personal files
-    (reference lib/ingest.js:212-232): parse → derive otherId →
-    disjunctive lookup join → set-oriented array append."""
-    links = None
-    for type_name, triples in triples_by_type.items():
-        if type_name not in AGENT_TYPES:
-            continue
-        branch = derive_other_id(filter_triples(triples))
-        links = branch if links is None else links.unionByName(branch)
+    (reference lib/ingest.js:212-232): one fused parse → derive otherId →
+    disjunctive lookup join → set-oriented array append. (otherId links
+    are file-independent, so no branch tag is needed here.)"""
+    tagged = _tagged_union(triples_by_type, AGENT_TYPES)
+    links = derive_other_id(filter_triples(tagged))
     matches = viaf_lookup_join(links, viaf)
     return update_viaf(viaf, matches)

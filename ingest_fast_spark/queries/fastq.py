@@ -91,7 +91,12 @@ VIAF_ROWS = [
 
 
 def _lines_df(spark, lines):
-    return spark.createDataFrame([(l,) for l in lines], "value string")
+    # One partition: createDataFrame defaults to defaultParallelism (32)
+    # partitions, so the fused 3-branch union would run 96-task stages for
+    # ~35 fixture rows — pure scheduling overhead. repartition(1), NOT
+    # coalesce(1): a coalesced LocalRelation task inherits 32 preferred
+    # locations and stalls on spark.locality.wait (~3-4s) EVERY stage.
+    return spark.createDataFrame([(l,) for l in lines], "value string").repartition(1)
 
 
 def _triples_by_type(spark):

@@ -85,7 +85,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register("dedup_simhash")  # rows-only: pandas-UDF path
 def dedup_simhash(spark, sf_dir):
-    return D.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=12)
+    """SimHash near-dups at the standard 64-bit radius (hamming <= 3,
+    cf. Manku et al. WWW'07) — at d<=3 the 4x16-bit banding is EXACT
+    (any such pair must agree on a full band), not a recall heuristic."""
+    return D.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 _EMB_COS = (

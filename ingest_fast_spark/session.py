@@ -69,6 +69,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")
+        # Single-JVM local mode: every task slot is process-local, so
+        # delay scheduling only adds stalls (coalesced/cached partitions
+        # otherwise wait out spark.locality.wait per stage).
+        .config("spark.locality.wait", "0ms")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
