@@ -25,12 +25,18 @@ HEADLINE = [
     "window_running_agg",
     "sessionize",
     "time_bucket_tumbling",
+    "join_asof",
+    "agg_percentiles",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "embed_topk_bruteforce",
     "text_token_stats",
+    "text_quality_score",
     "fast_table_end_to_end",
+    "stream_windowed_counts",
 ]
 
 

@@ -233,22 +233,30 @@ def simhash_signatures(
         import numpy as np
 
         shifts = np.arange(64, dtype=np.uint64)
+        powers = (np.uint64(1) << shifts).astype(np.uint64)
+        # Hash each DISTINCT token once per Arrow batch (documents share
+        # most of their vocabulary, so this cuts md5 calls ~100×), then a
+        # doc's vote vector is one row-gather + sum over the ±1 matrix.
+        token_sets = [set((t or "").lower().split()) for t in texts]
+        vocab = sorted(set().union(*token_sets)) if token_sets else []
+        index = {tok: i for i, tok in enumerate(vocab)}
+        hashes = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                for t in vocab
+            ],
+            dtype=np.uint64,
+        )
+        signs = (
+            ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1
+        ) if len(vocab) else np.zeros((0, 64), dtype=np.int8)
+
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            tokens = set((text or "").lower().split())
+        for i, tokens in enumerate(token_sets):
             if not tokens:
                 continue
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in tokens:
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                votes += bits * 2 - 1
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = sig.astype(np.int64)
+            votes = signs[[index[t] for t in tokens]].sum(axis=0, dtype=np.int64)
+            out[i] = (powers[votes > 0]).sum(dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
     return ensure_parallelism(df).select(

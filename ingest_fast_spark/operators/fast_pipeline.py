@@ -460,7 +460,15 @@ def build_fast_table(triples_by_type: dict[str, DataFrame]) -> DataFrame:
     non_agent = tuple(
         t for t in triples_by_type if t not in AGENT_TYPES or t == "Event"
     )
-    tagged = _tagged_union(triples_by_type, non_agent)
+    return build_fast_table_tagged(_tagged_union(triples_by_type, non_agent))
+
+
+def build_fast_table_tagged(tagged: DataFrame) -> DataFrame:
+    """build_fast_table over ONE pre-tagged triples DataFrame (column
+    ``branch`` = authority type) — the single-scan entry used by the job
+    runner, where the tag comes from ``input_file_name()``. Corporate/
+    Personal rows must already be excluded (they feed only the viaf
+    branch); Event rows get the skip-viaf filter here."""
     parsed = filter_triples(tagged, keep=("branch",))
     docs = aggregate_fast(parsed, F.col("branch"), extra_keys=("branch",))
     enriched = enrich_with_sameas(
@@ -479,7 +487,14 @@ def build_viaf_updates(
     (reference lib/ingest.js:212-232): one fused parse → derive otherId →
     disjunctive lookup join → set-oriented array append. (otherId links
     are file-independent, so no branch tag is needed here.)"""
-    tagged = _tagged_union(triples_by_type, AGENT_TYPES)
-    links = derive_other_id(filter_triples(tagged))
+    return build_viaf_updates_tagged(
+        _tagged_union(triples_by_type, AGENT_TYPES), viaf
+    )
+
+
+def build_viaf_updates_tagged(agent_triples: DataFrame, viaf: DataFrame) -> DataFrame:
+    """build_viaf_updates over one pre-filtered DataFrame of Agent-file
+    triples (Corporate/Event/Personal)."""
+    links = derive_other_id(filter_triples(agent_triples))
     matches = viaf_lookup_join(links, viaf)
     return update_viaf(viaf, matches)

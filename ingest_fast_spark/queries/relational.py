@@ -789,9 +789,17 @@ def agg_percentiles(spark, sf_dir):
     sketch twin (percentile_approx / KLL at scale) is agg_approx_count_
     distinct's pattern; exact percentile is the oracle-matchable form."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
-        F.round(F.median("l_extendedprice"), 4).alias("med"),
+    # ONE percentile aggregate with an array argument — a single sort per
+    # group instead of four independent sort-based aggregates.
+    parr = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(parr.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 4).alias("p25"),
+            F.round(F.element_at("_p", 2), 4).alias("p50"),
+            F.round(F.element_at("_p", 3), 4).alias("p75"),
+            F.round(F.element_at("_p", 2), 4).alias("med"),
+        )
     )

@@ -32,18 +32,22 @@ def _strip_uri(term: Column) -> Column:
     ).otherwise(term)
 
 
-def parse_nt_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_nt_lines(
+    lines: DataFrame, value_col: str = "value", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Parse raw NT lines into (subject, predicate, object) string columns.
 
     Malformed lines (anything the grammar above rejects) are dropped,
     mirroring the reference's empty-string sentinel for unparseable input
     (reference lib/fast_parse.js:63-76, test 'empty triple text').
+    ``keep`` passes extra columns through (e.g. a file-type tag).
     """
     src = F.col(value_col)
     parsed = lines.select(
         F.regexp_extract(src, _NT_LINE, 1).alias("subject"),
         F.regexp_extract(src, _NT_LINE, 2).alias("predicate"),
         F.regexp_extract(src, _NT_LINE, 3).alias("object_raw"),
+        *[F.col(k) for k in keep],
     )
     return (
         parsed.filter((F.col("subject") != "") & (F.col("object_raw") != ""))

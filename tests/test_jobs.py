@@ -1,0 +1,91 @@
+"""End-to-end job runner test: NT files on disk → run_ingest → parquet
+outputs that exactly match the composable-pipeline queries built from the
+same fixture lines."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from ingest_fast_spark import jobs
+from ingest_fast_spark.queries import fastq
+from ingest_fast_spark.queries.fastq import (
+    EVENT_LINES,
+    GEOGRAPHIC_LINES,
+    PERSONAL_LINES,
+    TOPICAL_LINES,
+    VIAF_ROWS,
+)
+
+
+def _freeze(rows):
+    out = []
+    for r in rows:
+        d = r.asDict()
+        out.append(
+            tuple(
+                (k, tuple(v) if isinstance(v, list) else v)
+                for k, v in sorted(d.items())
+            )
+        )
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def nt_dir():
+    d = tempfile.mkdtemp(prefix="fast_nt_")
+    for stem, lines in (
+        ("FASTTopical", TOPICAL_LINES),
+        ("FASTGeographic", GEOGRAPHIC_LINES),
+        ("FASTEvent", EVENT_LINES),
+        ("FASTPersonal", PERSONAL_LINES),
+    ):
+        with open(os.path.join(d, f"{stem}.nt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_run_ingest_matches_pipeline_queries(spark, nt_dir):
+    out_dir = tempfile.mkdtemp(prefix="fast_out_")
+    try:
+        viaf = spark.createDataFrame(
+            VIAF_ROWS, "_id string, viaf string, lcId string, fast array<bigint>"
+        )
+        metrics = jobs.run_ingest(spark, nt_dir, out_dir, viaf=viaf)
+
+        written_fast = spark.read.parquet(os.path.join(out_dir, "fast"))
+        expected_fast = fastq.fast_table_end_to_end(spark, nt_dir)
+        assert _freeze(written_fast.collect()) == _freeze(expected_fast.collect())
+
+        written_viaf = spark.read.parquet(os.path.join(out_dir, "viaf"))
+        expected_viaf = fastq.fast_viaf_update(spark, nt_dir)
+        assert _freeze(written_viaf.collect()) == _freeze(expected_viaf.collect())
+
+        assert metrics["n_fast_docs"] == written_fast.count()
+        assert metrics["n_viaf_docs"] == written_viaf.count()
+        assert metrics["n_types"] == 3  # Topical, Geographic, Event
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_validate_source_dir(spark, nt_dir):
+    with pytest.raises(FileNotFoundError):
+        jobs.validate_source_dir(nt_dir, require_all=True)  # only 4 of 8 files
+    with pytest.raises(FileNotFoundError):
+        jobs.validate_source_dir(tempfile.mkdtemp(prefix="empty_"), require_all=False)
+    assert len(jobs.validate_source_dir(nt_dir, require_all=False)) == 4
+
+
+def test_overwrite_semantics(spark, nt_dir):
+    """S8 — a second run replaces the target (drop-and-recreate)."""
+    out_dir = tempfile.mkdtemp(prefix="fast_out2_")
+    try:
+        jobs.run_ingest(spark, nt_dir, out_dir)
+        n1 = spark.read.parquet(os.path.join(out_dir, "fast")).count()
+        jobs.run_ingest(spark, nt_dir, out_dir)
+        n2 = spark.read.parquet(os.path.join(out_dir, "fast")).count()
+        assert n1 == n2  # idempotent, not appended
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
