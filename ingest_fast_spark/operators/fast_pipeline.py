@@ -469,7 +469,14 @@ def build_fast_table_tagged(tagged: DataFrame) -> DataFrame:
     runner, where the tag comes from ``input_file_name()``. Corporate/
     Personal rows must already be excluded (they feed only the viaf
     branch); Event rows get the skip-viaf filter here."""
-    parsed = filter_triples(tagged, keep=("branch",))
+    # parsed feeds three consumers (doc aggregate, label index, enrichment
+    # probe); persist so the parse+normalize expressions run once — the
+    # spillable analogue of the reference's materialized maps.
+    from pyspark import StorageLevel
+
+    parsed = filter_triples(tagged, keep=("branch",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     docs = aggregate_fast(parsed, F.col("branch"), extra_keys=("branch",))
     enriched = enrich_with_sameas(
         docs, sameas_index(parsed, extra_keys=("branch",)), extra_keys=("branch",)
