@@ -803,3 +803,87 @@ def agg_percentiles(spark, sf_dir):
             F.round(F.element_at("_p", 2), 4).alias("med"),
         )
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                        AS n_events,
+           ROUND(SUM(value), 2)            AS sum_value,
+           ROUND(MIN(value), 2)            AS min_value,
+           ROUND(MAX(value), 2)            AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Salted two-phase aggregation over a genuinely skewed key (5 hot
+    event_type values across all rows): each hot key fans across 16
+    reducers in phase 1, a tiny phase-2 combine restores exact semantics.
+    See operators/skew.py."""
+    from ..operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["event_type"],
+        [
+            ("value", "count", "n_events"),
+            ("value", "sum", "sum_value"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT/melt: wide measure columns → (metric, value) long form."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return l.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(stddev_samp(l_extendedprice), 2)            AS std_price,
+           ROUND(var_samp(l_quantity), 4)                    AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark, sf_dir):
+    """Bivariate/statistical aggregates (corr, covariance, stddev, var)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )

@@ -111,3 +111,26 @@ def stream_user_state(spark, sf_dir):
         "q_state",
         output_mode="update",
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts, c.c_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+               AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join (purchase × preceding-hour clicks) with
+    watermarks on both sides; AvailableNow result equals the batch
+    interval join."""
+    return _run(
+        SE.stream_stream_interval_join(SE.stream_events(spark, sf_dir)),
+        "q_ssjoin",
+        output_mode="append",
+    )

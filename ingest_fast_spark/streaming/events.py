@@ -159,3 +159,47 @@ def upsert_foreach_batch(df: DataFrame, target_dir: str, key_cols: list[str]):
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+def stream_stream_interval_join(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    each purchase joined to the same user's clicks in the preceding hour.
+
+    Both sides carry watermarks and the join predicate bounds event time
+    on both, so Spark can size the join state and evict expired rows —
+    the requirement for unbounded stream-stream joins. Output columns are
+    cast to timestamp_ntz to match the batch twin exactly."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+    )

@@ -1,0 +1,113 @@
+"""Scale-oriented operator tests: salted aggregation equivalence,
+bucketed co-located joins (no shuffle), stream-stream interval join."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.catalog import load_table
+from ingest_fast_spark.operators.skew import salted_agg, salted_collect_set
+from ingest_fast_spark.sources.bucketed import bucketed_join, write_bucketed
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: (r["n"], round(r["s"], 2), r["mn"], r["mx"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], round(r["s"], 2), r["mn"], r["mx"])
+        for r in salted_agg(
+            e,
+            ["event_type"],
+            [
+                ("value", "count", "n"),
+                ("value", "sum", "s"),
+                ("value", "min", "mn"),
+                ("value", "max", "mx"),
+            ],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_collect_set_equals_plain(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    plain = {
+        r["event_type"]: tuple(r["vals"])
+        for r in e.groupBy("event_type")
+        .agg(F.array_sort(F.collect_set("user_id")).alias("vals"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: tuple(r["vals"])
+        for r in salted_collect_set(e, ["event_type"], "user_id", alias="vals").collect()
+    }
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="buckets_")
+    write_bucketed(
+        o.withColumnRenamed("o_custkey", "custkey"), "t_orders_b", ["custkey"],
+        num_buckets=8, path=f"{d}/orders",
+    )
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "custkey"), "t_customer_b", ["custkey"],
+        num_buckets=8, path=f"{d}/customer",
+    )
+    # Force the non-broadcast path: at real scale neither fact side fits a
+    # broadcast, which is exactly when bucketing pays.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_orders_b", "t_customer_b", ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan  # co-located: zero shuffle
+        # and it is still correct
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    from ingest_fast_spark.streaming import events as SE
+
+    stream = SE.stream_events(spark, sf_dir)
+    result = SE.run_available_now(
+        SE.stream_stream_interval_join(stream), "t_ssjoin", output_mode="append"
+    )
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    got = sorted(
+        (r["purchase_id"], r["click_id"]) for r in result.collect()
+    )
+    expected = sorted(
+        (r["purchase_id"], r["click_id"]) for r in batch.collect()
+    )
+    assert got == expected and len(got) > 0
