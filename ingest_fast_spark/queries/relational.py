@@ -887,3 +887,34 @@ def agg_corr_stats(spark, sf_dir):
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
     )
+
+
+@register(
+    "correlated_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           ROUND(SUM(l.l_extendedprice), 2) AS sum_below_avg
+    FROM lineitem l
+    WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+)
+def correlated_subquery(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    Catalyst decorrelates it into an aggregate + join, which is the plan
+    you'd hand-write; expressing it as the subquery keeps user SQL
+    portable."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_corr")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               ROUND(SUM(l.l_extendedprice), 2) AS sum_below_avg
+        FROM li_corr l
+        WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                              FROM li_corr l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+        """
+    )

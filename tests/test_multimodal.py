@@ -1,0 +1,40 @@
+"""Multimodal column-convention tests: binary payload schema, mapInPandas
+batch behavior, decode stub, and payload-column pruning."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.catalog import load_table
+from ingest_fast_spark.operators import multimodal as M
+
+
+def test_payload_schema_and_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    payloads = M.attach_binary_payload(d)
+    assert [f.dataType.simpleString() for f in payloads.schema if f.name == "payload"] == ["binary"]
+
+    feats = {r["doc_id"]: r for r in M.extract_features(payloads).collect()}
+    for r in d.collect():
+        got = feats[r["doc_id"]]
+        raw = r["text"].encode("utf-8")
+        assert got["byte_len"] == len(raw)
+        assert got["payload_sha256"] == hashlib.sha256(raw).hexdigest()
+        assert got["media_type"] == "text/plain"
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image_stub(b"\x89PNG")
+
+
+def test_payload_column_pruned_when_untouched(spark, sf_dir, tmp_path):
+    """A query that doesn't read the payload must not scan it — the whole
+    point of the binary-column convention at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "mm.parquet")
+    M.attach_binary_payload(d).write.parquet(path)
+    q = spark.read.parquet(path).select("doc_id", "media_type")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema:")[1]

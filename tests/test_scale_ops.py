@@ -111,3 +111,17 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
         (r["purchase_id"], r["click_id"]) for r in batch.collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Writing partitioned-by-key and filtering on the key must prune
+    partitions at the scan (PartitionFilters), not read-then-filter."""
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    d.write.partitionBy("lang").mode("overwrite").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [" in plan
+    assert "(lang" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and values survive the round trip
+    assert q.count() == d.filter(F.col("lang") == "en").count()
