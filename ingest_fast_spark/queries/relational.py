@@ -918,3 +918,38 @@ def correlated_subquery(spark, sf_dir):
         GROUP BY l.l_partkey
         """
     )
+
+
+@register(
+    "complex_types",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+      FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           qtys,
+           ROUND(list_aggregate(qtys, 'sum'), 2)                  AS qty_sum,
+           CAST(len(list_filter(qtys, x -> x > 30)) AS INT)       AS n_large,
+           list_transform(qtys, x -> ROUND(x * 2, 2))             AS doubled,
+           ROUND(list_aggregate(qtys, 'max'), 2)                  AS qty_max
+    FROM per_order
+    """,
+)
+def complex_types(spark, sf_dir):
+    """Complex-type surface: array aggregation + higher-order functions
+    (transform / filter / aggregate) — all JVM-side, codegen-friendly."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    per_order = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return per_order.select(
+        "l_orderkey",
+        "qtys",
+        F.round(
+            F.aggregate("qtys", F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("qty_sum"),
+        F.size(F.filter("qtys", lambda x: x > 30)).alias("n_large"),
+        F.transform("qtys", lambda x: F.round(x * 2, 2)).alias("doubled"),
+        F.round(F.array_max("qtys"), 2).alias("qty_max"),
+    )

@@ -1,0 +1,81 @@
+"""Format round-trip tests (JSONL/CSV) and multi-batch incremental
+streaming upsert."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.catalog import load_table
+from ingest_fast_spark.sources import formats
+
+
+def _doc_rows(df):
+    return sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in df.collect()
+    )
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    path = str(tmp_path / "docs_jsonl")
+    formats.write_jsonl(d, path)
+    back = formats.read_jsonl(
+        spark, path, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert _doc_rows(back) == _doc_rows(d)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents").limit(100).drop("text")  # csv + newlines don't mix
+    path = str(tmp_path / "docs_csv")
+    formats.write_csv(d, path)
+    back = formats.read_csv(
+        spark, path, "doc_id long, lang string, source string, n_chars long"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_incremental_multibatch_upsert(spark, sf_dir, tmp_path):
+    """Split events into 4 files, stream them one file per micro-batch
+    (maxFilesPerTrigger=1), foreachBatch-upsert windowed counts — the final
+    table must equal the one-shot batch aggregate. This is the real
+    incremental path: state evolves across 4 batches and the upsert must
+    converge."""
+    from ingest_fast_spark.session import apply_runtime_confs
+    from ingest_fast_spark.streaming import events as SE
+
+    apply_runtime_confs(spark)
+    src = str(tmp_path / "events_split")
+    target = str(tmp_path / "upsert_target")
+    # Re-write raw events (ts still INT64 nanos) as 4 files.
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(SE.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    # The 4 split files are NOT time-ordered (round-robin repartition), so
+    # each micro-batch spans the whole month; a 1-hour watermark would
+    # correctly drop most rows of batches 2-4 as late data. Use a watermark
+    # wider than the full time range to test pure upsert convergence.
+    counts = SE.windowed_counts(stream, watermark="60 days")
+    q = SE.upsert_foreach_batch(counts, target, ["bucket", "event_type"]).start()
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 4  # really ran multiple micro-batches
+
+    from ingest_fast_spark.queries.relational import time_bucket_tumbling
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    expected = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in time_bucket_tumbling(spark, sf_dir).collect()
+    }
+    assert got == expected
