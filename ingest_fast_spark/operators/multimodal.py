@@ -95,3 +95,83 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("media_type", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image-resize operator: mapInPandas, batch in / batch out, declared
+    output schema — the production shape for PIL/libvips work.
+
+    DECODE IS STUBBED (no media libs in this container): the "resized
+    payload" is a deterministic fake (sha256-seeded bytes of width*height
+    length) so the plumbing — Arrow batching, binary columns both ways,
+    schema, partition preservation — is real and testable; swapping in a
+    real decoder changes only the inner function."""
+
+    def resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        n = width * height
+        for pdf in batches:
+            fakes = [
+                hashlib.sha256(bytes(b)).digest() * (n // 32 + 1)
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [f[:n] for f in fakes],
+                    "width": width,
+                    "height": height,
+                    "media_type": pdf["media_type"],
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling operator: one input row → ``n_frames`` output
+    rows (the row-exploding UDTF shape, via mapInPandas).
+
+    DECODE IS STUBBED: "frames" are deterministic byte slices of the
+    payload; a real implementation seeks ffmpeg to evenly-spaced
+    timestamps. The Spark contract — cardinality change, per-frame rows,
+    binary column out — is exactly what a real decoder needs."""
+
+    def explode_frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * step : i * step + step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(explode_frames, FRAME_SCHEMA)

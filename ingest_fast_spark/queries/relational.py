@@ -953,3 +953,23 @@ def complex_types(spark, sf_dir):
         F.transform("qtys", lambda x: F.round(x * 2, 2)).alias("doubled"),
         F.round(F.array_max("qtys"), 2).alias("qty_max"),
     )
+
+
+@register(
+    "global_sort",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def global_sort(spark, sf_dir):
+    """Total ordering of a large output: range-partitioned sort (sampled
+    split points -> Exchange rangepartitioning -> per-partition sort), the
+    scalable full-sort plan. (The driver's value hash is order-insensitive;
+    the ORDER BY here exists to exercise the range exchange.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+    )

@@ -134,3 +134,19 @@ def stream_interval_join(spark, sf_dir):
         "q_ssjoin",
         output_mode="append",
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming deduplication: dropDuplicates on the keyed state — the
+    exactly-once ingest guard (state bounded by watermark in production
+    via dropDuplicatesWithinWatermark; unbounded here because AvailableNow
+    input is finite)."""
+    stream = SE.stream_events(spark, sf_dir).select("user_id", "event_type")
+    return _run(stream.dropDuplicates(["user_id", "event_type"]), "q_dedup",
+                output_mode="append")

@@ -38,3 +38,28 @@ def test_payload_column_pruned_when_untouched(spark, sf_dir, tmp_path):
     q = spark.read.parquet(path).select("doc_id", "media_type")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema:")[1]
+
+
+def test_resize_stub_shape(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    out = M.resize_images(M.attach_binary_payload(d), width=16, height=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["payload"]) == 16 * 8
+        assert (r["width"], r["height"]) == (16, 8)
+    # deterministic across runs
+    again = M.resize_images(M.attach_binary_payload(d), width=16, height=8).collect()
+    assert {r["doc_id"]: bytes(r["payload"]) for r in out} == {
+        r["doc_id"]: bytes(r["payload"]) for r in again
+    }
+
+
+def test_sample_frames_cardinality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(10)
+    frames = M.sample_frames(M.attach_binary_payload(d), n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # one row per (doc, frame)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
