@@ -358,3 +358,46 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@register(
+    "udtf_sentences",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(idx - 1 AS INT) AS sentence_idx,
+           sentence
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS sentence,
+             generate_subscripts(string_split_regex(text, '\.\s+'), 1) AS idx
+      FROM documents WHERE doc_id < 100
+    )
+    WHERE length(sentence) > 0
+    """,
+)
+def udtf_sentences(spark, sf_dir):
+    """Python UDTF (table function): one input doc → N sentence rows via
+    LATERAL join — the user-defined row-exploding surface (Spark 4 UDTF).
+    The same regex drives the DuckDB oracle, so values match exactly."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(_re.split(r"\.\s+", text)):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_sentences_udtf", SplitSentences)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM docs_udtf d, LATERAL split_sentences_udtf(d.text) s
+        """
+    )

@@ -973,3 +973,33 @@ def global_sort(spark, sf_dir):
         .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
         .orderBy(F.desc("total"), F.asc("o_orderkey"))
     )
+
+
+@register(
+    "map_ops",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           CAST(COUNT(DISTINCT event_type) AS INT)         AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def map_ops(spark, sf_dir):
+    """Map-type surface: per-user map<event_type, count> built with
+    map_from_entries, probed with element_at / map_keys. The oracle states
+    the same VALUES without maps (map column ordering is engine-specific,
+    so the query's output is scalar probes, not the raw map)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.size(F.map_keys("m")).alias("n_types"),
+    )
