@@ -217,17 +217,48 @@ def minhash_near_dups(
     )
 
 
-# --- SimHash (vectorized pandas UDF — the Arrow-batched slow-path pattern) --
+# --- SimHash ----------------------------------------------------------------
+
+def simhash_signatures_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash fully JVM-side: explode distinct tokens, xxhash64,
+    and 64 conditional-sum aggregate expressions for the per-bit majority
+    vote.
+
+    MEASURED SLOWER than the Arrow/pandas path at sf0.1 (2.2s vs 0.5s
+    warm): the explode materializes |doc|×|tokens| rows and each feeds 64
+    aggregate expressions (~160M ops), while the pandas path hashes each
+    distinct vocabulary token once (~30k md5 calls) and gathers. Kept as
+    the all-JVM alternative for Python-less deployments.
+    """
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = exploded.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return voted.select("doc_id", sig.alias("simhash"))
+
 
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc, computed in numpy over Arrow batches.
-
-    Uses md5-derived token hashes so the signature is deterministic across
-    engines and runs. This is the documented pandas-UDF slow path — used
-    because per-bit majority voting has no efficient Column expression.
-    """
+    """64-bit SimHash per doc — DEFAULT implementation: Arrow-batched
+    pandas UDF with vocabulary-level hashing (each distinct token hashed
+    once per batch, md5-derived so signatures are stable across engines
+    and runs). Beats the all-JVM exploded formulation ~4× at sf0.1; see
+    ``simhash_signatures_exploded`` for the measurement notes."""
     import pandas as pd
     from pyspark.sql.types import LongType
 
