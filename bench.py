@@ -53,12 +53,18 @@ def main() -> int:
     # Warm the JVM + file metadata cache so q1 doesn't pay startup cost.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # min over repeats: single-shot timings on a shared machine are noisy
+    # (observed 2-3x swings); min is the standard stable estimator.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

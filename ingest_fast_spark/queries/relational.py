@@ -1003,3 +1003,82 @@ def map_ops(spark, sf_dir):
         F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchase"),
         F.size(F.map_keys("m")).alias("n_types"),
     )
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+)
+def exists_subquery(spark, sf_dir):
+    """EXISTS / NOT EXISTS subqueries — planned as semi + anti joins."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_exists")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_exists")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM cust_exists c
+        WHERE EXISTS (SELECT 1 FROM ord_exists o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM ord_exists o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_above_avg
+    FROM lineitem
+    WHERE l_extendedprice > (SELECT AVG(l_extendedprice) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery — evaluated once, folded into the
+    filter as a literal at runtime."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_scalar")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_above_avg
+        FROM li_scalar
+        WHERE l_extendedprice > (SELECT AVG(l_extendedprice) FROM li_scalar)
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS total,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+             AS n_within_1k
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based window bounds): peers within ±1000 of the
+    current row's price — distinct from ROWS frames, which count rows."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
