@@ -107,3 +107,57 @@ def run_ingest(
         updated.write.mode("overwrite").parquet(os.path.join(out_dir, "viaf"))
         metrics.update(viaf_obs.get)
     return metrics
+
+
+def run_ingest_streaming(
+    spark: SparkSession,
+    data_dir: str,
+    out_dir: str,
+    glob: str = "FAST*.nt",
+):
+    """Incremental FAST ingest: readStream over the NT directory; each
+    micro-batch of newly-arrived files runs the SAME fused pipeline and
+    is merged into the fast table by _id (foreachBatch upsert — new docs
+    replace old versions of the same id).
+
+    This is the unbounded-variant of run_ingest: drop new FAST dump files
+    into ``data_dir`` and the table converges without a full recompute of
+    unchanged ids' inputs (each file is self-contained per the reference's
+    one-type-per-file layout). Returns the StreamingQuery handle.
+    """
+    apply_runtime_confs(spark)
+    lines = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", glob)
+        .load(data_dir)
+        .withColumn("branch", type_from_filename(F.input_file_name()))
+    )
+    tagged = parse_nt_lines(lines, keep=("branch",))
+    non_agent = tagged.filter(
+        ~F.col("branch").isin([t for t in AGENT_TYPES if t != "Event"])
+    )
+    target = os.path.join(out_dir, "fast")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        new_docs = build_fast_table_tagged(batch_df)
+        try:
+            existing = sess.read.parquet(target)
+        except Exception:
+            existing = None
+        if existing is not None:
+            merged = existing.join(
+                new_docs.select("_id"), "_id", "left_anti"
+            ).unionByName(new_docs)
+        else:
+            merged = new_docs
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
+
+    return (
+        non_agent.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1136,3 +1136,29 @@ def agg_having(spark, sf_dir):
         .filter((F.col("n_orders") >= 20) & (F.col("_spend") > 1000000))
         .select("o_custkey", "n_orders", F.round("_spend", 2).alias("spend"))
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(o_custkey_min AS VARCHAR) AS min_str, CAST(o_custkey_max AS VARCHAR) AS max_str
+    FROM orders, (SELECT MIN(o_custkey) o_custkey_min, MAX(o_custkey) o_custkey_max FROM orders)
+    GROUP BY o_custkey_min, o_custkey_max
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(s_min AS VARCHAR), CAST(s_max AS VARCHAR)
+    FROM orders, (SELECT MIN(o_orderstatus) s_min, MAX(o_orderstatus) s_max FROM orders)
+    GROUP BY s_min, s_max
+    """,
+)
+def profile_table(spark, sf_dir):
+    """Single-pass table profiling (see operators/profile.py); the oracle
+    states two representative columns' stats (approx_distinct is a sketch,
+    so it is excluded from the compared columns)."""
+    from ..operators.profile import profile_table as _profile
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    return _profile(o).select("column", "n_rows", "n_null", "min_str", "max_str")

@@ -89,3 +89,19 @@ def test_overwrite_semantics(spark, nt_dir):
         assert n1 == n2  # idempotent, not appended
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_streaming_ingest_matches_batch(spark, nt_dir):
+    """run_ingest_streaming over the same files == batch run_ingest."""
+    out_b = tempfile.mkdtemp(prefix="fast_batch_")
+    out_s = tempfile.mkdtemp(prefix="fast_stream_")
+    try:
+        jobs.run_ingest(spark, nt_dir, out_b)
+        q = jobs.run_ingest_streaming(spark, nt_dir, out_s)
+        q.awaitTermination()
+        batch = spark.read.parquet(os.path.join(out_b, "fast"))
+        streamed = spark.read.parquet(os.path.join(out_s, "fast"))
+        assert _freeze(streamed.collect()) == _freeze(batch.collect())
+    finally:
+        shutil.rmtree(out_b, ignore_errors=True)
+        shutil.rmtree(out_s, ignore_errors=True)
