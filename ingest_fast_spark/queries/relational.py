@@ -1162,3 +1162,211 @@ def profile_table(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
     return _profile(o).select("column", "n_rows", "n_null", "min_str", "max_str")
+
+
+# ---------------------------------------------------------------------------
+# Join-type completions (§2.5 "not present" list: full outer, cross)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.k, s.k) AS nationkey, n_cust, n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust
+          FROM customer WHERE c_acctbal < -800 GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+          FROM supplier WHERE s_acctbal < 0 GROUP BY 1) s
+    ON c.k = s.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated sides with asymmetric key sets
+    (deep-debit customers vs in-debt suppliers by nation) so both null
+    sides are exercised. Aggregating BEFORE the join keeps the outer join
+    small — at 100 TB the shuffle carries one row per nation, not one per
+    customer."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -800)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.ck == s.sk, "full_outer").select(
+        F.coalesce("ck", "sk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, m AS mfgr_brand
+    FROM region CROSS JOIN (SELECT DISTINCT p_brand AS m FROM part) b
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product of two SMALL relations (regions x distinct
+    brands) — the only safe cross-join shape at scale: both sides are
+    dimension-sized, so Spark broadcasts one side (BroadcastNestedLoopJoin)
+    and never shuffles the fact data."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    b = _t(spark, sf_dir, "part").select(F.col("p_brand").alias("mfgr_brand")).distinct()
+    return r.crossJoin(F.broadcast(b))
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions (§2.6: ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS balance_quartile,
+           percent_rank() OVER w AS balance_pct_rank,
+           cume_dist()    OVER w AS balance_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions per market segment. The ORDER BY
+    includes the unique c_custkey tiebreaker: ntile() assigns by row
+    position, so a non-total ordering would be engine-nondeterministic.
+    percent_rank/cume_dist are exact small-integer ratios -> bitwise equal
+    across engines without rounding."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("balance_pct_rank"),
+        F.cume_dist().over(w).alias("balance_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: aggregate-filtered semi join + top-k (large orders)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers). The HAVING aggregate runs FIRST
+    and shrinks lineitem to a handful of orderkeys, so both subsequent
+    joins are broadcast-able; at 100 TB the only large shuffle is the
+    map-side-combined groupBy on the lineitem scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("_sq", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional aggregates and ordered string aggregation (§2.4 extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderstatus, o_orderkey) AS last_status,
+           arg_min(o_custkey, o_orderkey) AS first_custkey,
+           arg_max(o_totalprice, o_orderkey) AS last_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    """Positional (argmin/argmax) aggregates: the value of one column at
+    another column's extremum — a single hash aggregate, no self-join or
+    window needed. The ordering key o_orderkey is unique, so the winner is
+    deterministic on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+        F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): broadcast dim-dim join, then
+    collect_list sorted inside the aggregate so the concatenation order is
+    total regardless of partitioning."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDAF surface (§2.8): Arrow-batched GROUPED_AGG pandas UDF
+# ---------------------------------------------------------------------------
+
+@register(
+    "udaf_harmonic_mean",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(COUNT(*) / SUM(1.0 / l_quantity), 2) AS hmean_qty,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udaf_harmonic_mean(spark, sf_dir):
+    """Custom aggregate as a GROUPED_AGG pandas UDF (harmonic mean — not a
+    Spark builtin). Arrow ships each group's column as one vectorized
+    numpy reduction; Spark still runs a partial-aggregate-free shuffle on
+    the group keys only. This is the UDAF pattern the reference lacks
+    entirely (SURVEY.md §2.8 'Not present: UDAF')."""
+    from ..functions.udafs import group_size, harmonic_mean
+
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(harmonic_mean("l_quantity"), 2).alias("hmean_qty"),
+        group_size("l_quantity").alias("n_items"),
+    )
