@@ -1,0 +1,141 @@
+"""Distributed connected components — the clustering step of near-dedup.
+
+Pair-finders (MinHash/SimHash/Jaccard/embedding, operators/dedup.py and
+operators/similarity.py) emit EDGES (doc_a, doc_b); turning edges into
+dedup groups ("keep one doc per near-dup cluster") is a connected-
+components problem. The reference has nothing like this (its dedup is
+per-key array membership, lib/ingest.js:144-155); this is the [EXT]
+scale path.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round is
+two groupBy+join passes over the edge list; converges in O(log n) rounds
+even on pathological long-chain graphs — unlike naive label propagation,
+whose round count is the graph DIAMETER (a 1M-node chain would need 1M
+rounds). Every round's shuffle is keyed by node id, and the edge list
+shrinks monotonically toward the final star graph, so at 100 TB the cost
+is a handful of self-joins on an edge list that is tiny relative to the
+corpus (only near-dup docs appear in any edge).
+
+Driver-side iteration state is one (count, checksum) row per round —
+never the edge data itself; lineage is cut per round with
+localCheckpoint so the plan doesn't grow exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_over_neighbors(adj: DataFrame) -> DataFrame:
+    """Per src node: m = min(src, all dst neighbors) — one hash aggregate."""
+    return (
+        adj.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least(F.col("src"), F.col("_mn")).alias("m"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to min(Γ⁺(u))."""
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = _min_over_neighbors(sym)
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect every smaller neighbor (and
+    u itself) to min(N(u) ∪ {u})."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    m = _min_over_neighbors(oriented)
+    joined = oriented.join(m, "src")
+    return (
+        joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(m.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, component) for every node; component = MIN node id in the
+    component (deterministic canonical label).
+
+    ``nodes`` (single-column DataFrame, optional) adds isolated nodes —
+    they come out as their own singleton components. ``max_rounds`` is a
+    safety bound; O(log n) rounds suffice (25 covers n ≈ 2²⁵ per the
+    algorithm's convergence proof, and convergence is checksum-detected
+    much earlier on real graphs).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    prev: tuple | None = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Convergence probe: one aggregate row (count + order-insensitive
+        # XOR checksum — SUM would long-overflow under ANSI mode), not a
+        # driver-side collect of the edges.
+        cur = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("chk"),
+        ).first()
+        if (cur["n"], cur["chk"]) == prev:
+            break
+        prev = (cur["n"], cur["chk"])
+    # Fixpoint edge list is a star forest: (node → component-min root).
+    assign = e.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("component"))
+    roots = (
+        e.select(F.col("dst").alias("id"))
+        .distinct()
+        .join(assign.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    out = assign.unionByName(roots)
+    if nodes is not None:
+        node_ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
+        singletons = node_ids.join(out.select("id"), "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Cluster near-dup pairs into groups and mark the canonical survivor.
+
+    Returns (doc_id, cluster_id, is_canonical): cluster_id is the min
+    doc_id of the cluster, which is therefore also the canonical doc —
+    the deterministic keep-one-per-cluster rule a dedup pipeline applies
+    with ``.filter("is_canonical")``.
+    """
+    cc = connected_components(
+        pairs, pair_cols[0], pair_cols[1], nodes=docs.select(id_col)
+    )
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -401,3 +401,54 @@ def udtf_sentences(spark, sf_dir):
         FROM docs_udtf d, LATERAL split_sentences_udtf(d.text) s
         """
     )
+
+
+_CLUSTER_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM overlap
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.05
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+)
+SELECT id AS doc_id, MIN(comp) AS cluster_id, (MIN(comp) = id) AS is_canonical
+FROM walk GROUP BY id
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup pairs → connected components → one canonical doc per
+    cluster (operators/graph.py, large-star/small-star). The oracle
+    computes the same components via a DuckDB recursive CTE (min label
+    over the transitive closure), so the distributed O(log n) algorithm
+    is checked against an exact sequential definition."""
+    from ..operators.graph import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    return near_dup_clusters(docs, pairs)

@@ -1,0 +1,70 @@
+"""Connected-components tests: exact parity with a sequential union-find
+on random graphs, plus the long-chain worst case that defeats naive
+label propagation (diameter >> O(log n) rounds)."""
+
+import random
+
+from ingest_fast_spark.operators.graph import connected_components, near_dup_clusters
+
+
+def union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def _spark_components(spark, n_nodes, edges):
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    ndf = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    out = connected_components(edf, nodes=ndf)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(10, 50))
+        ]
+        assert _spark_components(spark, n, edges) == union_find_components(n, edges)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # 0-1-2-...-199: diameter 199; label propagation would need ~200
+    # rounds, large-star/small-star must finish within the 25-round cap.
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _spark_components(spark, n, edges)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_singletons_and_self_loops(spark):
+    got = _spark_components(spark, 5, [(1, 1), (2, 3)])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 4}
+
+
+def test_near_dup_clusters_canonical_flag(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 5), (5, 3), (1, 2)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+           near_dup_clusters(docs, pairs).collect()}
+    assert out == {
+        0: (0, True), 5: (0, False), 3: (0, False),
+        1: (1, True), 2: (1, False), 4: (4, True),
+    }
