@@ -27,8 +27,11 @@ HEADLINE = [
     "time_bucket_tumbling",
     "join_asof",
     "agg_percentiles",
+    "q18_large_orders",
+    "udaf_harmonic_mean",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
