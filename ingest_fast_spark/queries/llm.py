@@ -452,3 +452,95 @@ def dedup_cluster_canonical(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
     return near_dup_clusters(docs, pairs)
+
+
+_KEPT = f"""
+  SELECT doc_id, text,
+         ROUND((least(len({_TOKS}) / 50.0, 1.0)
+                + (1.0 - {_NON_ALNUM})
+                + len(list_distinct({_TOKS})) / len({_TOKS})) / 3.0, 6) AS quality,
+         len({_TOKS}) AS n_tokens
+  FROM documents
+  WHERE ROUND((least(len({_TOKS}) / 50.0, 1.0)
+                + (1.0 - {_NON_ALNUM})
+                + len(list_distinct({_TOKS})) / len({_TOKS})) / 3.0, 6) >= 0.75
+    AND len({_TOKS}) >= 20
+    AND greatest({_sw('de')}, {_sw('en')}, {_sw('es')}, {_sw('fr')}) > 0
+    AND {_sw('en')} = greatest({_sw('de')}, {_sw('en')}, {_sw('es')}, {_sw('fr')})
+    AND NOT ({_sw('de')} = greatest({_sw('de')}, {_sw('en')}, {_sw('es')}, {_sw('fr')}))
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE kept AS ({_KEPT}),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM kept
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM overlap
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.05
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM kept
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+    ),
+    comps AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
+    SELECT k.doc_id, k.quality, k.n_tokens, c.cluster_id
+    FROM kept k JOIN comps c ON k.doc_id = c.doc_id
+    WHERE c.cluster_id = k.doc_id
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """The end-to-end training-data curation pass as ONE declarative plan:
+    annotate (quality score, language ID, token count) → filter (quality
+    ≥ 0.75, predicted lang = en, ≥ 20 tokens) → near-dup cluster the
+    SURVIVORS (3-shingle Jaccard ≥ 0.05 → connected components) → keep
+    each cluster's canonical doc. Survivor-only dedup is the standard
+    order at scale: the O(pairs) stage runs on the post-filter corpus.
+
+    The oracle states the whole pipeline in SQL, including the clustering
+    as a recursive CTE — so the composition, not just each stage, is
+    correctness-gated."""
+    from ..operators.graph import near_dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    annotated = d.select(
+        "doc_id",
+        "text",
+        T.quality_score(t).alias("quality"),
+        T.token_count(t).alias("n_tokens"),
+        T.predicted_lang(t).alias("_lang"),
+    )
+    kept = annotated.filter(
+        (F.col("quality") >= 0.75) & (F.col("n_tokens") >= 20) & (F.col("_lang") == "en")
+    )
+    pairs = D.ngram_jaccard_pairs(kept, k=3, threshold=0.05)
+    clusters = near_dup_clusters(kept, pairs)
+    return (
+        kept.join(clusters, "doc_id")
+        .filter(F.col("is_canonical"))
+        .select("doc_id", "quality", "n_tokens", "cluster_id")
+    )
