@@ -1,0 +1,94 @@
+"""Physical-plan audits: the plan, not just the result, is the product.
+
+Each assertion pins a scale property that must survive refactors:
+filters reach the parquet scan, unused columns are pruned, dimension
+joins broadcast, aggregates are map-side partial, the hot path stays in
+whole-stage codegen, and nothing silently degrades to a cartesian
+product. Plans are shape-stable across scale factors, so these run at
+sf0.001.
+"""
+
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_returnflag" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_unused_columns_pruned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for unused in ("l_tax", "l_shipdate", "l_suppkey", "l_linestatus"):
+        assert unused not in read_schema, f"{unused} not pruned: {read_schema}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    # Dim tables (region/nation/customer) must broadcast — a shuffled join
+    # of a 5-row dim against the fact table would shuffle the fact side.
+    for name in ("q5_region_revenue", "join_inner_broadcast", "q18_large_orders"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+
+
+def test_aggregate_is_partial(spark, sf_dir):
+    # Map-side partial + final HashAggregate pair: the shuffle carries one
+    # row per (partition × group), not one per input row.
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hot_path_in_codegen(spark, sf_dir):
+    # AQE wraps the plan in AdaptiveSparkPlan whose codegen spans only
+    # materialize per-stage at runtime; disable it to see the static spans.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # Codegen spans render as "*(N)" stage markers in the plan string; the
+    # scan→filter→project→partial-agg pipeline must be inside one.
+    assert "*(1) HashAggregate" in plan and "*(1) Project" in plan, plan
+
+
+def test_cross_join_is_broadcast_nlj(spark, sf_dir):
+    # The explicit dim×dim cartesian must be a broadcast NLJ, never a
+    # shuffled CartesianProduct.
+    plan = plan_of(spark, sf_dir, "join_cross")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    # Sweep every batch query: a CartesianProduct outside the one
+    # intentional cross join means a join lost its equi-condition.
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_") or name == "join_cross":
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_semi_anti_stay_semi_anti(spark, sf_dir):
+    for name, kind in (("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")):
+        plan = plan_of(spark, sf_dir, name)
+        assert kind in plan, f"{name}: expected {kind}\n{plan}"
+
+
+def test_topk_is_windowed_not_global_sort(spark, sf_dir):
+    # Per-group top-k must rank within partitions (Window + filter), not
+    # globally sort the whole table and post-filter.
+    df = QUERIES["topk_per_group"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
