@@ -1370,3 +1370,27 @@ def udaf_harmonic_mean(spark, sf_dir):
         F.round(harmonic_mean("l_quantity"), 2).alias("hmean_qty"),
         group_size("l_quantity").alias("n_items"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE (c_mktsegment = 'BUILDING'  AND c_custkey % 10 < 2)
+       OR (c_mktsegment = 'MACHINERY' AND c_custkey % 10 < 5)
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling as a pure filter (pushes down, no
+    shuffle, no RNG state): 20% of BUILDING, 50% of MACHINERY, other
+    segments dropped. The oracle uses the SQL-portable modulo bucket;
+    production uses the seedable content-hash bucket
+    (operators/sample.py, xxhash64 — same plan shape, tested for
+    determinism/disjointness in tests/test_sample.py)."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.pmod(F.col("c_custkey"), F.lit(10))
+    return c.filter(
+        ((F.col("c_mktsegment") == "BUILDING") & (bucket < 2))
+        | ((F.col("c_mktsegment") == "MACHINERY") & (bucket < 5))
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
