@@ -1,0 +1,176 @@
+"""Incremental (streaming) near-dup dedup: an accumulating MinHash index.
+
+The batch near-dup path (operators/dedup.py + operators/graph.py) needs
+the whole corpus; a growing corpus shouldn't re-pair ALL history per
+delta. This job maintains a persistent signature index and, per
+micro-batch of newly-arrived documents:
+
+  1. signatures + shingle sets for the new docs only;
+  2. LSH-banded candidate generation of new docs against the index AND
+     against earlier-id docs of the same batch;
+  3. exact-Jaccard verification of candidates only;
+  4. docs with no verified match are appended to the index (kept); every
+     doc's decision (kept / dup_of) is appended to the decisions log.
+
+Semantics are GREEDY FIRST-SEEN-WINS (the standard for streaming dedup):
+a doc is a duplicate iff it matches an already-KEPT doc. This differs
+from batch connected-components on transitive chains (A~B~C with A≁C:
+batch keeps one of three, greedy keeps A and C) — both are correct
+dedup policies; the greedy one never needs global state beyond the kept
+index. Index growth is bounded by the kept (unique) corpus, and each
+batch's work is O(new × candidates), never O(history²).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_signatures
+from ..session import apply_runtime_confs
+
+_DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _lsh_pairs(new_sigs: DataFrame, index: DataFrame, bands: int) -> DataFrame:
+    """Candidate (new_id, kept_id) pairs: new docs vs kept index, banded.
+    Probe side is the (small) delta; the index is the build side."""
+    def banded(sigs: DataFrame, id_out: str) -> DataFrame:
+        sig_len = F.size("signature")
+        rows_per_band = (sig_len / bands).cast("int")
+        return sigs.select(
+            F.col("doc_id").alias(id_out),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.to_json(
+                            F.slice(
+                                "signature", (b * rows_per_band + 1).cast("int"), rows_per_band
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(id_out, "bb.band", "bb.bucket")
+
+    return (
+        banded(new_sigs, "new_id")
+        .join(banded(index, "kept_id"), ["band", "bucket"])
+        .select("new_id", "kept_id")
+        .dropDuplicates(["new_id", "kept_id"])
+    )
+
+
+def _verified_matches(
+    pairs: DataFrame, new_sets: DataFrame, kept_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only → (new_id, kept_id) matches."""
+    inter = F.size(F.array_intersect("sh_new", "sh_kept"))
+    union = F.size("sh_new") + F.size("sh_kept") - inter
+    return (
+        pairs.join(new_sets.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_new")), "new_id")
+        .join(kept_sets.select(F.col("doc_id").alias("kept_id"), F.col("shingles").alias("sh_kept")), "kept_id")
+        .filter(inter / union >= threshold)
+        .select("new_id", "kept_id")
+    )
+
+
+def run_incremental_near_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    glob: str = "*.jsonl",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+):
+    """Watch ``docs_dir`` for JSONL document files; maintain
+    ``out_dir/index`` (kept docs' signatures+shingles) and
+    ``out_dir/decisions`` (doc_id, kept, dup_of). Returns the
+    StreamingQuery (AvailableNow trigger — rerun to absorb new files)."""
+    apply_runtime_confs(spark)
+    index_path = os.path.join(out_dir, "index")
+    decisions_path = os.path.join(out_dir, "decisions")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .load(docs_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, num_hashes=num_hashes, k=k
+        ).localCheckpoint(eager=True)
+        try:
+            index = sess.read.parquet(index_path)
+        except Exception:
+            index = None
+
+        # Matches against the persisted index…
+        if index is not None:
+            vs_index = _verified_matches(
+                _lsh_pairs(sigs, index, bands), sigs, index, threshold
+            )
+        else:
+            vs_index = None
+        # …and against earlier-id docs of this same batch (intra-batch
+        # order: lower doc_id = "seen first", deterministic not arrival-racy).
+        intra = _verified_matches(
+            _lsh_pairs(sigs, sigs, bands).filter(F.col("new_id") > F.col("kept_id")),
+            sigs,
+            sigs,
+            threshold,
+        )
+        matches = intra if vs_index is None else vs_index.unionByName(intra)
+
+        # Greedy first-seen-wins resolution in id order: a doc is a dup iff
+        # it matches an already-KEPT doc (chains: if X's only match was
+        # itself rejected as a dup, X is kept). This step is inherently
+        # sequential, so it runs driver-side — over O(delta) matches and
+        # ids only, never the O(history) index; the heavy work (signatures,
+        # banding, verification) stayed distributed above.
+        all_matches = [
+            (r["new_id"], r["kept_id"]) for r in matches.collect()
+        ]
+        kept_prior = set()
+        if index is not None:
+            kept_prior = {r["doc_id"] for r in index.select("doc_id").collect()}
+        batch_ids = sorted(r["doc_id"] for r in sigs.select("doc_id").collect())
+        match_map: dict[int, set[int]] = {}
+        for a, b in all_matches:
+            match_map.setdefault(a, set()).add(b)
+        kept_now: set[int] = set()
+        decisions = []
+        for did in batch_ids:
+            hits = match_map.get(did, set())
+            hit_kept = sorted(h for h in hits if h in kept_prior or h in kept_now)
+            if hit_kept:
+                decisions.append((did, False, hit_kept[0]))
+            else:
+                kept_now.add(did)
+                decisions.append((did, True, None))
+
+        dec_df = sess.createDataFrame(decisions, "doc_id long, kept boolean, dup_of long")
+        dec_df.write.mode("append").parquet(decisions_path)
+        kept_df = sigs.join(
+            dec_df.filter("kept").select("doc_id"), "doc_id", "left_semi"
+        )
+        kept_df.write.mode("append").parquet(index_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

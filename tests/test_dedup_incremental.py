@@ -1,0 +1,82 @@
+"""Incremental near-dup dedup: greedy first-seen-wins semantics across
+micro-batches, index growth bounded by kept docs, rerun absorbs new files."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from ingest_fast_spark.streaming.dedup_incremental import run_incremental_near_dedup
+
+BASE = "machine learning models train on large curated text corpora every day"
+NEAR = "machine learning models train on large curated text corpora every night"
+OTHER = "completely unrelated content about cooking pasta with fresh tomatoes basil"
+OTHER_NEAR = "completely unrelated content about cooking pasta with fresh tomatoes oregano"
+
+
+def write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+@pytest.fixture()
+def dirs():
+    docs = tempfile.mkdtemp(prefix="docs_in_")
+    out = tempfile.mkdtemp(prefix="dedup_out_")
+    yield docs, out
+    shutil.rmtree(docs, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def decisions(spark, out):
+    return {
+        r["doc_id"]: (r["kept"], r["dup_of"])
+        for r in spark.read.parquet(os.path.join(out, "decisions")).collect()
+    }
+
+
+def test_incremental_dedup_two_batches(spark, dirs):
+    docs, out = dirs
+    # Batch 1: 1 kept, 2 dups 1 (exact), 3 distinct.
+    # bands=8 (2 rows/band): near-dup recall at J≈0.75 is ~0.999; the
+    # default 4×4 banding misses ~16% of such pairs — fine for corpus
+    # stats, not for an exact-expectation test.
+    write_jsonl(os.path.join(docs, "b1.jsonl"), [(1, BASE), (2, BASE), (3, OTHER)])
+    run_incremental_near_dedup(spark, docs, out, threshold=0.5, bands=8).awaitTermination()
+    got = decisions(spark, out)
+    assert got == {1: (True, None), 2: (False, 1), 3: (True, None)}
+
+    # Batch 2 (rerun absorbs only the new file): 4 near-dups 1 (cross-batch,
+    # against the persisted index), 5 near-dups 3, 6 distinct.
+    write_jsonl(os.path.join(docs, "b2.jsonl"), [(4, NEAR), (5, OTHER_NEAR), (6, "x y z " * 10)])
+    run_incremental_near_dedup(spark, docs, out, threshold=0.5, bands=8).awaitTermination()
+    got = decisions(spark, out)
+    assert got[4] == (False, 1)
+    assert got[5] == (False, 3)
+    assert got[6][0] is True
+
+    # Index contains exactly the kept docs — growth bounded by uniques.
+    index_ids = {
+        r["doc_id"] for r in spark.read.parquet(os.path.join(out, "index")).collect()
+    }
+    assert index_ids == {1, 3, 6}
+
+
+def test_greedy_chain_semantics(spark, dirs):
+    docs, out = dirs
+    # 10 ~ 11 ~ 12 transitively but 10 !~ 12 at thr=0.5 (3-shingle
+    # Jaccard: J(10,11)=7/11≈.64, J(11,12)=8/12≈.67, J(10,12)=5/13≈.38):
+    # greedy keeps 10, drops 11 (matches kept 10), KEEPS 12 (its only
+    # ≥thr match, 11, was itself rejected). Batch CC would merge all 3.
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda mu nu"
+    c = "gamma delta epsilon zeta eta theta iota lambda mu nu xi omicron"
+    write_jsonl(os.path.join(docs, "chain.jsonl"), [(10, a), (11, b), (12, c)])
+    run_incremental_near_dedup(spark, docs, out, threshold=0.5, bands=8).awaitTermination()
+    got = decisions(spark, out)
+    assert got[10] == (True, None)
+    assert got[11] == (False, 10)
+    assert got[12][0] is True, got
