@@ -328,3 +328,46 @@ def simhash_near_dups(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- Paragraph-level dedup (C4/RefinedWeb-style) ----------------------------
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: split each doc on ``sep``, keep only the
+    FIRST occurrence of every distinct paragraph (ordered by doc_id, then
+    position — the deterministic stand-in for crawl order), and reassemble
+    each doc from its surviving paragraphs in original order.
+
+    This is the boilerplate-removal pass of C4-style pipelines: repeated
+    nav/footer/license paragraphs collapse to their first sighting. Docs
+    whose every paragraph was seen earlier vanish entirely.
+
+    Scale shape: one shuffle keyed by paragraph content (the window
+    partition), one shuffle back on doc_id for reassembly. Paragraph keys
+    are naturally high-cardinality; the pathological key (the empty
+    paragraph) is dropped up front.
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        ensure_parallelism(df)
+        .select(id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+        .filter(F.length("para") > 0)
+    )
+    w = Window.partitionBy("para").orderBy(id_col, "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+        )
+    )

@@ -544,3 +544,64 @@ def curation_pipeline(spark, sf_dir):
         .filter(F.col("is_canonical"))
         .select("doc_id", "quality", "n_tokens", "cluster_id")
     )
+
+
+@register(
+    "dedup_paragraphs",
+    oracle="""
+    WITH split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    paras AS (
+      SELECT doc_id, unnest(ls) AS para,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM split
+    ),
+    kept AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM paras WHERE length(para) > 0
+    )
+    SELECT doc_id,
+           array_to_string(list(para ORDER BY pos), chr(10)) AS text_clean,
+           COUNT(*) AS n_paras_kept
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """C4-style corpus-wide paragraph dedup: first occurrence (by doc_id,
+    pos) of each distinct paragraph survives; docs are reassembled from
+    survivors (operators/dedup.paragraph_dedup)."""
+    return D.paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+
+@register(
+    "text_pii_redact",
+    oracle='''
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, 'https?://[^\s]+'))   AS n_url,
+           len(regexp_extract_all(text, '\+?[0-9][0-9 ().-]{6,}[0-9]')) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, 'https?://[^\s]+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\+?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM documents
+    ''',
+)
+def text_pii_redact(spark, sf_dir):
+    """PII audit + redaction over the corpus (functions/redact.py). The
+    synthetic corpus contains no PII — the oracle proves the transform is
+    engine-identical on real text; positive detection cases are pinned in
+    tests/test_redact.py."""
+    from ..functions import redact as R
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = R.pii_counts(t)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["phone"].alias("n_phone"),
+        R.redact_pii(t).alias("redacted"),
+    )
