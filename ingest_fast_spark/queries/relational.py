@@ -1394,3 +1394,87 @@ def sample_stratified(spark, sf_dir):
         ((F.col("c_mktsegment") == "BUILDING") & (bucket < 2))
         | ((F.col("c_mktsegment") == "MACHINERY") & (bucket < 5))
     ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "window_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_navigation(spark, sf_dir):
+    """Navigation window functions (first/last/nth). last_value and
+    nth_value declare the full-partition frame explicitly — the default
+    RANGE..CURRENT ROW frame silently turns last_value into current-row
+    on BOTH engines, the classic window trap. Unique o_orderkey tiebreak
+    keeps every value deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           bool_or(l_quantity > 49)   AS any_maxed,
+           bool_and(l_quantity >= 1)  AS all_positive,
+           ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS discounted_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Conditional aggregates: count_if / bool_or / bool_and / filtered
+    sum — all map-side-combinable (unlike holistic aggs, these stay one
+    row per group per partition through the shuffle)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_maxed"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_positive"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0)), 2
+        ).alias("discounted_rev"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')  AS due_date,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')            AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)        AS dow  -- DuckDB Sun=0, Spark Sun=1
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def date_arithmetic(spark, sf_dir):
+    """Date arithmetic surface: diffs, interval add, truncation, month
+    boundaries, day-of-week — column expressions only, no UDF."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.filter(F.pmod("o_orderkey", F.lit(100)) == 0).select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("order_month"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+    )
