@@ -82,6 +82,13 @@ def ngram_jaccard_pairs(
     # shingles in the same corpus to share an xxhash64 (p ≈ n²/2⁶⁵ —
     # ~1e-10 even at a billion distinct shingles).
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # The shingle list feeds THREE consumers (sizes, join-left, join-right);
+    # without materialization each branch re-runs the scan+explode (4
+    # FileScans / 4 Generates in the static plan — measured 2.9s → 1.9s at
+    # sf0.1). At scale this intermediate is O(corpus tokens): spillable
+    # (MEMORY_AND_DISK) and still far cheaper than recomputing the explode
+    # per branch.
+    sh = sh.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(
@@ -199,7 +206,11 @@ def minhash_near_dups(
     shingle sets and intersects them — O(candidates), never the full
     shingle self-join. At scale the shingle sets ride along the signature
     DataFrame, so this is two broadcast-able joins on doc_id."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # sigs feeds candidates + both verification sides — materialize once
+    # (same 3-consumer recompute pattern as ngram_jaccard_pairs).
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).localCheckpoint(
+        eager=True
+    )
     cands = minhash_lsh_candidates(sigs.select("doc_id", "signature"), bands)
     sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
