@@ -150,3 +150,37 @@ def stream_dedup(spark, sf_dir):
     stream = SE.stream_events(spark, sf_dir).select("user_id", "event_type")
     return _run(stream.dropDuplicates(["user_id", "event_type"]), "q_dedup",
                 output_mode="append")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream–static enrichment join: the unbounded event stream joins a
+    static dimension (broadcast per micro-batch — stateless, no watermark
+    needed on the static side), then a running aggregate. The standard
+    'enrich events with reference data' shape; converges to the batch
+    join+agg."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    stream = SE.stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _run(agg, "q_static_join", output_mode="complete")
