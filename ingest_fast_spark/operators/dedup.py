@@ -320,7 +320,9 @@ def simhash_near_dups(
     """Near-dups = SimHash pairs within a Hamming radius, blocked on 16-bit
     bands (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands; for
     larger d this is a recall-tuned heuristic, the standard trade-off)."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    # Both join sides read the signatures — materialize so the pandas-UDF
+    # signature computation runs once, not per branch.
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     band = lambda c, i: F.shiftrightunsigned(c, i * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
     banded = sigs.select(
         "doc_id",
