@@ -10,9 +10,8 @@ Design for scale:
     ``array<double>``) — no Python in the scoring loop;
   * IVF: corpus vectors are assigned once to the nearest of K centroids
     (a partition/bucket key); a query probes only ``nprobe`` buckets, so
-    the scan is partition-pruned. Centroids here are taken as a
-    deterministic sample of the corpus (k-means would be the production
-    refinement; assignment/probing plumbing is identical).
+    the scan is partition-pruned. Centroids come from a distributed
+    Lloyd's k-means (deterministically seeded), itself pure DataFrame ops.
 """
 
 from __future__ import annotations
@@ -167,13 +166,78 @@ def assign_ivf_buckets(
 def sample_centroids(
     corpus: DataFrame, n: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic centroid pick: the n lowest ids. (Production: k-means;
-    the bucketing/probing machinery is independent of centroid quality.)"""
+    """Deterministic centroid seed: the n lowest ids (k-means++ would
+    sample by distance; lowest-id keeps the whole pipeline reproducible
+    without an RNG)."""
     return (
         corpus.orderBy(id_col)
         .limit(n)
         .select(F.col(id_col).alias("centroid_id"), vec_col)
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n: int = 8,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over array<double>, pure DataFrame ops: assign each
+    vector to its nearest centroid (broadcast), recompute centroids as the
+    element-wise mean of their members, repeat. Deterministic lowest-id
+    seeding; empty clusters keep their previous centroid.
+
+    Scale shape per iteration: one broadcast crossJoin (corpus × n
+    centroids, n is small) + window argmin, then the element-wise mean as
+    a posexplode → groupBy(centroid, dim_index) SUM. The exploded
+    aggregate is fully map-side combinable — each partition emits at most
+    n × dim partial sums, so the shuffle never carries vectors (a
+    collect_list-of-arrays formulation would materialize every member
+    vector per group instead). The centroid table (n × dim) is the only
+    iteration state.
+    """
+    cent = sample_centroids(corpus, n, id_col, vec_col).select(
+        "centroid_id", as_double(F.col(vec_col)).alias("centvec")
+    )
+    c = corpus.select(id_col, as_double(F.col(vec_col)).alias("cvec"))
+    for _ in range(iterations):
+        assigned = (
+            c.crossJoin(F.broadcast(cent))
+            .select(
+                id_col,
+                "cvec",
+                "centroid_id",
+                cosine(F.col("cvec"), F.col("centvec")).alias("sim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        elems = assigned.select(
+            "centroid_id", F.posexplode("cvec").alias("pos", "x")
+        )
+        dim_sums = elems.groupBy("centroid_id", "pos").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n_members")
+        )
+        new_cent = dim_sums.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n_members"))),
+                lambda t: t["s"] / t["n_members"],
+            ).alias("centvec")
+        )
+        # Empty clusters: keep the previous centroid (left join fallback).
+        cent = (
+            cent.select("centroid_id", F.col("centvec").alias("prev"))
+            .join(new_cent, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("centvec", "prev").alias("centvec"))
+            .localCheckpoint(eager=True)  # cut the iteration's lineage
+        )
+    return cent.select("centroid_id", F.col("centvec").alias(vec_col))
 
 
 def cosine_near_dup_pairs(
@@ -305,7 +369,7 @@ def ivf_topk(
     """ANN top-k: probe only the ``nprobe`` nearest buckets per query.
     Approximate — recall depends on nprobe/centroids; compare against
     ``brute_force_topk`` for recall measurement (see tests)."""
-    centroids = sample_centroids(corpus, n_centroids, id_col, vec_col)
+    centroids = kmeans_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
     bucketed = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
 
     q = queries.select(
