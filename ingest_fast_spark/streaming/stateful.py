@@ -73,3 +73,70 @@ def user_running_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithState (the arbitrary-state API successor) -----------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """Per-user running (n_events, sum_value, max_value) via
+    ``transformWithStateInPandas`` — the arbitrary-state API that succeeds
+    applyInPandasWithState: named state variables (value/list/map), state
+    TTL, and timers, instead of one opaque state tuple. This processor
+    keeps one ValueState row per user; the shape mirrors
+    ``user_running_stats`` so both APIs are covered side by side."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stats = handle.getValueState(
+            "stats", "n_events long, sum_value double, max_value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self._stats.exists():
+            n, s, mx = self._stats.get()
+        else:
+            n, s, mx = 0, 0.0, float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+            mx = max(mx, float(pdf["value"].max()))
+        self._stats.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "max_value": [round(mx, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of ``user_running_stats`` (same
+    single-batch == batch-GROUP-BY equivalence).
+
+    NOT registered in queries(): the transformWithState Python state
+    server requires a working ``google.protobuf`` at STREAM RUNTIME,
+    which this container lacks — the operator is import-clean and covered
+    by a skip-gated test (tests/test_streaming.py) so environments with
+    protobuf exercise it."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStatsProcessor(),
+            outputStructType="user_id long, n_events long, sum_value double, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

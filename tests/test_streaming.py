@@ -1,6 +1,7 @@
 """Structured Streaming tests: stream results (Trigger.AvailableNow) must
 agree with the equivalent batch queries over the same parquet input."""
 
+import pytest
 import shutil
 import tempfile
 
@@ -104,3 +105,34 @@ def test_stateful_user_running_stats(spark, sf_dir):
     )
     expected = {r["user_id"]: (r["n"], r["s"]) for r in batch}
     assert got == expected
+
+
+def _protobuf_ok():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_ok(), reason="transformWithState needs google.protobuf")
+def test_user_running_stats_tws_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.streaming import events as SE
+    from ingest_fast_spark.streaming.stateful import user_running_stats_tws
+
+    out = SE.run_available_now(
+        user_running_stats_tws(SE.stream_events(spark, sf_dir)), "t_tws", "update"
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"]) for r in out.collect()}
+    exp = {
+        r["user_id"]: (r["n"], round(r["s"], 2), round(r["m"], 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"), F.max("value").alias("m"))
+        .collect()
+    }
+    assert got == exp
