@@ -79,3 +79,35 @@ def test_incremental_multibatch_upsert(spark, sf_dir, tmp_path):
         for r in time_bucket_tumbling(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from ingest_fast_spark.sources.formats import read_orc, write_orc
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(o, path)
+    back = read_orc(spark, path)
+    assert back.schema == o.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_permissive_jsonl_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.sources.formats import read_jsonl_permissive
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "another good row"}\n'
+        '{"doc_id": "not-a-number", "text": 3}\n'
+    )
+    df = read_jsonl_permissive(spark, str(p), "doc_id long, text string")
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    # count() would prune to only _corrupt_record, which Spark disallows
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize full rows instead.
+    assert len(bad.collect()) == 2  # the non-JSON line and the type-mismatched one
