@@ -10,6 +10,7 @@ ships nothing to the driver) so the measured time is the real plan cost.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -27,9 +28,13 @@ HEADLINE = [
     "time_bucket_tumbling",
     "join_asof",
     "agg_percentiles",
+    "q14_promo_revenue",
     "q18_large_orders",
     "udaf_harmonic_mean",
+    "fast_table_end_to_end",
+    "stream_windowed_counts",
     "dedup_exact",
+    "dedup_paragraphs",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
     "dedup_minhash_lsh",
@@ -38,8 +43,6 @@ HEADLINE = [
     "embed_topk_bruteforce",
     "text_token_stats",
     "text_quality_score",
-    "fast_table_end_to_end",
-    "stream_windowed_counts",
 ]
 
 
@@ -69,6 +72,11 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Drop the dead DataFrame refs NOW so the JVM ContextCleaner can
+        # reclaim localCheckpoint blocks from iterative/multi-consumer
+        # queries before the next timing starts (otherwise storage
+        # pressure from query N pollutes query N+1's measurement).
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
