@@ -28,10 +28,12 @@ def union_find_components(n_nodes, edges):
     return {v: min(members) for members in comp.values() for v in members}
 
 
-def _spark_components(spark, n_nodes, edges):
+def _spark_components(spark, n_nodes, edges, threshold=0):
+    # threshold=0 forces the DISTRIBUTED large-star/small-star path; the
+    # driver-side small-graph fallback is covered by its own test below.
     edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
     ndf = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
-    out = connected_components(edf, nodes=ndf)
+    out = connected_components(edf, nodes=ndf, small_graph_threshold=threshold)
     return {r["id"]: r["component"] for r in out.collect()}
 
 
@@ -68,3 +70,12 @@ def test_near_dup_clusters_canonical_flag(spark):
         0: (0, True), 5: (0, False), 3: (0, False),
         1: (1, True), 2: (1, False), 4: (4, True),
     }
+
+
+def test_small_graph_fallback_matches_distributed(spark):
+    rng = random.Random(7)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    assert _spark_components(spark, n, edges, threshold=100_000) == _spark_components(
+        spark, n, edges, threshold=0
+    )
