@@ -1588,3 +1588,50 @@ def q22_inactive_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "quality_report",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000 OR o_totalprice IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'referential(o_custkey)', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def quality_report(spark, sf_dir):
+    """Declared-expectations gate (operators/quality.py): null /
+    accepted-values / range rules in ONE aggregate pass, plus uniqueness
+    (groupBy) and referential integrity (broadcast anti join) — the
+    between-stages acceptance check of a production pipeline."""
+    from ..operators import quality as Q
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return Q.quality_report(
+        o,
+        scalar_rules=[
+            Q.not_null("o_custkey"),
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.in_range("o_totalprice", 0, 1_000_000),
+        ],
+        unique=[["o_orderkey"]],
+        referential=[("o_custkey", c, "c_custkey")],
+    )
