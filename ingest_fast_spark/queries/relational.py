@@ -1635,3 +1635,30 @@ def quality_report(spark, sf_dir):
         unique=[["o_orderkey"]],
         referential=[("o_custkey", c, "c_custkey")],
     )
+
+
+@register(
+    "json_struct_agg",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def json_struct_agg(spark, sf_dir):
+    """Schema-declared JSON parsing (from_json → typed struct, vs
+    json_extract's stringly get_json_object): parse ONCE per row into a
+    struct, then aggregate its typed fields — the pattern for semi-
+    structured columns at scale (one parse, many consumers; Catalyst
+    prunes unused struct fields)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg("p.k"), 4).alias("avg_k"),
+        F.max("p.k").alias("max_k"),
+        F.count_if(F.col("p.k").isNull()).alias("n_missing"),
+    )
