@@ -64,3 +64,25 @@ def salted_collect_set(
     return partial.groupBy(*keys).agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("__part")))).alias(alias)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Manual salted equi-join for when AQE can't help (e.g. the skewed
+    side feeds a co-partitioned downstream op, or runtime stats are
+    unavailable): the big side gets a random salt in [0, salt_buckets),
+    the small side is REPLICATED once per salt value (explode of a
+    literal range — cost: |small| × salt_buckets rows, which is the price
+    of distributing each hot key over ``salt_buckets`` reducers), and the
+    join key becomes (key, salt). Result is row-identical to the plain
+    join."""
+    salted_big = big.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(replicated_small, [key, "__salt"], how).drop("__salt")

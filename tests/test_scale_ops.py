@@ -125,3 +125,21 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "(lang" in plan.split("PartitionFilters:")[1].split("]")[0]
     # and values survive the round trip
     assert q.count() == d.filter(F.col("lang") == "en").count()
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from ingest_fast_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in o.join(c, "o_custkey").select("o_orderkey", "c_name").collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in salted_join(o, c, "o_custkey", salt_buckets=8)
+        .select("o_orderkey", "c_name")
+        .collect()
+    )
+    assert salted == plain and len(plain) > 0
