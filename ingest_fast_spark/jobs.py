@@ -161,3 +161,63 @@ def run_ingest_streaming(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    quality_min: float = 0.75,
+    min_tokens: int = 20,
+    lang: str = "en",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """The full corpus-curation batch job, gate to sink:
+
+      1. input CONSTRAINT GATE (operators/quality.py): doc_id non-null and
+         unique, text non-null — hard-fails on violations rather than
+         propagating broken rows downstream;
+      2. CURATE (operators/curation.py): quality/language/length filters,
+         survivor near-dup clustering, canonical selection;
+      3. WRITE the curated corpus (full doc rows of the canonical set)
+         size-targeted (sources/layout.py) plus the curation decisions
+         table for lineage/audit.
+
+    Returns run metrics {n_input, n_curated, files_written}.
+    """
+    import os
+
+    from .catalog import load_table
+    from .operators import quality as Q
+    from .operators.curation import curate_documents
+    from .sources.layout import write_sized
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+
+    gate = {
+        r["rule"]: r["violations"]
+        for r in Q.quality_report(
+            docs,
+            scalar_rules=[Q.not_null("doc_id"), Q.not_null("text")],
+            unique=[["doc_id"]],
+        ).collect()
+    }
+    broken = {rule: n for rule, n in gate.items() if n > 0}
+    if broken:
+        raise ValueError(f"input constraint violations: {broken}")
+
+    curated = curate_documents(
+        docs, quality_min=quality_min, min_tokens=min_tokens, lang=lang
+    ).localCheckpoint(eager=True)
+    corpus = docs.join(curated.select("doc_id", "cluster_id"), "doc_id")
+
+    n_files = write_sized(
+        corpus, os.path.join(out_dir, "corpus"), target_file_bytes=target_file_bytes
+    )
+    curated.write.mode("overwrite").parquet(os.path.join(out_dir, "decisions"))
+    return {
+        "n_input": docs.count(),
+        "n_curated": curated.count(),
+        "files_written": n_files,
+    }

@@ -175,3 +175,54 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("chunk", BinaryType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+    ]
+)
+
+
+def chunk_audio(
+    df: DataFrame, chunk_ms: int = 10_000, bytes_per_ms: int = 32
+) -> DataFrame:
+    """Audio chunking: one recording row → fixed-duration chunk rows with
+    time metadata — the segmentation pass before transcription/embedding.
+
+    DECODE IS STUBBED (no audio libs here): the payload is treated as raw
+    PCM at ``bytes_per_ms``; a real implementation derives it from the
+    container header. The Spark contract — cardinality explosion, typed
+    time bounds, binary out, Arrow batching — is the real thing."""
+
+    def explode_chunks(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        chunk_bytes = chunk_ms * bytes_per_ms
+        for pdf in batches:
+            ids, idxs, chunks, starts, ends = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_chunks = max((len(raw) + chunk_bytes - 1) // chunk_bytes, 1)
+                for i in range(n_chunks):
+                    piece = raw[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    chunks.append(piece)
+                    starts.append(i * chunk_ms)
+                    ends.append(i * chunk_ms + len(piece) // bytes_per_ms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "chunk": chunks,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                }
+            )
+
+    return df.mapInPandas(explode_chunks, CHUNK_SCHEMA)

@@ -523,27 +523,9 @@ def curation_pipeline(spark, sf_dir):
     The oracle states the whole pipeline in SQL, including the clustering
     as a recursive CTE — so the composition, not just each stage, is
     correctness-gated."""
-    from ..operators.graph import near_dup_clusters
+    from ..operators.curation import curate_documents
 
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    annotated = d.select(
-        "doc_id",
-        "text",
-        T.quality_score(t).alias("quality"),
-        T.token_count(t).alias("n_tokens"),
-        T.predicted_lang(t).alias("_lang"),
-    )
-    kept = annotated.filter(
-        (F.col("quality") >= 0.75) & (F.col("n_tokens") >= 20) & (F.col("_lang") == "en")
-    )
-    pairs = D.ngram_jaccard_pairs(kept, k=3, threshold=0.05)
-    clusters = near_dup_clusters(kept, pairs)
-    return (
-        kept.join(clusters, "doc_id")
-        .filter(F.col("is_canonical"))
-        .select("doc_id", "quality", "n_tokens", "cluster_id")
-    )
+    return curate_documents(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -28,9 +28,21 @@ def estimated_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+# Catalyst's fallback when a subtree has no stats is to MULTIPLY child
+# estimates (joins can report exabytes); treat anything past this bound
+# as "unknown" rather than sizing files to a fiction.
+_SANE_ESTIMATE_BOUND = 1 << 50  # 1 PiB in-memory
+_MAX_PARTITIONS = 100_000
+
+
 def sized_partitions(df: DataFrame, target_file_bytes: int = 128 * 1024 * 1024) -> int:
-    est_disk = estimated_bytes(df) / _PARQUET_COMPRESSION_FACTOR
-    return max(1, math.ceil(est_disk / target_file_bytes))
+    est = estimated_bytes(df)
+    if est <= 0 or est > _SANE_ESTIMATE_BOUND:
+        # No usable estimate (post-join default blow-up): keep the plan's
+        # current width instead of inventing one.
+        return max(1, df.rdd.getNumPartitions())
+    est_disk = est / _PARQUET_COMPRESSION_FACTOR
+    return min(_MAX_PARTITIONS, max(1, math.ceil(est_disk / target_file_bytes)))
 
 
 def write_sized(

@@ -105,3 +105,32 @@ def test_streaming_ingest_matches_batch(spark, nt_dir):
     finally:
         shutil.rmtree(out_b, ignore_errors=True)
         shutil.rmtree(out_s, ignore_errors=True)
+
+
+def test_run_curation_end_to_end(spark):
+    out_dir = tempfile.mkdtemp(prefix="curation_")
+    try:
+        metrics = jobs.run_curation(
+            spark, "/root/testdata/sf0.001", out_dir, target_file_bytes=10 * 1024 * 1024
+        )
+        assert 0 < metrics["n_curated"] < metrics["n_input"]
+        corpus = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        decisions = spark.read.parquet(os.path.join(out_dir, "decisions"))
+        assert corpus.count() == metrics["n_curated"] == decisions.count()
+        # curated corpus carries full doc rows + cluster lineage
+        assert {"doc_id", "text", "cluster_id"} <= set(corpus.columns)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_run_curation_gate_rejects_broken_input(spark, tmp_path):
+    bad_dir = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "some text"), (1, "duplicate id"), (None, "null id")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(bad_dir, "documents.parquet"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="constraint violations"):
+        jobs.run_curation(spark, bad_dir, str(tmp_path / "out"))

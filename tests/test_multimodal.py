@@ -63,3 +63,23 @@ def test_sample_frames_cardinality(spark, sf_dir):
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
+def test_chunk_audio_cardinality_and_bounds(spark):
+    from ingest_fast_spark.operators.multimodal import chunk_audio
+
+    # 25 KB payload at 1 byte/ms, 10s chunks → 3 chunks (10k, 10k, 5k ms)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 25_000)), (2, bytearray(b"y" * 100))],
+        "doc_id long, payload binary",
+    )
+    out = chunk_audio(df, chunk_ms=10_000, bytes_per_ms=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    last = sorted(by_doc[1], key=lambda r: r["chunk_idx"])[-1]
+    assert (last["start_ms"], last["end_ms"]) == (20_000, 25_000)
+    assert len(bytes(last["chunk"])) == 5_000
+    short = by_doc[2][0]
+    assert (short["start_ms"], short["end_ms"]) == (0, 100)
