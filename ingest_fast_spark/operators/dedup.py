@@ -166,6 +166,10 @@ def minhash_lsh_candidates(
     is the shuffle key."""
     sig_len = F.size("signature")
     rows_per_band = (sig_len / bands).cast("int")
+    # Bucket key = polynomial fold of the band's hashes into ONE long (vs
+    # a to_json string: ~10× smaller shuffle key; a fold collision merely
+    # adds a candidate pair that exact-Jaccard verification discards, so
+    # correctness is unaffected).
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -173,8 +177,14 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.to_json(
-                        F.slice("signature", (b * rows_per_band + 1).cast("int"), rows_per_band)
+                    F.aggregate(
+                        F.slice("signature", (b * rows_per_band + 1).cast("int"), rows_per_band),
+                        F.lit(1125899906842597).cast("long"),
+                        # rotate-left-5 XOR fold: pure bitwise, cannot
+                        # overflow under ANSI (a * / + fold would throw)
+                        lambda acc, x: F.shiftleft(acc, 5)
+                        .bitwiseXOR(F.shiftrightunsigned(acc, 59))
+                        .bitwiseXOR(x),
                     ).alias("bucket"),
                 ),
             )

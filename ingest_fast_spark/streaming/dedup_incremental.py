@@ -40,6 +40,8 @@ def _lsh_pairs(new_sigs: DataFrame, index: DataFrame, bands: int) -> DataFrame:
     def banded(sigs: DataFrame, id_out: str) -> DataFrame:
         sig_len = F.size("signature")
         rows_per_band = (sig_len / bands).cast("int")
+        # Same polynomial band fold as minhash_lsh_candidates (long key,
+        # not a JSON string) — collisions only add verified-away pairs.
         return sigs.select(
             F.col("doc_id").alias(id_out),
             F.explode(
@@ -47,10 +49,15 @@ def _lsh_pairs(new_sigs: DataFrame, index: DataFrame, bands: int) -> DataFrame:
                     F.sequence(F.lit(0), F.lit(bands - 1)),
                     lambda b: F.struct(
                         b.alias("band"),
-                        F.to_json(
+                        F.aggregate(
                             F.slice(
                                 "signature", (b * rows_per_band + 1).cast("int"), rows_per_band
-                            )
+                            ),
+                            F.lit(1125899906842597).cast("long"),
+                            # bitwise rotate-XOR fold (ANSI-safe, no overflow)
+                            lambda acc, x: F.shiftleft(acc, 5)
+                            .bitwiseXOR(F.shiftrightunsigned(acc, 59))
+                            .bitwiseXOR(x),
                         ).alias("bucket"),
                     ),
                 )
