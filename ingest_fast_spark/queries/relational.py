@@ -1662,3 +1662,39 @@ def json_struct_agg(spark, sf_dir):
         F.max("p.k").alias("max_k"),
         F.count_if(F.col("p.k").isNull()).alias("n_missing"),
     )
+
+
+@register(
+    "sql_front_door",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    HAVING COUNT(DISTINCT c_custkey) >= 10
+    """,
+)
+def sql_front_door(spark, sf_dir):
+    """The engine's SQL entry point: tables registered as temp views, the
+    query stated as SQL text — Catalyst plans it identically to the
+    DataFrame API (same scans, same broadcast joins), so the whole
+    DataFrame surface is equally reachable from SQL."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        HAVING COUNT(DISTINCT c_custkey) >= 10
+        """
+    )
