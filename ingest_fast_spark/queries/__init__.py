@@ -43,6 +43,7 @@ def _load_all() -> None:
     from . import llm  # noqa: F401
     from . import relational  # noqa: F401
     from . import streamq  # noqa: F401
+    from . import tpch_extra  # noqa: F401
 
 
 _load_all()
