@@ -587,3 +587,98 @@ def text_pii_redact(spark, sf_dir):
         counts["phone"].alias("n_phone"),
         R.redact_pii(t).alias("redacted"),
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i + 1])) AS gram
+      FROM toks
+    ),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+    s2 AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS total FROM c2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS gram
+      FROM toks
+    ),
+    c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram),
+    s3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                  SUM(c) AS total
+           FROM c3 GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS INT) AS n_tokens,
+           floor(1e6 * s2.topc / s2.total + 0.5) / 1e6 AS top_2gram_frac,
+           floor(1e6 * s3.dup / s3.total + 0.5) / 1e6  AS dup_3gram_frac
+    FROM toks t
+    JOIN s2 ON t.doc_id = s2.doc_id
+    JOIN s3 ON t.doc_id = s3.doc_id
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (cf. Rae et al. 2021 §A1.1):
+    per document, the fraction of 2-gram instances taken by the single
+    most frequent 2-gram, and the fraction of 3-gram instances that are
+    duplicated. High values flag boilerplate / degenerate repetition for
+    curation filtering.
+
+    Plan shape: explode n-grams → two-level hash agg keyed by
+    (doc_id, gram) then (doc_id) — both partial map-side; everything
+    distributes by document with no cross-doc shuffle. The line-based
+    Gopher signals (duplicate-line fraction) are omitted: the synthetic
+    corpus has no line structure (no '\\n' in any document).
+
+    Fractions use the engine-portable floor(x*1e6+0.5)/1e6 rounding
+    (per-row ROUND of doubles diverges between engines at .xx5).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+    g2 = toks.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")
+        ).alias("gram"),
+    )
+    s2 = (
+        g2.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"), F.sum("c").alias("total2"))
+    )
+    g3 = toks.filter(F.size("tk") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2),"
+                " i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1]))"
+            )
+        ).alias("gram"),
+    )
+    s3 = (
+        g3.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+            F.sum("c").alias("total3"),
+        )
+    )
+    frac = lambda num, den: F.floor(1e6 * F.col(num) / F.col(den) + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        toks.select("doc_id", F.size("tk").alias("n_tokens"))
+        .join(s2, "doc_id")
+        .join(s3, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            frac("topc", "total2").alias("top_2gram_frac"),
+            frac("dup", "total3").alias("dup_3gram_frac"),
+        )
+    )
