@@ -394,3 +394,41 @@ def paragraph_dedup(
             F.count(F.lit(1)).alias("n_paras_kept"),
         )
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: find training docs sharing any k-token
+    shingle with a held-out benchmark/eval corpus (the standard n-gram
+    overlap check run before LLM training; cf. GPT-3 appendix C /
+    PaLM-style 8-gram decontamination).
+
+    Returns (doc_id, n_hit_grams) for contaminated training docs —
+    n_hit_grams = number of DISTINCT shared shingles (shingles_df emits
+    per-doc distinct shingles, so a plain count suffices).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites are MBs; the corpus is TBs), so its distinct shingle
+    hashes BROADCAST — the training side is a map-only probe with no
+    shuffle of the big side before the per-doc count. Joining on
+    xxhash64(shingle) keeps the broadcast table and the probe keys at 8
+    bytes per shingle instead of full strings.
+    """
+    tr = shingles_df(train, text_col, id_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("g")
+    )
+    be = (
+        shingles_df(bench, text_col, id_col, k)
+        .select(F.xxhash64("shingle").alias("bench_g"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(be), tr.g == be.bench_g)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )

@@ -682,3 +682,73 @@ def text_repetition_signals(spark, sf_dir):
             frac("dup", "total3").alias("dup_3gram_frac"),
         )
     )
+
+
+@register(
+    "decontaminate_benchmark",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 3, 0)),
+               i -> array_to_string(tk[i:i+3], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+    SELECT t.doc_id, COUNT(*) AS n_hit_grams
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_benchmark(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.ngram_contamination):
+    training docs sharing any 4-gram with the held-out benchmark split
+    (docs with doc_id % 10 == 0 stand in for an eval suite). The bench
+    shingle-hash set broadcasts; the corpus side is a map-only probe."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return D.ngram_contamination(train, bench, k=4)
+
+
+@register(
+    "pack_training_sequences",
+    oracle=r"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    off AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS start_off
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start_off / 512.0) AS BIGINT) AS seq_id,
+           start_off % 512 AS seq_offset
+    FROM off
+    """,
+)
+def pack_training_sequences(spark, sf_dir):
+    """Sequence packing (operators/pack.pack_sequences): sequential-fill
+    assignment of docs into 512-token training contexts, packed per
+    source shard (the scalable form — a global pack would funnel the
+    corpus through one window partition)."""
+    from ..operators.pack import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    return pack_sequences(
+        sized, len_col="n_tokens", order_col="doc_id", target=512, part_col="source"
+    )

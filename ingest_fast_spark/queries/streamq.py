@@ -184,3 +184,25 @@ def stream_static_join(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return _run(agg, "q_static_join", output_mode="complete")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark
+    expires each key's state once the watermark passes it — the
+    production form of stream_dedup whose state stays O(keys inside the
+    watermark window) instead of growing forever. The watermark here
+    spans the whole (time-shuffled) test input so every duplicate is
+    still caught and the converged result equals batch DISTINCT."""
+    stream = SE.stream_events(spark, sf_dir).select("ts", "user_id", "event_type")
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run(deduped, "q_dedup_wm", output_mode="append")
