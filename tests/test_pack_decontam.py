@@ -1,0 +1,69 @@
+"""Unit tests for sequence packing and benchmark decontamination.
+
+Both operators' corpus-level behavior is oracle-checked by the driver
+(`pack_training_sequences`, `decontaminate_benchmark`); these tests pin
+the semantics on hand-built fixtures where the expected output is
+computable by eye, plus the partitioning-invariance guarantee.
+"""
+
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.operators.dedup import ngram_contamination
+from ingest_fast_spark.operators.pack import pack_sequences
+
+
+def test_pack_sequential_fill(spark):
+    # target=10: doc1 (6 tok) fills [0,6); doc2 (6 tok) starts at 6 in
+    # seq 0 (straddles into seq 1); doc3 starts at 12 -> seq 1, offset 2.
+    df = spark.createDataFrame(
+        [(1, 6), (2, 6), (3, 4)], ["doc_id", "n_tokens"]
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, "n_tokens", "doc_id", target=10).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 6), 3: (1, 2)}
+
+
+def test_pack_partitioned_and_invariant(spark):
+    rows = [(i, "s%d" % (i % 3), 7) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    a = pack_sequences(df, "n_tokens", "doc_id", target=16, part_col="source")
+    b = pack_sequences(
+        df.repartition(7, "doc_id"), "n_tokens", "doc_id", target=16, part_col="source"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # per-source numbering restarts at 0
+    firsts = (
+        a.groupBy("source").agg(F.min("seq_id").alias("m")).collect()
+    )
+    assert all(r["m"] == 0 for r in firsts)
+
+
+def test_contamination_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps" (one shared 4-gram) and
+            # "brown fox jumps over" (another)
+            (1, "a quick brown fox jumps over fences daily"),
+            (2, "completely unrelated text with no overlap at all"),
+            # exact copy: shares every 4-gram (9 tokens -> 6 shingles)
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in ngram_contamination(train, bench, k=4).collect()
+    }
+    assert out == {1: 2, 3: 6}
+
+
+def test_contamination_clean_corpus_empty(spark):
+    bench = spark.createDataFrame([(9, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    train = spark.createDataFrame([(1, "one two three four five six")], ["doc_id", "text"])
+    assert ngram_contamination(train, bench, k=4).count() == 0
