@@ -30,6 +30,8 @@ HEADLINE = [
     "agg_percentiles",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q21_waiting_suppliers",
     "udaf_harmonic_mean",
     "fast_table_end_to_end",
     "stream_windowed_counts",
@@ -43,6 +45,9 @@ HEADLINE = [
     "embed_topk_bruteforce",
     "text_token_stats",
     "text_quality_score",
+    "text_repetition_signals",
+    "decontaminate_benchmark",
+    "pack_training_sequences",
 ]
 
 
