@@ -1,0 +1,55 @@
+"""Set-oriented MERGE (upsert): the batch replacement for point updates.
+
+The reference mutates single documents in place — ``$set`` by id
+(reference lib/ingest.js:118,156) and insert-or-merge-on-duplicate
+(lib/ingest.js:134-183). In Spark the equivalent is one set-oriented
+MERGE: full-outer join target↔updates on the key, updates win per
+column, then rewrite the table (or feed Delta/Iceberg ``MERGE INTO``
+where available). Deterministic, no read-modify-write race, one shuffle.
+
+Scale notes: both sides shuffle on the key — for a repeatedly-merged
+100 TB table, bucket the target by the merge key (sources/bucketed.py)
+so only the (small) update side shuffles; skewed hot keys split via AQE.
+If the update batch is small relative to the target, the planner
+broadcasts it and the target is never shuffled at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics: rows matched by key take the update's columns;
+    unmatched target rows pass through; unmatched update rows insert.
+    If ``delete_col`` names a boolean column in ``updates``, matched rows
+    flagged true are deleted instead (the full WHEN MATCHED THEN DELETE
+    surface). Both sides must share the schema (minus ``delete_col``)."""
+    data_cols = [c for c in target.columns if c not in key_cols]
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"t.{k}") == F.col(f"u.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = target.alias("t").join(updates.alias("u"), cond, "full_outer")
+    if delete_col is not None:
+        joined = joined.filter(
+            ~F.coalesce(F.col(f"u.{delete_col}"), F.lit(False))
+        )
+    # "update side present" = the full-outer join found a u row; probing
+    # u's first key col is sound because merge keys are non-null by
+    # contract.
+    upd_present = F.col(f"u.{key_cols[0]}").isNotNull()
+    merged_key = [
+        F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols
+    ]
+    merged_data = [
+        F.when(upd_present, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in data_cols
+    ]
+    return joined.select(*merged_key, *merged_data)

@@ -1698,3 +1698,55 @@ def sql_front_door(spark, sf_dir):
         HAVING COUNT(DISTINCT c_custkey) >= 10
         """
     )
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_mktsegment,
+             floor(c_acctbal * 1.1 * 100 + 0.5) / 100 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW', floor(c_acctbal * 100 + 0.5) / 100
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    tgt AS (SELECT c_custkey, c_mktsegment, floor(c_acctbal * 100 + 0.5) / 100 AS c_acctbal
+            FROM customer)
+    SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal
+    FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_customers(spark, sf_dir):
+    """Set-oriented MERGE (operators/merge.merge_upsert): one update batch
+    carrying both matched-key updates (+10% balance for custkey%7) and
+    new-key inserts (shifted keys) applied to the customer table in a
+    single full-outer pass — the deterministic replacement for the
+    reference's per-document $set / insert-retry loop
+    (reference lib/ingest.js:118,134-183)."""
+    from ..operators.merge import merge_upsert
+
+    r2 = lambda col: F.floor(col * 100 + F.lit(0.5)) / 100  # noqa: E731
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", r2(F.col("c_acctbal")).alias("c_acctbal")
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            r2(F.col("c_acctbal") * 1.1).alias("c_acctbal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                "c_acctbal",
+            )
+        )
+    )
+    return merge_upsert(c, upd, ["c_custkey"])
