@@ -752,3 +752,44 @@ def pack_training_sequences(spark, sf_dir):
     return pack_sequences(
         sized, len_col="n_tokens", order_col="doc_id", target=512, part_col="source"
     )
+
+
+@register(
+    "build_vocabulary",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+             AS token_id
+    FROM counts
+    """,
+)
+def build_vocabulary(spark, sf_dir):
+    """Tokenizer vocabulary construction: corpus-wide token frequencies
+    with dense ids assigned by (freq DESC, token) — the deterministic
+    ordering every worker can reproduce. Two shuffles: token-count hash
+    agg, then the global rank.
+
+    Scale note: the global ROW_NUMBER window is a single-partition sort
+    over the VOCABULARY (distinct tokens), not the corpus — vocab is
+    ~10^5-10^6 rows even for a 100 TB corpus, so the narrow final sort
+    is fine; the heavy lifting (token explode + count) is fully
+    distributed and map-side partial."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )

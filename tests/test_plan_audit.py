@@ -92,3 +92,26 @@ def test_topk_is_windowed_not_global_sort(spark, sf_dir):
     df = QUERIES["topk_per_group"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_decontamination_bench_side_broadcasts(spark, sf_dir):
+    # The benchmark shingle set must broadcast: the corpus side of the
+    # probe is the 100 TB side and may never shuffle for this join.
+    plan = plan_of(spark, sf_dir, "decontaminate_benchmark")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q17_avg_subquery_broadcasts(spark, sf_dir):
+    # The decorrelated per-part average is a tiny aggregate — it must
+    # broadcast back onto the lineitem probe, not shuffle it.
+    plan = plan_of(spark, sf_dir, "q17_small_quantity")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_is_single_window_pass(spark, sf_dir):
+    # Sequential-fill packing = exactly one Window over one shuffle
+    # (partitionBy source); a second Exchange would mean the running sum
+    # recomputes the partitioning.
+    plan = plan_of(spark, sf_dir, "pack_training_sequences")
+    assert plan.count("Window") >= 1, plan
+    assert plan.count("Exchange") <= 2, plan  # hashpartition + AQE read
