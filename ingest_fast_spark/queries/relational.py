@@ -1750,3 +1750,101 @@ def merge_upsert_customers(spark, sf_dir):
         )
     )
     return merge_upsert(c, upd, ["c_custkey"])
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+           CAST(1 + CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase): each stage's
+    earliest qualifying event must FOLLOW the previous stage's — the
+    event-sequence pattern behind conversion funnels. Three conditional
+    min-aggregates chained by broadcast joins (per-stage user sets are
+    tiny vs the event log); no window over the full log, no self-join
+    explosion."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("c_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "v_ts", "c_ts", "p_ts", stage.alias("stage"))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_w, a.w) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later activity week. Week offsets are exact (both sides
+    Monday-truncated, so the day diff is a multiple of 7). Two hash
+    aggregates + one join shuffled on user_id — the cohort matrix
+    itself is tiny (weeks × weeks)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        firsts.join(act, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("w"), F.col("cohort_w")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
