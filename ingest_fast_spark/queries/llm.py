@@ -793,3 +793,32 @@ def build_vocabulary(spark, sf_dir):
     return counts.withColumn(
         "token_id", (F.row_number().over(w) - 1).cast("long")
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS INT) AS dim,
+           floor(1e6 * AVG(CAST(embedding[i] AS DOUBLE)) + 0.5) / 1e6 AS centroid,
+           COUNT(*) AS n_vectors
+    FROM embeddings CROSS JOIN range(1, 65) r(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroids in long format (label, dim, centroid, n):
+    posexplode → hash agg keyed by (label, dim) — the map-side-combinable
+    dimension-sum pattern used inside the distributed Lloyd's k-means
+    (operators/similarity.py); exposed here as an oracle-checked query.
+    Long format keeps the shuffle rows tiny and the result engine-
+    comparable (no array ordering concerns)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return ex.groupBy(
+        "label", (F.col("pos") + 1).cast("int").alias("dim")
+    ).agg(
+        (F.floor(1e6 * F.avg(F.col("val").cast("double")) + F.lit(0.5)) / 1e6).alias(
+            "centroid"
+        ),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
