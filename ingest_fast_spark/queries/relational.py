@@ -1848,3 +1848,84 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "event_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id), ' ')
+               AS type_seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(regexp_matches(type_seq, 'view( \\w+)*? click( \\w+)*? purchase')
+                AS BOOLEAN) AS converted,
+           CAST(length(type_seq) - length(replace(type_seq, ' ', ''))
+                + 1 AS INT) AS n_events
+    FROM seq
+    """,
+)
+def event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern over per-user event
+    histories: order-collect each user's event types (deterministic
+    (ts, event_id) order), then regex-match the funnel pattern
+    'view … click … purchase' against the flattened sequence. One hash
+    agg keyed by user; per-user sequences stay small (state is bounded
+    by a user's history, the same assumption any session store makes)."""
+    e = _t(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("type_seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.col("type_seq").rlike(r"view( \w+)*? click( \w+)*? purchase").alias(
+            "converted"
+        ),
+        (
+            F.length("type_seq")
+            - F.length(F.replace(F.col("type_seq"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("int").alias("n_events"),
+    )
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width numeric histogram: bucket id computed in the scan
+    projection, then one hash agg — the one-pass distributed histogram
+    (no sort, no per-bucket pass)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return (
+        o.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 50000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
