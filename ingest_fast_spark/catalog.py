@@ -37,15 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalizes the events timestamp column."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        from pyspark.sql.types import LongType
+
         apply_runtime_confs(spark)  # needs nanosAsLong on driver-made sessions
         df = spark.read.parquet(path)
-        # nanos (long) -> micros -> naive-UTC timestamp, matching DuckDB.
-        # Integer DIV, not floor(a/b): double division loses ULPs at 1e18 ns
-        # and shifts timestamps by ±1 microsecond.
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # Driver-made file: INT64 TIMESTAMP(NANOS), read as long under
+            # the legacy flag. nanos -> micros -> naive-UTC timestamp,
+            # matching DuckDB. Integer DIV, not floor(a/b): double division
+            # loses ULPs at 1e18 ns and shifts timestamps by ±1 µs.
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+            )
+        # Re-materialized copy (engine-written parquet): ts is already a
+        # micros timestamp; just normalize the zone flavor.
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 
