@@ -114,6 +114,7 @@ def run_ingest_streaming(
     data_dir: str,
     out_dir: str,
     glob: str = "FAST*.nt",
+    checkpoint_dir: str | None = None,
 ):
     """Incremental FAST ingest: readStream over the NT directory; each
     micro-batch of newly-arrived files runs the SAME fused pipeline and
@@ -124,6 +125,12 @@ def run_ingest_streaming(
     into ``data_dir`` and the table converges without a full recompute of
     unchanged ids' inputs (each file is self-contained per the reference's
     one-type-per-file layout). Returns the StreamingQuery handle.
+
+    ``checkpoint_dir`` makes restarts INCREMENTAL: the file-source offsets
+    persist, so a relaunch processes only files that arrived since the
+    last run (tests/test_jobs.py pins this). Without it every AvailableNow
+    run re-reads the whole directory — correct (the upsert converges to
+    the same table) but O(corpus) per restart instead of O(delta).
     """
     apply_runtime_confs(spark)
     lines = (
@@ -155,12 +162,14 @@ def run_ingest_streaming(
             merged = new_docs
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
 
-    return (
+    writer = (
         non_agent.writeStream.foreachBatch(merge_batch)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def run_curation(

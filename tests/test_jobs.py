@@ -134,3 +134,45 @@ def test_run_curation_gate_rejects_broken_input(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="constraint violations"):
         jobs.run_curation(spark, bad_dir, str(tmp_path / "out"))
+
+
+def test_streaming_ingest_checkpoint_restart_is_incremental(spark):
+    """A checkpointed restart processes ONLY newly-arrived files.
+
+    Discriminating fixture: file 1 gives id 77 altLabel 'Alpha'; file 2
+    (delivered after run 1) re-dumps id 77 with altLabel 'Beta'. The
+    foreachBatch upsert REPLACES a doc whose _id reappears, so:
+      * incremental restart (file 2 alone in batch 2) -> altLabel ['Beta']
+      * full reprocess (both files in one batch)      -> per-file merge
+        would union to ['Alpha', 'Beta']
+    Asserting exactly ['Beta'] proves file 1 was not re-read."""
+    base = tempfile.mkdtemp(prefix="fast_ckpt_")
+    nt = os.path.join(base, "nt")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(nt)
+    fast = "http://id.worldcat.org/fast"
+    alt = "http://www.w3.org/2004/02/skos/core#altLabel"
+    pref = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    try:
+        with open(os.path.join(nt, "FASTTopical.nt"), "w") as f:
+            f.write(f'<{fast}/77> <{pref}> "Thing" .\n')
+            f.write(f'<{fast}/77> <{alt}> "Alpha" .\n')
+        q = jobs.run_ingest_streaming(spark, nt, out, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        t1 = {r["_id"]: r for r in spark.read.parquet(os.path.join(out, "fast")).collect()}
+        assert list(t1[77]["altLabel"]) == ["Alpha"]
+
+        with open(os.path.join(nt, "FASTTopical2.nt"), "w") as f:
+            f.write(f'<{fast}/77> <{pref}> "Thing" .\n')
+            f.write(f'<{fast}/77> <{alt}> "Beta" .\n')
+            f.write(f'<{fast}/88> <{pref}> "Other" .\n')
+        q = jobs.run_ingest_streaming(spark, nt, out, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        t2 = {r["_id"]: r for r in spark.read.parquet(os.path.join(out, "fast")).collect()}
+        assert set(t2) == {77, 88}
+        assert list(t2[77]["altLabel"]) == ["Beta"], (
+            "file 1 was reprocessed on restart"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
