@@ -1,9 +1,12 @@
-"""Remaining TPC-H query shapes (Q4/Q7/Q8/Q9/Q10/Q12/Q13/Q15/Q17/Q21).
+"""Remaining TPC-H query shapes (Q4/Q7/Q8/Q9/Q10/Q12/Q13/Q15/Q17/Q21 +
+Q2/Q11/Q16/Q20 over a synthetic partsupp).
 
 Together with relational.py's Q1/Q3/Q5/Q6/Q14/Q18/Q19/Q22 this gives the
-engine 18 of the 22 TPC-H shapes. Q2/Q11/Q16/Q20 require the ``partsupp``
-table, which the driver's testdata does not provide — they are documented
-as out-of-data-scope in COVERAGE.md rather than approximated.
+engine all 22 TPC-H shapes. Q2/Q11/Q16/Q20 need the ``partsupp`` table,
+which the driver's testdata does not provide — they run over a
+DETERMINISTIC synthetic partsupp derived from part × supplier with pure
+integer arithmetic (see ``synthetic_partsupp`` below), so their DuckDB
+oracle checks stay exact.
 
 The testdata schema is TPC-H-reduced (no l_commitdate/l_receiptdate/
 l_shipmode, no o_comment/o_shippriority, no ps_supplycost), so each query
@@ -479,4 +482,272 @@ def q21_waiting_suppliers(spark, sf_dir):
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic partsupp: the driver's testdata has no partsupp table, so the
+# four queries that need one (Q2/Q11/Q16/Q20) derive it DETERMINISTICALLY
+# from part × supplier with pure integer arithmetic — bit-identical in
+# Spark and DuckDB, so the oracle check stays exact. Each part gets 4
+# suppliers; supply cost is integer CENTS (floating point enters only at
+# the final /100.0 display division, which is exact in both engines).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 31 + ps_suppkey * 17) % 10000 + 100 AS ps_cost_cents,
+             CAST((ps_partkey * 13 + ps_suppkey * 7) % 1000 + 1 AS INT)
+               AS ps_availqty
+      FROM (SELECT p_partkey AS ps_partkey,
+                   (p_partkey * 7 + k.k) % (SELECT COUNT(*) FROM supplier)
+                     AS ps_suppkey
+            FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) k(k))
+    )
+"""
+
+
+def synthetic_partsupp(spark, sf_dir):
+    """partsupp(ps_partkey, ps_suppkey, ps_cost_cents, ps_availqty):
+    4 suppliers per part, keys folded into the contiguous 0..S-1 supplier
+    key space, costs/quantities from integer hashes of the key pair."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_cnt"))
+    base = (
+        p.crossJoin(F.broadcast(s_cnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("k"),
+            "s_cnt",
+        )
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") * 7 + F.col("k")) % F.col("s_cnt")).alias(
+                "ps_suppkey"
+            ),
+        )
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 10000 + 100).alias(
+            "ps_cost_cents"
+        ),
+        ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7) % 1000 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT ps.ps_partkey, ps.ps_cost_cents, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM partsupp ps
+      JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      WHERE p.p_size < 10 AND p.p_type = 'STANDARD'
+    ),
+    mins AS (SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents
+             FROM costs GROUP BY ps_partkey)
+    SELECT c.ps_partkey AS p_partkey, c.s_name, c.n_name,
+           floor(c.s_acctbal * 100 + 0.5) / 100 AS acctbal,
+           c.ps_cost_cents / 100.0 AS supplycost
+    FROM costs c JOIN mins m
+      ON c.ps_partkey = m.ps_partkey AND c.ps_cost_cents = m.min_cents
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost regional supplier per part. The
+    correlated MIN subquery is decorrelated into a per-part aggregate
+    joined back on (part, cost); region/nation/supplier dims broadcast.
+    Cost comparisons stay in integer cents — FP appears only in the
+    final display division."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        ps.join(F.broadcast(eu), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        .select("ps_partkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    mins = costs.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    return (
+        costs.join(
+            F.broadcast(mins),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_cost_cents") == F.col("min_cents")),
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            (F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)) / 100).alias("acctbal"),
+            (F.col("ps_cost_cents") / F.lit(100.0)).alias("supplycost"),
+        )
+        .orderBy(
+            F.desc("acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q11_inventory_value",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    nat AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    v AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+      FROM partsupp JOIN nat ON ps_suppkey = nat.s_suppkey
+      GROUP BY ps_partkey
+    ),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
+    SELECT ps_partkey, value_cents / 100.0 AS value
+    FROM v, tot
+    WHERE value_cents * 200 > total_cents
+    """,
+)
+def q11_inventory_value(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose one-nation inventory value exceeds
+    0.5% of that nation's total. The scalar-total subquery is a one-row
+    broadcast; the threshold comparison is exact integer arithmetic
+    (value*200 > total ⟺ value > 0.005*total), so no FP boundary can
+    disagree between engines."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    v = (
+        ps.join(F.broadcast(nat), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents")
+        )
+    )
+    tot = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 200 > F.col("total_cents"))
+        .select("ps_partkey", (F.col("value_cents") / F.lit(100.0)).alias("value"))
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part p ON p.p_partkey = ps_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (5, 10, 15, 20, 25)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    combo, excluding a blocklisted supplier set (adapted: negative
+    account balance stands in for the original's complaints LIKE). The
+    NOT IN is a left-anti broadcast join (keys are non-null by
+    construction)."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(5, 10, 15, 20, 25))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_inventory",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    usage AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_name, floor(s.s_acctbal * 100 + 0.5) / 100 AS acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN red ON ps.ps_partkey = red.p_partkey
+      JOIN usage u ON u.l_partkey = ps.ps_partkey AND u.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > 0.5 * u.qty)
+    """,
+)
+def q20_excess_inventory(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding excess stock (>50% of a year's
+    shipped quantity) of name-matched parts. The correlated quantity
+    subquery is decorrelated into a (part, supplier) usage aggregate;
+    the IN becomes a left-semi join. l_quantity values are integral, so
+    the summed threshold is FP-exact in both engines."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    usage = l.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    excess = (
+        ps.join(F.broadcast(red), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            usage,
+            (F.col("l_partkey") == ps.ps_partkey)
+            & (F.col("l_suppkey") == ps.ps_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select(
+            "s_name",
+            (F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)) / 100).alias("acctbal"),
+        )
+        .distinct()
     )
