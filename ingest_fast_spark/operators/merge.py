@@ -16,7 +16,7 @@ broadcasts it and the target is never shuffled at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,3 +53,34 @@ def merge_upsert(
         for c in data_cols
     ]
     return joined.select(*merged_key, *merged_data)
+
+
+def scd2_collapse(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build an SCD Type-2 history from an event/change log: one row per
+    (key, run of equal attr values), with [valid_from, valid_to) validity
+    and an is_current flag on the open row. Consecutive repeats of the
+    same attribute collapse into one version (gaps-and-islands via lag,
+    then lead for the closing timestamp) — two window passes over ONE
+    shuffle on the key.
+
+    Deterministic whenever (ts_col, tiebreak_col) is unique per key."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+        .drop("_prev")
+    )
+    wv = Window.partitionBy(key_col).orderBy(ts_col)
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wv).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1929,3 +1929,41 @@ def histogram_totalprice(spark, sf_dir):
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_history(spark, sf_dir):
+    """SCD Type-2 dimension history built from the event log
+    (operators/merge.scd2_collapse): consecutive equal states collapse,
+    each version carries [valid_from, valid_to) and the open row is
+    flagged current — the warehouse pattern for 'what was this entity's
+    state at time T' joins."""
+    from ..operators.merge import scd2_collapse
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_collapse(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
