@@ -50,3 +50,28 @@ def test_composite_key(spark):
     updates = spark.createDataFrame([(1, "y", 60.0), (2, "z", 7.0)], ["k1", "k2", "v"])
     out = rows(merge_upsert(target, updates, ["k1", "k2"]))
     assert out == [(1, "x", 5.0), (1, "y", 60.0), (2, "z", 7.0)]
+
+
+def test_scd2_collapse_runs_and_validity(spark):
+    from ingest_fast_spark.operators.merge import scd2_collapse
+
+    df = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 100),
+            (1, "bronze", 20, 101),  # repeat -> collapses into first run
+            (1, "gold", 30, 102),
+            (1, "bronze", 40, 103),  # back to bronze -> NEW version
+            (2, "silver", 15, 104),
+        ],
+        ["uid", "tier", "t", "eid"],
+    )
+    out = {
+        (r["uid"], r["valid_from"]): (r["tier"], r["valid_to"], r["is_current"])
+        for r in scd2_collapse(df, "uid", "tier", "t", "eid").collect()
+    }
+    assert out == {
+        (1, 10): ("bronze", 30, False),
+        (1, 30): ("gold", 40, False),
+        (1, 40): ("bronze", None, True),
+        (2, 15): ("silver", None, True),
+    }
