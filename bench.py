@@ -48,6 +48,11 @@ HEADLINE = [
     "text_repetition_signals",
     "decontaminate_benchmark",
     "pack_training_sequences",
+    "q11_inventory_value",
+    "merge_upsert_customers",
+    "scd2_user_history",
+    "build_vocabulary",
+    "funnel_stages",
 ]
 
 
