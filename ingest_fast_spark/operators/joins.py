@@ -102,3 +102,73 @@ def range_join(
     """
     cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
     return facts.join(F.broadcast(bands), cond, how)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Backward as-of join via ``cogroup().applyInPandas`` + per-key
+    ``pd.merge_asof`` — the Arrow/pandas twin of :func:`asof_join`.
+
+    Same contract as asof_join (every left row; latest right row with
+    ``right_ts <= left_ts`` per key; NULLs when none precedes), so the
+    two implementations cross-check each other in tests.
+
+    When to prefer which: the JVM union+window form stays in whole-stage
+    codegen and is the default; this cogroup form is the template for
+    as-of variants the window trick can't express (nearest-in-time with
+    tolerance, multi-column nearest) — pandas' merge_asof exposes those
+    directly. Scale shape is identical: ONE shuffle of each side on
+    ``keys``, then per-key linear merges, Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    # Alias every right payload column BEFORE the cogroup. This both (a)
+    # gives the pandas side its final output names and (b) mints fresh
+    # expression IDs: when left and right derive from the same parent
+    # DataFrame, shared-exprId payload columns get pruned off one side of
+    # the cogroup plan (the self-join ambiguity problem) — observed as the
+    # right pandas frame silently missing its ts column.
+    renamed = {c: f"{prefix}{c}" for c in [right_ts, *right_cols]}
+    r = right.select(
+        *keys, *[F.col(c).alias(renamed[c]) for c in [right_ts, *right_cols]]
+    )
+    out_fields = list(left.schema.fields)
+    rsch = {f.name: f for f in r.schema.fields}
+    for c in [right_ts, *right_cols]:
+        out_fields.append(StructField(renamed[c], rsch[renamed[c]].dataType, True))
+    schema = StructType(out_fields)
+    lcols = list(left.columns)
+    r_ts = renamed[right_ts]
+    payload = [renamed[c] for c in [right_ts, *right_cols]]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in payload:
+                out[c] = None
+            return out
+        rpdf = rpdf.sort_values(r_ts, kind="mergesort").drop(columns=keys)
+        out = pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=r_ts, direction="backward"
+        )
+        return out[lcols + payload]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(r.groupBy(*keys))
+        .applyInPandas(merge, schema)
+    )

@@ -1967,3 +1967,33 @@ def scd2_user_history(spark, sf_dir):
         ts_col="ts",
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "join_asof_cogroup",
+    oracle="""
+    WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT a.event_id, a.user_id, a.ts,
+           b.ts    AS matched_ts,
+           b.value AS matched_value
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def join_asof_cogroup(spark, sf_dir):
+    """Same as-of semantics as join_asof, through the OTHER engine path:
+    cogroup().applyInPandas with per-key pd.merge_asof (Arrow-batched).
+    Both implementations hit the same DuckDB ASOF JOIN oracle — a
+    three-way agreement (JVM window form, pandas cogroup form, DuckDB)."""
+    from ..operators.joins import asof_join_cogroup
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_cogroup(
+        purchases, clicks, keys=["user_id"], right_cols=["value"]
+    )

@@ -76,3 +76,24 @@ def test_range_join(spark):
     assert [
         r["band"] for r in range_join(edge, bands, "price").select("band").collect()
     ] == ["hi"]
+
+
+def test_asof_cogroup_matches_jvm_asof(spark, sf_dir):
+    """Two independent as-of implementations (JVM union+window vs
+    cogroup+pd.merge_asof) must produce identical results on the real
+    events/orders data."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.operators.joins import asof_join, asof_join_cogroup
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    a = asof_join(left, right, ["user_id"], right_cols=["value"])
+    b = asof_join_cogroup(left, right, ["user_id"], right_cols=["value"])
+    ra = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+    rb = sorted(map(tuple, b.select(*sorted(b.columns)).collect()))
+    assert ra == rb
