@@ -16,6 +16,11 @@ from ..catalog import load_table
 from . import register
 
 
+import itertools
+
+_SEQ_VIEWS = itertools.count()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -1996,4 +2001,90 @@ def join_asof_cogroup(spark, sf_dir):
     )
     return asof_join_cogroup(
         purchases, clicks, keys=["user_id"], right_cols=["value"]
+    )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark, sf_dir):
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json
+    once into the binary variant encoding, then typed variant_get
+    extraction feeding a plain hash agg. Unlike get_json_object (string
+    re-parse per access), a variant column parses once and supports
+    multiple typed reads — the right model for heavily-accessed JSON at
+    scale."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "date_spine_monthly_revenue",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01'
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           COALESCE(rev.revenue, 0.0)  AS revenue,
+           COALESCE(rev.n_orders, 0)   AS n_orders
+    FROM months LEFT JOIN rev ON months.m = rev.m
+    """,
+)
+def date_spine_monthly_revenue(spark, sf_dir):
+    """Gap-free monthly revenue series via a RECURSIVE CTE date spine
+    (Spark 4 WITH RECURSIVE): generate every month in the data's range,
+    left-join the revenue aggregate, zero-fill empty months — the
+    warehouse pattern for time-series charts that must not silently skip
+    gaps. The spine is ~80 rows; the heavy side is the ordinary
+    distributed aggregate."""
+    nonce = next(_SEQ_VIEWS)
+    view = f"orders_spine_{nonce}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01'
+        ),
+        rev AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 ROUND(SUM(o_totalprice), 2) AS revenue,
+                 COUNT(*) AS n_orders
+          FROM {view} GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               COALESCE(rev.revenue, 0.0)  AS revenue,
+               COALESCE(rev.n_orders, 0)   AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
     )
