@@ -115,3 +115,38 @@ def test_pack_is_single_window_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pack_training_sequences")
     assert plan.count("Window") >= 1, plan
     assert plan.count("Exchange") <= 2, plan  # hashpartition + AQE read
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning: a selective dimension-side
+    filter injects a bloom_filter_might_contain predicate into the fact
+    side BEFORE the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching rows.
+    Size thresholds are lowered only because the testdata is tiny; the
+    rewrite itself is what's pinned."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        from ingest_fast_spark.catalog import load_table
+
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan or "bloom" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
