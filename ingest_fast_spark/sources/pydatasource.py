@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -48,6 +49,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -89,3 +93,46 @@ class SyntheticEventsReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: each micro-batch emits the next
+    ``rows_per_batch`` events after the start offset. Offsets are plain
+    dicts ({"next": n}) checkpointed by Spark, and ``readBetweenOffsets``
+    replays any committed range deterministically — the replayability
+    contract exactly-once sinks rely on."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows_per_batch", "100"))
+        # bounded mode: the source reports no new data past max_rows, so
+        # processAllAvailable()/AvailableNow terminate. Unset = unbounded.
+        self.max_rows = int(options.get("max_rows", "-1"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _gen(self, lo: int, hi: int):
+        # materialized list, not a generator: the simple stream reader
+        # prefetches driver-side and PICKLES the batch out to executors
+        return [
+            (
+                eid,
+                (eid * 31 + 7) % 1000,
+                EVENT_TYPES[(eid * 7) % len(EVENT_TYPES)],
+                float((eid * 13) % 10000) / 100.0,
+            )
+            for eid in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = lo + self.rows
+        if self.max_rows >= 0:
+            hi = min(hi, self.max_rows)
+        # iter() over a materialized list: the API wants an iterator, but
+        # the prefetch cache pickles what it pulls — a bare generator
+        # fails pickling, a bare list fails the iterator contract.
+        return iter(self._gen(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._gen(start["next"], end["next"]))

@@ -63,3 +63,27 @@ def test_residual_filter_still_applied(spark):
     )
     rows = df.collect()
     assert rows and all(r["value"] > 50.0 and r["event_type"] == "view" for r in rows)
+
+
+def test_stream_reader_micro_batches(spark, tmp_path):
+    """readStream over the Python data source: bounded at 30 rows, the
+    stream drains in 10-row micro-batches and the sink holds exactly
+    rows [0, 30)."""
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 10)
+        .option("max_rows", 30)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT event_id FROM synth_stream_sink ORDER BY event_id"
+        ).collect()
+        assert [r["event_id"] for r in rows] == list(range(30))
+    finally:
+        q.stop()
