@@ -57,6 +57,18 @@ SHOWCASE = [
         "Sequence packing: a single Window pass partitioned by source — "
         "one shuffle, running sum, no global sort.",
     ),
+    (
+        "q2_min_cost_supplier",
+        "TPC-H Q2 over the synthetic partsupp: the correlated MIN is a "
+        "per-part aggregate broadcast back onto the costs; every dim "
+        "broadcasts; integer-cents comparisons.",
+    ),
+    (
+        "fuzzy_name_pairs",
+        "SymSpell-style fuzzy linkage: deletion-variant equi-join "
+        "generates candidates (no n² pair scan); levenshtein verifies "
+        "only candidates.",
+    ),
 ]
 
 
