@@ -558,7 +558,7 @@ def dedup_paragraphs(spark, sf_dir):
 
 @register(
     "text_pii_redact",
-    oracle='''
+    oracle=r'''
     SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
            len(regexp_extract_all(text, 'https?://[^\s]+'))   AS n_url,

@@ -118,14 +118,29 @@ def run_available_now(df: DataFrame, name: str, output_mode: str = "complete"):
     """Execute a streaming aggregation over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink; returns the result
     table. This is the test/dev harness — production sinks are
-    foreachBatch/parquet."""
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    foreachBatch/parquet.
+
+    Stateful streaming disables AQE, so the shuffle-partition count is
+    taken literally as the state-store count — on an untuned session
+    (default 200) that is 200 state stores of fixed overhead per
+    micro-batch. Right-size it to the cluster's parallelism for the
+    duration of query planning, then restore."""
+    spark = df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    right = str(spark.sparkContext.defaultParallelism)
+    try:
+        if int(prev) > 4 * int(right):
+            spark.conf.set(conf_key, right)
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
     query.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
