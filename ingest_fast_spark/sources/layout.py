@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 # In-memory (row-format) size overestimates on-disk parquet: columnar
 # encoding + compression typically shrink 3-6× on mixed schemas.
@@ -64,6 +65,83 @@ def write_range_layout(
     (
         df.repartitionByRange(num_files, col)
         .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _equi_depth_bucket(value: Column, bounds: list[float], bits: int) -> Column:
+    """Map ``value`` to its equi-depth bucket id: the number of interior
+    quantile boundaries <= value. A higher-order ``aggregate`` over a
+    literal boundary array — pure JVM, codegen-friendly, O(2^bits) per
+    row with no shuffle and no driver round-trip.
+
+    Low-cardinality columns yield fewer distinct boundaries than
+    ``2^bits - 1``; rescale so their ids still span the full bit range —
+    otherwise the column only populates its low interleave bits and the
+    Z-curve degenerates to a linear sort on the high-cardinality column.
+    """
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(value >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    full = (1 << bits) - 1
+    if len(bounds) < full:
+        bucket = F.round(bucket * F.lit(full / len(bounds))).cast("int")
+    return bucket
+
+
+def _interleave_bits(buckets: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` low bits of each bucket id into one Z-value.
+    Bit positions are disjoint, so summing the shifted terms equals OR."""
+    k = len(buckets)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + j)
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 8,
+    relative_error: float = 1.0 / 1024,
+) -> None:
+    """Z-order (Morton-curve) clustering over ``cols`` so parquet min/max
+    footers prune on EVERY listed column, not just a lead sort key.
+
+    A linear sort layout gives perfect skipping on one column and none on
+    the others; interleaving equi-depth bucket ids space-fills instead,
+    so each output file covers a narrow range of every dimension (what
+    Delta's OPTIMIZE ZORDER BY does, built here from public primitives).
+
+    Scale shape: one ``approxQuantile`` pass (Greenwald-Khanna sketch,
+    driver receives ``(2^bits - 1) * len(cols)`` doubles); bucketing and
+    bit-interleave are whole-stage-codegen Column expressions; then the
+    standard range-partition + in-partition sort on the Z-value. Equi-
+    depth (rank) buckets keep the curve balanced under skew, where
+    min/max-uniform bucketing would collapse.
+    """
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    quantiles = df.approxQuantile(cols, probs, relative_error)
+    buckets = [
+        _equi_depth_bucket(F.col(c).cast("double"), sorted(set(bounds)), bits)
+        for c, bounds in zip(cols, quantiles)
+    ]
+    z = _interleave_bits(buckets, bits)
+    (
+        df.withColumn("_zvalue", z)
+        .repartitionByRange(num_files, "_zvalue")
+        .sortWithinPartitions("_zvalue")
+        .drop("_zvalue")
         .write.mode("overwrite")
         .parquet(path)
     )

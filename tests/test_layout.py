@@ -7,11 +7,32 @@ import os
 import pyarrow.parquet as pq
 
 from ingest_fast_spark.catalog import load_table
-from ingest_fast_spark.sources.layout import sized_partitions, write_range_layout, write_sized
+from ingest_fast_spark.sources.layout import (
+    sized_partitions,
+    write_range_layout,
+    write_sized,
+    write_zorder_layout,
+)
 
 
 def parquet_files(path):
     return sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+
+
+def file_ranges(path, col):
+    """Per-file (min, max) footer stats for ``col``."""
+    out = []
+    for f in parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+        out.append((min(s.min for s in stats), max(s.max for s in stats)))
+    return out
+
+
+def overlap_count(ranges, lo, hi):
+    """How many files a reader must touch for ``col BETWEEN lo AND hi``."""
+    return sum(1 for mn, mx in ranges if mx >= lo and mn <= hi)
 
 
 def test_write_sized_controls_file_count(spark, sf_dir, tmp_path):
@@ -53,3 +74,34 @@ def test_range_layout_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
     assert len(ranges) == 4
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint key ranges → file-level skipping works
+
+
+def test_zorder_layout_skips_on_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order vs linear sort: the linear layout prunes only its lead key;
+    the Z-layout's footers prune on BOTH clustered columns."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zorder_layout(e, zpath, ["user_id", "value"], num_files=n_files)
+    write_range_layout(e, lpath, "user_id", num_files=n_files)
+    assert spark.read.parquet(zpath).count() == e.count()
+
+    # Probes: every single-user point lookup, and eight value bands each
+    # covering 1/8 of the value distribution. Compare files touched.
+    users = range(15)
+    vq = e.approxQuantile("value", [i / 8 for i in range(9)], 0.01)
+    vbands = list(zip(vq, vq[1:]))
+
+    zu, zv = file_ranges(zpath, "user_id"), file_ranges(zpath, "value")
+    lv = file_ranges(lpath, "value")
+    avg = lambda xs: sum(xs) / len(xs)
+    z_user = avg([overlap_count(zu, u, u) for u in users])
+    z_value = avg([overlap_count(zv, lo, hi) for lo, hi in vbands])
+    lin_value = avg([overlap_count(lv, lo, hi) for lo, hi in vbands])
+
+    # Both dimensions prune under Z-order...
+    assert z_user <= 0.6 * n_files, f"user_id pruning too weak: {z_user}/{n_files}"
+    assert z_value <= 0.6 * n_files, f"value pruning too weak: {z_value}/{n_files}"
+    # ...while the linear layout cannot skip on the non-lead column.
+    assert lin_value > 0.8 * n_files
+    assert z_value < lin_value
