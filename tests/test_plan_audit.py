@@ -92,6 +92,11 @@ def test_topk_is_windowed_not_global_sort(spark, sf_dir):
     df = QUERIES["topk_per_group"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+    # The rank<=k predicate must also push into a map-side partial
+    # WindowGroupLimit: each input partition keeps only its local top-k
+    # BEFORE the shuffle, so the exchange carries O(groups*k), not the
+    # whole table — the difference between shuffling 100 TB and ~nothing.
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
 
 
 def test_decontamination_bench_side_broadcasts(spark, sf_dir):
