@@ -12,9 +12,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..functions import text as T
 from .dedup import ngram_jaccard_pairs
 from .graph import near_dup_clusters
+
+
+def cap_per_source(docs: DataFrame, cap: int = 10) -> DataFrame:
+    """Domain rebalancing: keep at most ``cap`` documents per source so no
+    single domain dominates the training mix (the C4/RefinedWeb-style
+    per-domain quota). Priority is deterministic — longest document
+    first, ``doc_id`` tiebreak — so reruns and the oracle agree.
+
+    Scale shape: the ``row_number() <= cap`` predicate compiles to a
+    map-side partial ``WindowGroupLimit`` (pinned in
+    tests/test_plan_audit.py), so each input partition ships only its
+    local top-``cap`` per source into the shuffle — a mega-domain costs
+    O(partitions * cap) shuffle rows, not its full document count.
+    """
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    capped = (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rank_in_source"),
+        )
+        .filter(F.col("rank_in_source") <= cap)
+    )
+    # Per-source totals come from a map-side-partial aggregate joined back,
+    # NOT a count() over an unordered window: a full-partition frame would
+    # force every row through the shuffle and disable the group-limit.
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("source_total"))
+    return capped.join(F.broadcast(totals), "source").select(
+        "doc_id", "source", "n_chars", "rank_in_source", "source_total"
+    )
 
 
 def curate_documents(

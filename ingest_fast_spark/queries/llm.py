@@ -529,6 +529,32 @@ def curation_pipeline(spark, sf_dir):
 
 
 @register(
+    "curation_domain_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT)
+               AS rank_in_source
+      FROM documents
+    ),
+    totals AS (SELECT source, COUNT(*) AS source_total FROM documents GROUP BY source)
+    SELECT r.doc_id, r.source, r.n_chars, r.rank_in_source, t.source_total
+    FROM ranked r JOIN totals t USING (source)
+    WHERE r.rank_in_source <= 10
+    """,
+)
+def curation_domain_cap(spark, sf_dir):
+    """Per-domain quota: keep the 10 highest-priority docs per source so
+    no domain dominates the mix (operators/curation.cap_per_source). The
+    rank predicate runs as a map-side partial WindowGroupLimit; totals
+    join back from a broadcast aggregate (one row per domain)."""
+    from ..operators.curation import cap_per_source
+
+    return cap_per_source(load_table(spark, sf_dir, "documents"), cap=10)
+
+
+@register(
     "dedup_paragraphs",
     oracle="""
     WITH split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),

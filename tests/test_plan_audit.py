@@ -99,6 +99,16 @@ def test_topk_is_windowed_not_global_sort(spark, sf_dir):
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
 
 
+def test_domain_cap_group_limits_and_broadcasts(spark, sf_dir):
+    # The per-domain quota must keep the partial WindowGroupLimit (the cap
+    # filter prunes before the shuffle) AND fetch per-domain totals via a
+    # broadcast aggregate — a count() window frame would have forced every
+    # row of a mega-domain through the shuffle.
+    plan = plan_of(spark, sf_dir, "curation_domain_cap")
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_decontamination_bench_side_broadcasts(spark, sf_dir):
     # The benchmark shingle set must broadcast: the corpus side of the
     # probe is the 100 TB side and may never shuffle for this join.
