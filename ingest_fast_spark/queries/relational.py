@@ -2088,3 +2088,89 @@ def date_spine_monthly_revenue(spark, sf_dir):
         FROM months LEFT JOIN rev ON months.m = rev.m
         """
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS bucket FROM customer),
+    r AS (SELECT nullif(s_nationkey % 5, 0) AS bucket, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY 1)
+    SELECT l.c_custkey, l.bucket, r.n_suppliers
+    FROM l JOIN r ON l.bucket IS NOT DISTINCT FROM r.bucket
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
+    joinable key value, so rows with an unknown bucket still match the
+    right side's unknown-bucket row instead of silently dropping. The
+    EqualNullSafe condition is still a hash-join key — with the 5-row
+    aggregate broadcast, no shuffle touches the big side (contrast an
+    OR-with-IS-NULL rewrite, which degrades to nested loop)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("nullif(c_nationkey % 5, 0)").alias("bucket")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.expr("nullif(s_nationkey % 5, 0)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(F.broadcast(s), c["bucket"].eqNullSafe(s["bucket"]))
+        .select("c_custkey", c["bucket"].alias("bucket"), "n_suppliers")
+    )
+
+
+@register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_events, 0) AS n_events,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def timeseries_gapfill_ffill(spark, sf_dir):
+    """Time-series densification: per-user daily aggregate → explode a
+    `sequence()` date spine over each user's active span → left join →
+    zero-fill counts and forward-fill the last observed value
+    (`last(..., ignorenulls)` over an unbounded-preceding frame). The
+    spine explode is O(users * days) narrow work with no extra shuffle
+    beyond the daily aggregate's; the fill is one window pass."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
