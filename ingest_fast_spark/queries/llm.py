@@ -900,3 +900,42 @@ def fuzzy_name_pairs(spark, sf_dir):
     return cand.filter(F.levenshtein("name_a", "name_b") <= 1).select(
         "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist")
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id, CAST(s AS INT) AS start_pos,
+           CAST(len(t[s:s+39]) AS INT) AS n_tokens,
+           array_to_string(t[s:s+39], ' ') AS chunk_text
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 30)) AS s FROM toks)
+    """,
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping token-window chunking (RAG / context-window prep):
+    40-token chunks on a 30-token stride, so consecutive chunks share 10
+    tokens and no boundary sentence is lost. Pure JVM array expressions —
+    tokenize once, explode the stride positions, `slice` each window; the
+    explode is narrow (no shuffle) and the output is ~n_tokens/stride
+    rows per doc regardless of document skew."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(30))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("start_pos"),
+            F.size(F.slice("t", F.col("s"), 40)).alias("n_tokens"),
+            F.array_join(F.slice("t", F.col("s"), 40), " ").alias("chunk_text"),
+        )
+    )
