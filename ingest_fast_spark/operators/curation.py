@@ -19,6 +19,49 @@ from .dedup import ngram_jaccard_pairs
 from .graph import near_dup_clusters
 
 
+def temperature_mix(docs: DataFrame, target_rows: int = 200) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha = 0.5): each source's quota
+    of the ``target_rows`` output is proportional to sqrt(its count), the
+    standard rebalancing that up-weights small domains relative to raw
+    counts without letting any mega-domain keep its full share.
+
+    Quotas use pure integer arithmetic — fixed-point sqrt weights, one
+    exact integer SUM, half-up rounding via ``(2*w*T + S) div (2*S)`` —
+    so the result is engine-exact (a float SUM's partition order could
+    flip a floor() at the quota boundary; an integer sum cannot).
+
+    Scale shape: quotas live on a per-domain table (broadcast, one row
+    per source); doc ranking is a row_number window whose static
+    pre-filter ``rank <= target_rows`` compiles to a map-side
+    WindowGroupLimit, with the data-dependent ``rank <= quota`` applied
+    after the join.
+    """
+    w_int = F.floor(F.sqrt(F.col("n_s")) * F.lit(1_000_000)).cast("bigint")
+    weights = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .select("source", "n_s", w_int.alias("w"))
+    )
+    w_sum = weights.agg(F.sum("w").alias("w_sum"))
+    quotas = weights.crossJoin(F.broadcast(w_sum)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.col("n_s"),
+            F.expr(f"(2 * w * {target_rows} + w_sum) div (2 * w_sum)"),
+        ).alias("quota"),
+    )
+    rk = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    ranked = docs.select("doc_id", "source", rk.alias("rank_in_source")).filter(
+        F.col("rank_in_source") <= target_rows
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rank_in_source") <= F.col("quota"))
+        .select("doc_id", "source", "rank_in_source", "quota", "n_s")
+    )
+
+
 def cap_per_source(docs: DataFrame, cap: int = 10) -> DataFrame:
     """Domain rebalancing: keep at most ``cap`` documents per source so no
     single domain dominates the training mix (the C4/RefinedWeb-style

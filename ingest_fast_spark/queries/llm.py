@@ -555,6 +555,41 @@ def curation_domain_cap(spark, sf_dir):
 
 
 @register(
+    "curation_temperature_mix",
+    oracle="""
+    WITH weights AS (
+      SELECT source, COUNT(*) AS n_s,
+             CAST(FLOOR(SQRT(COUNT(*)) * 1000000) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    quotas AS (
+      SELECT source, n_s,
+             CAST(LEAST(n_s,
+               (2 * w * 200 + CAST(SUM(w) OVER () AS BIGINT))
+               // (2 * CAST(SUM(w) OVER () AS BIGINT))) AS BIGINT) AS quota
+      FROM weights
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+               AS rank_in_source
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rank_in_source, q.quota, q.n_s
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rank_in_source <= q.quota
+    """,
+)
+def curation_temperature_mix(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) domain mixing into a 200-row target:
+    small sources gain share, mega-sources lose it
+    (operators/curation.temperature_mix; integer-exact quota math)."""
+    from ..operators.curation import temperature_mix
+
+    return temperature_mix(load_table(spark, sf_dir, "documents"), target_rows=200)
+
+
+@register(
     "dedup_paragraphs",
     oracle="""
     WITH split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),

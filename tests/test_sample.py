@@ -48,3 +48,28 @@ def test_stratified_fractions(spark, sf_dir):
     )
     segs = {r["c_mktsegment"] for r in out.select("c_mktsegment").distinct().collect()}
     assert segs == {"BUILDING"}  # 100% of BUILDING, 0% + unlisted dropped
+
+
+def test_temperature_mix_rebalances_skewed_domains(spark):
+    """alpha=0.5 mixing: a mega-domain's output share shrinks vs its input
+    share; a small domain's grows; total lands on the target (+/- rounding)."""
+    from ingest_fast_spark.operators.curation import temperature_mix
+
+    rows = (
+        [(i, "mega") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "tiny") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, schema="doc_id bigint, source string")
+    out = temperature_mix(docs, target_rows=100).collect()
+    by_source = {}
+    for r in out:
+        by_source[r["source"]] = by_source.get(r["source"], 0) + 1
+    total = sum(by_source.values())
+    assert abs(total - 100) <= 3  # half-up rounding per domain
+    # Input shares: mega .9, mid .09, tiny .01. sqrt-weights: 30/9.49/3.16.
+    assert by_source["mega"] / total < 0.9
+    assert by_source["tiny"] / total > 0.01
+    # Deterministic: same input -> same quota split.
+    again = temperature_mix(docs, target_rows=100).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
