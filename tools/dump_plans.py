@@ -69,6 +69,19 @@ SHOWCASE = [
         "generates candidates (no n² pair scan); levenshtein verifies "
         "only candidates.",
     ),
+    (
+        "curation_domain_cap",
+        "Per-domain quota: the rank<=cap predicate compiles to a "
+        "Partial+Final WindowGroupLimit (each task ships only its local "
+        "top-cap per source into the shuffle); per-domain totals join "
+        "back as a BroadcastHashJoin.",
+    ),
+    (
+        "timeseries_gapfill_ffill",
+        "Gap-fill + forward-fill: the date spine is an explode off the "
+        "per-user span aggregate (narrow), the fill is one window pass "
+        "over the same user partitioning.",
+    ),
 ]
 
 
