@@ -206,3 +206,33 @@ def stream_dedup_within_watermark(spark, sf_dir):
         .select("user_id", "event_type")
     )
     return _run(deduped, "q_dedup_wm", output_mode="append")
+
+
+@register(
+    "stream_hourly_rollup",
+    oracle="""
+    WITH q AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS qb, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    cutoff AS (SELECT max(ts) AS mx FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', qb) AS bucket,
+           CAST(MAX(n) AS BIGINT) AS peak_quarter,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM q, cutoff
+    GROUP BY 1, mx
+    HAVING bucket + INTERVAL '1 hour' <= mx
+    """,
+)
+def stream_hourly_rollup(spark, sf_dir):
+    """CHAINED stateful streaming aggregation (two groupBys in one query,
+    Spark 3.4+ multiple-stateful-operator support): 15-min tumbling counts
+    rolled up to hourly totals + peak quarter. Append mode — an hour emits
+    only once the watermark passes its end, so the batch oracle applies
+    the same end-of-input cutoff (hours closing after max(ts) stay in
+    state)."""
+    return _run(
+        SE.hourly_rollup_of_quarters(SE.stream_events(spark, sf_dir)),
+        "q_chain",
+        output_mode="append",
+    )

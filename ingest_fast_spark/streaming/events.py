@@ -96,6 +96,34 @@ def sliding_window_counts(
     )
 
 
+def hourly_rollup_of_quarters(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """CHAINED stateful aggregation (Spark 3.4+ multiple-stateful-operator
+    support): 15-minute tumbling counts re-aggregated into hourly totals +
+    the hour's peak quarter, in ONE streaming query. The second groupBy
+    windows over ``window_time()`` of the first — the engine tracks both
+    operators' state and finalizes an hour only when the watermark passes
+    its end, so this must run in append mode (complete mode rejects
+    chained aggs). Hours still open at end-of-input stay in state; the
+    batch oracle applies the same cutoff."""
+    q = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.groupBy(F.window(F.window_time("w"), "1 hour").alias("h"))
+        .agg(
+            F.max("n").alias("peak_quarter"),
+            F.sum("n").alias("n_events"),
+        )
+        .select(
+            F.col("h.start").cast("timestamp_ntz").alias("bucket"),
+            "peak_quarter",
+            "n_events",
+        )
+    )
+
+
 def session_window_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
