@@ -2174,3 +2174,37 @@ def timeseries_gapfill_ffill(spark, sf_dir):
             F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 20 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 20) END AS safe_ratio,
+           strftime(TRY_CAST('2024-01-' || lpad(CAST(l_linenumber * 9 AS VARCHAR), 2, '0')
+                             AS DATE), '%Y-%m-%d') AS safe_date,
+           (['a', 'b', 'c'])[l_linenumber] AS safe_elem
+    FROM lineitem
+    """,
+)
+def scalar_try_funcs(spark, sf_dir):
+    """Error-safe scalar surface (`try_*` family): malformed input becomes
+    NULL instead of failing the job — the posture a 100 TB pipeline needs,
+    where one corrupt row must not kill a stage. try_divide nulls the
+    divide-by-zero rows, try_cast nulls unparseable dates, try_element_at
+    nulls out-of-bounds lookups; all stay JVM-side Column expressions
+    (ANSI mode stays ON for everything else)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_extendedprice, l_quantity - 20)").alias("safe_ratio"),
+        F.date_format(
+            F.expr(
+                "try_cast(concat('2024-01-', lpad(cast(l_linenumber * 9 as string), 2, '0')) as date)"
+            ),
+            "yyyy-MM-dd",
+        ).alias("safe_date"),
+        F.expr("try_element_at(array('a', 'b', 'c'), l_linenumber)").alias("safe_elem"),
+    )
