@@ -974,3 +974,46 @@ def text_chunk_overlap(spark, sf_dir):
             F.array_join(F.slice("t", F.col("s"), 40), " ").alias("chunk_text"),
         )
     )
+
+
+@register(
+    "build_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+               AS token
+      FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS doc_freq,
+           list_sort(list(doc_id)) AS postings
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(*) >= 3
+    """,
+)
+def build_inverted_index(spark, sf_dir):
+    """Inverted-index build (search-side twin of the vocabulary): per
+    token, its document frequency and the sorted posting list of doc ids,
+    pruned to df >= 3. One explode (narrow, distinct tokens per doc kept
+    in-map via array_distinct before the explode) and one hash aggregate
+    shuffled on token; posting lists are sorted per group so every
+    engine/run produces identical arrays. At 100 TB the df floor is the
+    scale valve — hapax terms (the long tail, most of the index) never
+    enter the aggregate's output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 3)
+    )
