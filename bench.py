@@ -53,6 +53,10 @@ HEADLINE = [
     "scd2_user_history",
     "build_vocabulary",
     "funnel_stages",
+    "curation_domain_cap",
+    "text_chunk_overlap",
+    "build_inverted_index",
+    "timeseries_gapfill_ffill",
 ]
 
 
