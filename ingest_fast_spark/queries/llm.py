@@ -1017,3 +1017,63 @@ def build_inverted_index(spark, sf_dir):
         )
         .filter(F.col("doc_freq") >= 3)
     )
+
+
+@register(
+    "token_cooccurrence_lift",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    bi AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b FROM toks),
+    pairs AS (SELECT a, b, COUNT(*) AS pair_count FROM bi GROUP BY 1, 2),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM uni)
+    SELECT p.a, p.b, p.pair_count,
+           ROUND(CAST(p.pair_count AS DOUBLE) * n / (ux.c * uy.c), 6) AS lift
+    FROM pairs p
+    JOIN ucnt ux ON p.a = ux.tok
+    JOIN ucnt uy ON p.b = uy.tok
+    CROSS JOIN tot
+    WHERE p.pair_count >= 5
+    """,
+)
+def token_cooccurrence_lift(spark, sf_dir):
+    """Adjacent-bigram association strength (lift = P(a,b)/(P(a)P(b)),
+    PMI's argument — reported as the raw ratio so the value is exact
+    integer products + one IEEE division, identical across engines,
+    where log()'s last-ulp variance is not). Bigrams come from a
+    shuffle-free transform+explode over the token array; the two
+    unigram-count joins and the 1-row total are vocab-scale sides that
+    AQE broadcasts against the pair table."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> named_struct('a', x, 'b', element_at(t, i + 2)))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pairs = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = toks.select(F.explode("t").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.filter(F.col("pair_count") >= 5)
+        .join(ucnt.withColumnRenamed("tok", "a").withColumnRenamed("c", "cx"), "a")
+        .join(ucnt.withColumnRenamed("tok", "b").withColumnRenamed("c", "cy"), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                F.col("pair_count").cast("double") * F.col("n")
+                / (F.col("cx") * F.col("cy")),
+                6,
+            ).alias("lift"),
+        )
+    )
