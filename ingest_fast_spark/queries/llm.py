@@ -1077,3 +1077,46 @@ def token_cooccurrence_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "curation_winsorize_lengths",
+    oracle="""
+    WITH bounds AS (
+      SELECT source,
+             ROUND(quantile_cont(n_chars, 0.05), 6) AS lo,
+             ROUND(quantile_cont(n_chars, 0.95), 6) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, b.lo, b.hi,
+           ROUND(GREATEST(b.lo, LEAST(b.hi, CAST(d.n_chars AS DOUBLE))), 6)
+             AS clipped,
+           (d.n_chars < b.lo OR d.n_chars > b.hi) AS is_outlier
+    FROM documents d JOIN bounds b USING (source)
+    """,
+)
+def curation_winsorize_lengths(spark, sf_dir):
+    """Per-domain winsorization: clip document lengths to each source's
+    exact [p05, p95] band and flag outliers — the robust-stats gate that
+    keeps a single 200 MB page or empty stub from skewing length-based
+    quality filters. The bounds table is one row per domain (exact
+    interpolated percentile, same math as DuckDB quantile_cont) and
+    broadcasts back onto the corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("hi"),
+    )
+    return d.join(F.broadcast(bounds), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "lo",
+        "hi",
+        F.round(
+            F.greatest("lo", F.least("hi", F.col("n_chars").cast("double"))), 6
+        ).alias("clipped"),
+        ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))).alias(
+            "is_outlier"
+        ),
+    )
