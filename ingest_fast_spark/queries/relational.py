@@ -2208,3 +2208,45 @@ def scalar_try_funcs(spark, sf_dir):
         ).alias("safe_date"),
         F.expr("try_element_at(array('a', 'b', 'c'), l_linenumber)").alias("safe_elem"),
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT r.r_name, l.n_name, l.n_custs
+    FROM region r JOIN LATERAL (
+      SELECT n.n_name, COUNT(c.c_custkey) AS n_custs
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_custs DESC, n_name
+      LIMIT 2
+    ) l ON true
+    """,
+)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL join (per-outer-row subquery with its own
+    ORDER BY + LIMIT): each region's top-2 nations by customer count.
+    Catalyst decorrelates the lateral into a join + per-group limit
+    instead of re-executing the subquery per row — the declarative
+    free-lunch the reference's per-record lookup loop
+    (lib/ingest.js:108-113) never gets."""
+    nonce = next(_SEQ_VIEWS)
+    views = {}
+    for t in ("region", "nation", "customer"):
+        views[t] = f"{t}_lat_{nonce}"
+        _t(spark, sf_dir, t).createOrReplaceTempView(views[t])
+    return spark.sql(
+        f"""
+        SELECT r.r_name, l.n_name, l.n_custs
+        FROM {views['region']} r JOIN LATERAL (
+          SELECT n.n_name, COUNT(c.c_custkey) AS n_custs
+          FROM {views['nation']} n
+          JOIN {views['customer']} c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_custs DESC, n_name
+          LIMIT 2
+        ) l
+        """
+    )
