@@ -143,3 +143,29 @@ def test_salted_join_equals_plain(spark, sf_dir):
         .collect()
     )
     assert salted == plain and len(plain) > 0
+
+
+def test_hll_sketches_merge_exactly(spark, sf_dir):
+    """The 100 TB distinct-count pattern: build HLL sketches per shard,
+    union the BINARY sketches, and get byte-identical state to a single
+    global sketch — so per-partition/per-day sketches can be stored and
+    rolled up later without rescanning. Also sanity-check the estimate
+    against the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    global_est = e.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    # Shard by event_type (arbitrary partitioning), merge the sketches.
+    merged_est = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged_est == global_est  # merge is lossless, not just "close"
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged_est - exact) / exact < 0.05
