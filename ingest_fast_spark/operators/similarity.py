@@ -98,6 +98,10 @@ def brute_force_topk(
     from ..catalog import ensure_parallelism
 
     qrows = queries.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).collect()
+    if not qrows:  # empty query set: nothing to rank (np would see a 1-D matrix)
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, cos_sim double, rank int"
+        )
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -108,6 +112,8 @@ def brute_force_topk(
 
         ids_q, mat_q = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             block_ids = pdf[id_col].to_numpy(dtype=np.int64)
             block = np.array(list(pdf[vec_col]), dtype=np.float64)
             block = block / np.linalg.norm(block, axis=1, keepdims=True)
@@ -265,6 +271,10 @@ def cosine_near_dup_pairs(
     from ..catalog import ensure_parallelism
 
     rows = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).collect()
+    if not rows:  # empty corpus: no pairs (np would see a 1-D matrix)
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cos_sim double"
+        )
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -275,6 +285,8 @@ def cosine_near_dup_pairs(
 
         all_ids, corpus = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             block_ids = pdf[id_col].to_numpy(dtype=np.int64)
             block = np.array(list(pdf[vec_col]), dtype=np.float64)
             block = block / np.linalg.norm(block, axis=1, keepdims=True)
