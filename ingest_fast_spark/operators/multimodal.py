@@ -86,9 +86,16 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    # NULL payloads (missing media) pass through as NULL
+                    # features, not a worker crash.
+                    "byte_len": pd.array(
+                        [len(b) if b is not None else None for b in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                     "payload_sha256": pdf["payload"].map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "media_type": pdf["media_type"],
                 }

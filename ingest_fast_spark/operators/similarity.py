@@ -97,7 +97,11 @@ def brute_force_topk(
 
     from ..catalog import ensure_parallelism
 
-    qrows = queries.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).collect()
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
     if not qrows:  # empty query set: nothing to rank (np would see a 1-D matrix)
         return corpus.sparkSession.createDataFrame(
             [], f"query_id long, {id_col} long, cos_sim double, rank int"
@@ -112,6 +116,7 @@ def brute_force_topk(
 
         ids_q, mat_q = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             block_ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -270,7 +275,11 @@ def cosine_near_dup_pairs(
 
     from ..catalog import ensure_parallelism
 
-    rows = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).collect()
+    rows = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
     if not rows:  # empty corpus: no pairs (np would see a 1-D matrix)
         return emb.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cos_sim double"
@@ -285,6 +294,7 @@ def cosine_near_dup_pairs(
 
         all_ids, corpus = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             block_ids = pdf[id_col].to_numpy(dtype=np.int64)

@@ -999,7 +999,12 @@ def map_ops(spark, sf_dir):
     counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     maps = counts.groupBy("user_id").agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            # NULL can't be a map key (NULL_MAP_KEY): drop null-typed
+            # entries but keep the user row (empty map, zero probes).
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+                lambda e: e["event_type"].isNotNull(),
+            )
         ).alias("m")
     )
     return maps.select(

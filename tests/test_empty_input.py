@@ -34,3 +34,42 @@ def test_every_query_survives_empty_tables(spark, empty_dir):
         except Exception as ex:  # noqa: BLE001 — collecting a failure report
             failures[name] = str(ex).splitlines()[0][:120]
     assert not failures, f"{len(failures)} queries crash on empty input: {failures}"
+
+
+@pytest.fixture(scope="module")
+def null_payload_dir(spark, sf_dir, tmp_path_factory):
+    """Tables where every non-key nullable column is NULL (5 rows each):
+    the all-null shard a 100 TB job will eventually meet."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("sf_nulls"))
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        keep = {c for c in df.columns if c.endswith("key") or c.endswith("_id")}
+        cols = [
+            F.col(c)
+            if c in keep
+            else F.lit(None).cast(df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ]
+        df.limit(5).select(*cols).repartition(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_null_payloads(spark, null_payload_dir):
+    """Caught three real bugs: NULL map keys (map_ops), len(None) in the
+    multimodal pandas worker, and None embedding vectors reaching numpy
+    in both GEMM paths."""
+    import __spark_entry__ as E
+
+    failures = {}
+    for name, fn in sorted(E.queries().items()):
+        try:
+            fn(spark, null_payload_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting a failure report
+            failures[name] = str(ex).splitlines()[0][:120]
+    assert not failures, f"{len(failures)} queries crash on null payloads: {failures}"
