@@ -52,10 +52,16 @@ def shingles_df(
     split → transform(sequence) → explode."""
     df = ensure_parallelism(df)  # shingling must not serialize onto one scan task
     toks = tokens_col(F.col(text_col))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
+    # Docs shorter than k tokens have NO shingles. The branch is required:
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] (it doesn't return empty
+    # like DuckDB's generate_series), and slice(toks, 0, k) then throws.
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles)).alias("shingle"),
@@ -127,11 +133,15 @@ def doc_shingle_sets(
     computed once and shared by signature + verification stages."""
     df = ensure_parallelism(df)
     toks = tokens_col(F.col(text_col))
+    # Same short-doc branch as shingles_df: sequence(1, 0) descends.
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
     return df.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
 

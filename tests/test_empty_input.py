@@ -73,3 +73,49 @@ def test_every_query_survives_null_payloads(spark, null_payload_dir):
         except Exception as ex:  # noqa: BLE001 — collecting a failure report
             failures[name] = str(ex).splitlines()[0][:120]
     assert not failures, f"{len(failures)} queries crash on null payloads: {failures}"
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, sf_dir, tmp_path_factory):
+    """Adversarial documents: CJK/emoji/RTL, a 50k-char single token,
+    control characters, empty and whitespace-only text, zero-width
+    joiners. Other tables are copied as-is."""
+    d = str(tmp_path_factory.mktemp("sf_unicode"))
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{t}.parquet"))
+    nasty = [
+        (0, "hello 世界 \U0001F600\U0001F600 café naïve", "en", "src0", 10),
+        (1, "مرحبا بالعالم rtl text here", "ar", "src0", 20),
+        (2, "a" * 50000, "en", "src1", 50000),
+        (3, "tab\there\nnewline\r\ncrlf \x00null? \x1besc", "en", "src1", 30),
+        (4, "", "en", "src2", 0),
+        (5, "   ", "en", "src2", 3),
+        (6, "​​zero​width joined", "en", "src3", 20),
+        (7, "normal text repeated normal text repeated normal", "en", "src3", 48),
+    ]
+    spark.createDataFrame(
+        nasty, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).repartition(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def test_every_query_survives_adversarial_text(spark, unicode_dir):
+    """Caught a real bug: docs with < k tokens crashed every shingle-based
+    operator, because Spark's sequence(1, 0) DESCENDS to [1, 0] (DuckDB's
+    generate_series returns empty) and slice(toks, 0, k) throws
+    INVALID_PARAMETER_VALUE (operators/dedup.py short-doc branch)."""
+    import __spark_entry__ as E
+
+    failures = {}
+    for name, fn in sorted(E.queries().items()):
+        try:
+            fn(spark, unicode_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting a failure report
+            failures[name] = str(ex).splitlines()[0][:120]
+    assert not failures, f"{len(failures)} queries crash on adversarial text: {failures}"
