@@ -1120,3 +1120,27 @@ def curation_winsorize_lengths(spark, sf_dir):
             "is_outlier"
         ),
     )
+
+
+@register(
+    "curation_length_deciles",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS length_decile
+    FROM documents
+    """,
+)
+def curation_length_deciles(spark, sf_dir):
+    """Equal-frequency binning (NTILE deciles over length, doc_id
+    tiebreak for determinism) — the feature-prep step behind
+    length-stratified sampling and curriculum ordering. A global NTILE is
+    a single-partition sort of (n_chars, doc_id) PAIRS only — at 100 TB
+    switch to percentile-boundary bucketing (the approxQuantile pattern
+    in sources/layout.py) and this query is the exactness oracle for it."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "source", "n_chars", F.ntile(10).over(w).alias("length_decile")
+    )
