@@ -104,7 +104,13 @@ def hourly_rollup_of_quarters(events: DataFrame, watermark: str = "0 seconds") -
     operators' state and finalizes an hour only when the watermark passes
     its end, so this must run in append mode (complete mode rejects
     chained aggs). Hours still open at end-of-input stay in state; the
-    batch oracle applies the same cutoff."""
+    batch oracle applies the same cutoff.
+
+    The 0-second watermark assumes in-order arrival BETWEEN micro-batches
+    (within a batch order is irrelevant). The driver's single events file
+    is one batch, so nothing is late; a production multi-batch source
+    needs a watermark sized to its real disorder — and every closed hour
+    then emits that much later (the append-mode state/latency trade)."""
     q = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "15 minutes").alias("w"))
