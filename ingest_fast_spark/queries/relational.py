@@ -2255,3 +2255,37 @@ def join_lateral_topk(spark, sf_dir):
         ) l
         """
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    SELECT c_custkey + 1000000 AS c_custkey, 'insert' AS change_type
+    FROM customer WHERE c_custkey % 11 = 0
+    UNION ALL
+    SELECT c_custkey, 'delete' FROM customer WHERE c_custkey % 13 = 0
+    UNION ALL
+    SELECT c_custkey, 'update' FROM customer
+    WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """CDC changeset generation (operators/merge.snapshot_diff): diff two
+    snapshots of the customer table — a deterministic synthetic edit
+    (inserts: %11 keys re-keyed +1e6; deletes: %13 keys; updates: +100
+    acctbal on %7 keys) — into insert/update/delete rows. The oracle
+    states the expected changeset directly from the edit rule, so the
+    full-outer hash-compare machinery is checked end-to-end."""
+    from ..operators.merge import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    new = (
+        c.filter(k % 13 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 7 == 0, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(c.filter(k % 11 == 0).withColumn("c_custkey", k + 1000000))
+    )
+    return snapshot_diff(c, new, ["c_custkey"])

@@ -75,3 +75,44 @@ def test_scd2_collapse_runs_and_validity(spark):
         (1, 40): ("bronze", None, True),
         (2, 15): ("silver", None, True),
     }
+
+
+def test_snapshot_diff_roundtrips_through_merge(spark, sf_dir):
+    """snapshot_diff is merge_upsert's inverse: applying the changeset it
+    emits (plus payloads for insert/update keys) to the old snapshot
+    reproduces the new snapshot exactly."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.operators.merge import merge_upsert, snapshot_diff
+
+    old = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    new = (
+        old.filter(k % 13 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 7 == 0, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(old.filter(k % 11 == 0).withColumn("c_custkey", k + 1000000))
+    )
+    diff = snapshot_diff(old, new, ["c_custkey"])
+    assert diff.filter(F.col("change_type") == "insert").count() > 0
+    assert diff.filter(F.col("change_type") == "delete").count() > 0
+    assert diff.filter(F.col("change_type") == "update").count() > 0
+
+    upserts = new.join(
+        diff.filter(F.col("change_type") != "delete").select("c_custkey"), "c_custkey"
+    ).withColumn("_del", F.lit(False))
+    deletes = (
+        diff.filter(F.col("change_type") == "delete")
+        .select("c_custkey")
+        .select(
+            "c_custkey",
+            *[F.lit(None).cast(old.schema[c].dataType).alias(c)
+              for c in old.columns if c != "c_custkey"],
+            F.lit(True).alias("_del"),
+        )
+    )
+    applied = merge_upsert(old, upserts.unionByName(deletes), ["c_custkey"], "_del")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
