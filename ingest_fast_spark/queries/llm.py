@@ -1144,3 +1144,59 @@ def curation_length_deciles(spark, sf_dir):
     return d.select(
         "doc_id", "source", "n_chars", F.ntile(10).over(w).alias("length_decile")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM overlap
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.05
+    )
+    SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+    FROM edges e1
+    JOIN edges e2 ON e2.doc_a = e1.doc_b
+    JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle enumeration over the near-dup similarity graph — the
+    structure signal CC can't give (a triangle-dense cluster is a true
+    duplicate family; a star is one hub paired with unrelated docs).
+    Edges are oriented doc_a < doc_b, so each triangle appears exactly
+    once (a<b<c) and the 3-way self-join is the standard compact-forward
+    algorithm; at scale the edge list shuffles on its join keys and AQE
+    broadcasts when the graph is small."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(d, k=3, threshold=0.05).select("doc_a", "doc_b")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("doc_a"),
+            F.col("e1.doc_b").alias("doc_b"),
+            F.col("e2.doc_b").alias("doc_c"),
+        )
+    )
