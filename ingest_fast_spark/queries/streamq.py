@@ -236,3 +236,40 @@ def stream_hourly_rollup(spark, sf_dir):
         "q_chain",
         output_mode="append",
     )
+
+
+@register(
+    "stream_session_timeout",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess, mx
+    GROUP BY user_id, sid, m
+    HAVING MAX(ts) + INTERVAL 30 MINUTE < m
+    """,
+)
+def stream_session_timeout(spark, sf_dir):
+    """EVENT-TIME TIMERS (GroupStateTimeout.EventTimeTimeout): per-user
+    sessions close and stream out when the watermark passes
+    last_event + 30min — state expires by timer, not by a later event.
+    Converges to the batch gaps-and-islands sessionize under the same
+    cutoff (open sessions at end-of-input stay in state); the oracle
+    states exactly that."""
+    return _run(
+        ST.session_close_stream(SE.stream_events(spark, sf_dir)),
+        "q_timer",
+        output_mode="append",
+    )

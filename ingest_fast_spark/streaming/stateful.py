@@ -140,3 +140,89 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- Event-time timers: session close-out on expiry --------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, microseconds
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _close_user_sessions(key, pdf_iter, state: GroupState):
+    """Emit a (user, session) row when 30 minutes of event-time pass with
+    no activity — EITHER because a later in-batch event exceeded the gap,
+    OR because the EVENT-TIME TIMER fired (watermark passed last+gap with
+    no new data). State holds only the one open session per user."""
+    import pandas as pd
+
+    closed = []
+    if state.hasTimedOut:
+        start, last, n = state.get
+        closed.append((key[0], start, last, n))
+        state.remove()
+    else:
+        pdfs = [p for p in pdf_iter if len(p)]
+        ts_us = (
+            pd.concat(pdfs, ignore_index=True)["ts"].astype("int64").sort_values()
+            // 1000
+        )
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts_us:
+            t = int(t)
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > _GAP_US:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp((last + _GAP_US) // 1000)  # ms epoch
+    yield pd.DataFrame(
+        closed, columns=["user_id", "start_us", "end_us", "n_events"]
+    )
+
+
+def session_close_stream(events: DataFrame) -> DataFrame:
+    """Timer-driven sessionization: closed sessions stream out as soon as
+    the watermark passes last_event + gap — the push-based twin of the
+    batch gaps-and-islands ``sessionize``. The final no-data micro-batch
+    fires the remaining timers, so under AvailableNow every session whose
+    timeout precedes max(ts) is emitted; still-open sessions stay in
+    state (the batch oracle applies the same cutoff)."""
+    from pyspark.sql import functions as F
+
+    closed = (
+        events.select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _close_user_sessions,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return closed.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).cast("timestamp_ntz").alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
