@@ -57,6 +57,10 @@ HEADLINE = [
     "text_chunk_overlap",
     "build_inverted_index",
     "timeseries_gapfill_ffill",
+    "dedup_semantic",
+    "graph_pagerank",
+    "events_ohlc",
+    "domain_kl_divergence",
 ]
 
 

@@ -200,3 +200,77 @@ def _union_find_local(e: DataFrame, spark, nodes: DataFrame | None) -> DataFrame
         )
         out = out.unionByName(singletons)
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank by power iteration, pure DataFrame ops.
+
+    Per round: contributions = rank/outdeg shipped along edges (one
+    shuffle on ``dst``), plus the dangling-node mass (nodes with no
+    out-edges) and the teleport term redistributed uniformly. The
+    dangling mass and node count are 1-row aggregates cross-joined back
+    (broadcast) — no driver-side collect, so the whole run is one DAG
+    per round. Edge/degree/node sets are localCheckpointed once: every
+    iteration reuses them, and without the checkpoint the lineage (and
+    the re-scan of the edge source) grows linearly with rounds.
+
+    Fixed iteration count (not convergence-tested) keeps the operator
+    deterministic and its oracle SQL-expressible as unrolled CTEs; at
+    100 TB the per-round cost is one edges⋈ranks shuffle — identical to
+    the connected-components round above — and rank state is one row
+    per node, co-partitioned by node id across rounds.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))  # 1 row
+    d = F.lit(damping)
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "n", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(iterations):
+        rd = ranks.join(F.broadcast(deg), ranks["n"] == deg["src"], "left")
+        dangling = rd.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )  # 1 row
+        contrib = (
+            e.join(
+                rd.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("n").alias("csrc"), (F.col("r") / F.col("outdeg")).alias("w")
+                ),
+                F.col("src") == F.col("csrc"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("w").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "n",
+                (
+                    (F.lit(1.0) - d) / F.col("n_nodes")
+                    + d * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n_nodes"))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -426,3 +426,59 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup: cluster the corpus, then score
+    cosine pairs only *within* each cluster.
+
+    The point at 100 TB: exact all-pairs is O(n²); clustering first
+    bounds the candidate set to sum of per-cluster n_i² — with k ≈ √n
+    clusters that is ~n^1.5 comparisons, and each cluster's pair join is
+    an equi-join on cluster_id (shuffle co-partitions members; no
+    cross-cluster traffic at all).
+
+    Assignment is one broadcast of the k centroids + a map-side-combinable
+    ``max_by(cid, struct(cos, -cid))`` hash aggregate — no window/sort.
+    Centroids here are the deterministic first-k vectors (ids < k) so the
+    whole operator stays oracle-exact in SQL; a production run would feed
+    ``kmeans_centroids`` output instead (same assignment/join shape).
+    """
+    v = emb.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec"))
+    cent = v.filter(F.col("vid") < n_clusters).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("cvec")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("cos_c").alias("s"), (-F.col("cid")).alias("t"))
+            ).alias("cluster_id")
+        )
+    )
+    m = assigned.join(v, "vid").select("cluster_id", "vid", "vec")
+    a = m.select(
+        F.col("cluster_id"), F.col("vid").alias("vec_a"), F.col("vec").alias("va")
+    )
+    b = m.select(
+        F.col("cluster_id").alias("cl_b"), F.col("vid").alias("vec_b"), F.col("vec").alias("vb")
+    )
+    pairs = a.join(
+        b, (F.col("cluster_id") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select(
+        "cluster_id",
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= F.lit(threshold))

@@ -1200,3 +1200,195 @@ def graph_triangle_count(spark, sf_dir):
             F.col("e2.doc_b").alias("doc_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup / PageRank / weighted sampling / domain divergence
+# ---------------------------------------------------------------------------
+
+_SEM_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    c AS (SELECT vid AS cid, vec AS cvec FROM v WHERE vid < 8),
+    scored AS (
+      SELECT v.vid, c.cid,
+             ROUND({_SEM_COS.format(a='v.vec', b='c.cvec')}, 6) AS cos_c
+      FROM v CROSS JOIN c
+    ),
+    assigned AS (
+      SELECT vid, cid AS cluster_id FROM (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos_c DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    m AS (SELECT a.cluster_id, v.vid, v.vec FROM assigned a JOIN v ON a.vid = v.vid)
+    SELECT m1.cluster_id, m1.vid AS vec_a, m2.vid AS vec_b,
+           ROUND({_SEM_COS.format(a='m1.vec', b='m2.vec')}, 6) AS cos_sim
+    FROM m m1 JOIN m m2
+      ON m1.cluster_id = m2.cluster_id AND m1.vid < m2.vid
+    WHERE ROUND({_SEM_COS.format(a='m1.vec', b='m2.vec')}, 6) >= 0.4
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic near-dup: assign every vector to its nearest
+    of k deterministic centroids (broadcast + map-side max_by aggregate,
+    no window), then score cosine pairs only within a cluster — the
+    cluster equi-join bounds candidates to ~n^1.5 with k≈√n where exact
+    all-pairs is O(n²)."""
+    return S.semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 50) <> (o_orderkey % 50)
+    ),
+    nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM edges
+                                      UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT n, CAST(1 AS DOUBLE) / (SELECT n_nodes FROM nn) AS r FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    dang{i} AS (SELECT COALESCE(SUM(r), CAST(0 AS DOUBLE)) AS dm
+                FROM r{i-1} WHERE n NOT IN (SELECT src FROM deg)),
+    contrib{i} AS (
+      SELECT e.dst AS n, SUM(p.r / deg.outdeg) AS c
+      FROM edges e JOIN r{i-1} p ON e.src = p.n JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.n,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n_nodes FROM nn)
+             + CAST(0.85 AS DOUBLE) * (COALESCE(contrib{i}.c, CAST(0 AS DOUBLE))
+                        + (SELECT dm FROM dang{i}) / (SELECT n_nodes FROM nn)) AS r
+      FROM nodes LEFT JOIN contrib{i} ON nodes.n = contrib{i}.n
+    )"""
+    return head + body + f"""
+    SELECT n AS node, ROUND(r, 6) AS pagerank FROM r{iters}"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(3))
+def graph_pagerank(spark, sf_dir):
+    """Fixed-3-iteration PageRank (damping 0.85, dangling mass
+    redistributed) over a deterministic directed graph derived from
+    orders (custkey%50 → orderkey%50). Power iteration as pure DataFrame
+    rounds — one edges⋈ranks shuffle per round, 1-row broadcast for the
+    dangling/teleport terms, localCheckpointed state between rounds; the
+    oracle is the same recurrence unrolled as CTEs."""
+    from ..operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(
+        (F.col("o_custkey") % 50).alias("src"), (F.col("o_orderkey") % 50).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(F.col("n").alias("node"), F.round("r", 6).alias("pagerank"))
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln((1 + (doc_id * 2654435761) % 1000000007) / CAST(1000000008 AS DOUBLE))
+             / greatest(n_chars, 1) AS k
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    )
+    SELECT doc_id, source, n_chars, ROUND(k, 8) AS sample_key
+    FROM keyed ORDER BY k LIMIT 50
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row gets key = -ln(u)/weight with u a deterministic arithmetic-
+    hash uniform in (0,1); the weighted sample is the global smallest-50
+    keys — a TakeOrdered top-k, never a full sort. One pass, no
+    replacement bookkeeping; at real scale swap the arithmetic hash for
+    xxhash64 (kept here because the oracle must compute the identical
+    u)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    u = (F.lit(1) + (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)) / F.lit(
+        1000000008.0
+    )
+    k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        d.select("doc_id", "source", "n_chars", k.alias("k"))
+        .orderBy("k")
+        .limit(50)
+        .select("doc_id", "source", "n_chars", F.round("k", 8).alias("sample_key"))
+    )
+
+
+@register(
+    "domain_kl_divergence",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+    stot AS (SELECT source, SUM(c) AS t FROM st GROUP BY source),
+    g AS (SELECT tok, SUM(c) AS gc FROM st GROUP BY tok),
+    gtot AS (SELECT SUM(c) AS gt FROM st)
+    SELECT st.source,
+           ROUND(SUM((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                     * ln((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                          / (CAST(gc AS DOUBLE) / CAST(gt AS DOUBLE)))), 6) AS kl_divergence,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+    FROM st
+    JOIN stot ON st.source IS NOT DISTINCT FROM stot.source
+    JOIN g ON st.tok = g.tok
+    CROSS JOIN gtot
+    GROUP BY st.source
+    """,
+)
+def domain_kl_divergence(spark, sf_dir):
+    """KL(P_domain ‖ P_corpus) over unigram distributions — the data-mixing
+    diagnostic: how far each source's token distribution sits from the
+    global mix. One explode → (source, token) count (map-side
+    combinable), tiny per-source/global totals broadcast back, one
+    token-keyed join against the global distribution. Every domain's
+    support is a subset of the global support, so q > 0 always holds."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    st = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    stot = st.groupBy("source").agg(F.sum("c").alias("t"))
+    g = st.groupBy("tok").agg(F.sum("c").alias("gc"))
+    gtot = st.agg(F.sum("c").alias("gt"))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    q = F.col("gc").cast("double") / F.col("gt").cast("double")
+    return (
+        st.join(F.broadcast(stot), st["source"].eqNullSafe(stot["source"]))
+        .drop(stot["source"])
+        .join(g, "tok")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )

@@ -2289,3 +2289,86 @@ def cdc_snapshot_diff(spark, sf_dir):
         .unionByName(c.filter(k % 11 == 0).withColumn("c_custkey", k + 1000000))
     )
     return snapshot_diff(c, new, ["c_custkey"])
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY bucket, event_type
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY bucket, event_type) AS cnt
+      FROM e
+    )
+    SELECT bucket, event_type,
+           MAX(CASE WHEN rn = 1   THEN value END) AS open,
+           MAX(value)                             AS high,
+           MIN(value)                             AS low,
+           MAX(CASE WHEN rn = cnt THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT)               AS n_events,
+           ROUND(SUM(value), 2)                   AS sum_value
+    FROM r GROUP BY bucket, event_type
+    """,
+)
+def events_ohlc(spark, sf_dir):
+    """OHLC candle rollup (the hypertable continuous-aggregate shape):
+    open/close are ``min_by``/``max_by`` over the (ts, event_id) ordering
+    struct — the whole candle is ONE map-side-combinable hash aggregate,
+    no window, no sort. The oracle says the same thing with row_number
+    windows (DuckDB 1.0 lacks struct-ordered arg_min); high/low/open/close
+    propagate raw doubles untouched, so no rounding is needed for parity."""
+    e = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts").alias("o1"), F.col("event_id").alias("o2"))
+    return (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6)      AS avg_x,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 2)      AS avg_y,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Closed-form per-group OLS via the SQL-standard REGR_* aggregate
+    family (slope/intercept/R²/means/count of extendedprice ~ quantity).
+    Single-pass, map-side-combinable moment sums — the distributed way to
+    fit millions of small per-group models without any iterative solver."""
+    l = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )

@@ -79,3 +79,40 @@ def test_small_graph_fallback_matches_distributed(spark):
     assert _spark_components(spark, n, edges, threshold=100_000) == _spark_components(
         spark, n, edges, threshold=0
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_two_node_cycle(spark):
+    from ingest_fast_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    r = {row["n"]: row["r"] for row in pagerank(e, iterations=5).collect()}
+    assert abs(r[0] - 0.5) < 1e-12 and abs(r[1] - 0.5) < 1e-12
+
+
+def test_pagerank_dangling_node_golden(spark):
+    """a→b with b dangling, one iteration, hand-computed:
+    r(a) = 0.15/2 + 0.85*(dangling_mass/2)        = 0.2875
+    r(b) = 0.15/2 + 0.85*(0.5 + dangling_mass/2)  = 0.7125"""
+    from ingest_fast_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    r = {row["n"]: row["r"] for row in pagerank(e, iterations=1).collect()}
+    assert abs(r[0] - 0.2875) < 1e-12 and abs(r[1] - 0.7125) < 1e-12
+
+
+def test_pagerank_mass_conserved(spark):
+    import random
+
+    from ingest_fast_spark.operators.graph import pagerank
+
+    rng = random.Random(3)
+    e = spark.createDataFrame(
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(80)],
+        "src long, dst long",
+    )
+    total = sum(row["r"] for row in pagerank(e, iterations=3).collect())
+    assert abs(total - 1.0) < 1e-9

@@ -98,3 +98,26 @@ def test_cosine_lsh_recall_and_precision(spark, sf_dir):
     if exact:
         recall = len(set(approx) & set(exact)) / len(exact)
         assert recall >= 0.3, (recall, len(exact), len(approx))
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark, sf_dir):
+    """Every within-cluster pair SemDeDup reports must also be reported by
+    the exact all-pairs operator at the same threshold (clustering only
+    *restricts* the candidate set), and both sides agree on cos_sim."""
+    from ingest_fast_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): round(r["cos_sim"], 6)
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert sem, "semantic dedup found no pairs at sf0.001"
+    for pair, cos in sem.items():
+        assert pair in exact and abs(exact[pair] - cos) < 2e-6, pair
