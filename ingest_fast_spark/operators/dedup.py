@@ -248,6 +248,184 @@ def minhash_near_dups(
     )
 
 
+# --- Engine-portable hashing (md5-derived) ----------------------------------
+#
+# xxhash64 is the fast JVM path, but it exists only in Spark — queries that
+# should be oracle-checked against DuckDB need a hash BOTH engines compute
+# bit-identically. md5 is that hash: fold the first 15 hex chars (60 bits)
+# into a BIGINT. Spark: conv(substr(md5(x),1,15),16,10). DuckDB: digit fold
+# via list_reduce (see PORTABLE_HASH60_SQL). Verified identical.
+
+_MINHASH_P = 2147483647  # 2^31-1 (Mersenne prime): keeps a*h+b < 2^62
+_FOLD_K = 1000003
+_FOLD_M = 1000000007
+
+
+def portable_hash60(col):
+    """60-bit engine-portable hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB twin of ``portable_hash60`` (identical value)."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}),1,15), ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
+def minhash_families(num_hashes: int = 16, seed: int = 20240813) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine-family constants shared by the Spark
+    operator and the generated oracle SQL."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def _band_fold(sig, start: int, rows: int):
+    """Bucket key for one band: nested modular fold of ``rows`` signature
+    slots — an explicit expression (not aggregate/reduce) so the identical
+    arithmetic is trivially written in SQL."""
+    acc = F.element_at(sig, start + 1).cast("long")
+    for j in range(1, rows):
+        acc = (acc % _FOLD_M * _FOLD_K + F.element_at(sig, start + 1 + j)) % _FOLD_M
+    return acc
+
+
+def _band_fold_sql(sig_expr: str, start: int, rows: int) -> str:
+    acc = f"CAST({sig_expr}[{start + 1}] AS BIGINT)"
+    for j in range(1, rows):
+        acc = f"((({acc}) % {_FOLD_M}) * {_FOLD_K} + {sig_expr}[{start + 1 + j}]) % {_FOLD_M}"
+    return acc
+
+
+def minhash_near_dups_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """MinHash-LSH near-dups with ENGINE-PORTABLE hashing, so the full
+    pipeline (signature → banded candidates → exact-Jaccard verify) is
+    oracle-checkable in DuckDB; see ``minhash_oracle_sql``.
+
+    Same shape as ``minhash_near_dups`` (the xxhash64 scale default): the
+    base shingle hash is computed ONCE per shingle (one md5), then the
+    ``num_hashes`` families are affine transforms (aᵢ·h+bᵢ) mod 2³¹-1 of
+    that value — all inside codegen over a shared array. Docs with no
+    shingles (< k tokens) can't near-dup and are excluded up front.
+    """
+    fams = minhash_families(num_hashes)
+    sets = doc_shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
+    hv = F.transform("shingles", lambda s: portable_hash60(s) % _MINHASH_P)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hv", lambda h: (F.lit(a) * h + F.lit(b)) % _MINHASH_P))
+            for a, b in fams
+        ]
+    )
+    sigs = (
+        sets.withColumn("hv", hv)
+        .select("doc_id", "shingles", sig.alias("signature"))
+        .localCheckpoint(eager=True)  # feeds banding + both verify sides
+    )
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_fold(F.col("signature"), b * rows_per_band, rows_per_band).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.05
+) -> str:
+    """DuckDB SQL computing EXACTLY ``minhash_near_dups_portable`` over the
+    ``documents`` view (3-token shingles)."""
+    fams = minhash_families(num_hashes)
+    rows_per_band = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+        for a, b in fams
+    )
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{_band_fold_sql('sig', b * rows_per_band, rows_per_band)} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM toks
+    ),
+    hs AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {portable_hash60_sql('s')} % {_MINHASH_P}) AS hv
+      FROM sets WHERE len(shingles) > 0
+    ),
+    sigs AS (SELECT doc_id, shingles, [{sig_elems}] AS sig FROM hs),
+    banded AS (
+      {band_union}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             ROUND(len(list_intersect(sa.shingles, sb.shingles))
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+      FROM cands
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash_signatures_exploded(
@@ -361,6 +539,156 @@ def simhash_near_dups(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dups_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    nbits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dups with ENGINE-PORTABLE hashing (60-bit signature
+    from the md5-derived token hash), oracle-checkable in DuckDB via
+    ``simhash_oracle_sql``. At hamming ≤ 3 the 4-band blocking is EXACT
+    (pigeonhole: some band must be untouched), same as the 64-bit variant.
+
+    The signature is carried as ``bands`` per-band integers (15 bits each)
+    rather than one assembled 60-bit word — banding needs the pieces
+    anyway and hamming is the sum of per-band ``bit_count(xor)``.
+
+    Signature stage: Arrow-batched pandas UDF with VOCAB-LEVEL hashing —
+    each distinct token in a batch is md5'd once (documents share most of
+    their vocabulary, ~100× fewer hashes than per-(doc,token) work), then a
+    doc's vote vector is a row-gather + sum over the ±1 matrix. The hash
+    is ``int(md5hex[:15], 16)`` — bit-identical to ``portable_hash60`` /
+    the DuckDB digit fold, so the oracle still re-derives exact bands.
+    Tokenization stays JVM-side (same split as the oracle); an all-JVM
+    explode + 60-conditional-sum formulation measured ~2× slower at sf0.1
+    (60M aggregate updates vs ~50k md5 calls + numpy gathers).
+
+    Null-text docs are dropped (both the oracle's ``unnest(NULL)`` and the
+    explode formulation drop them; the UDF path filters to match)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bits_per_band = nbits // bands
+    sig_schema = StructType([StructField(f"b{i}", LongType()) for i in range(bands)])
+
+    @F.pandas_udf(sig_schema)
+    def bandsig(toks: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        shifts = np.arange(nbits, dtype=np.uint64)
+        token_sets = [set(t) if t is not None else set() for t in toks]
+        vocab = sorted(set().union(*token_sets)) if token_sets else []
+        index = {tok: i for i, tok in enumerate(vocab)}
+        hashes = np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in vocab],
+            dtype=np.uint64,
+        )
+        signs = (
+            (((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1)
+            if len(vocab)
+            else np.zeros((0, nbits), dtype=np.int8)
+        )
+        powers = np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64)
+        out = np.zeros((len(token_sets), bands), dtype=np.int64)
+        for i, tokens in enumerate(token_sets):
+            if not tokens:
+                continue
+            votes = signs[[index[t] for t in tokens]].sum(axis=0, dtype=np.int64)
+            bits = votes > 0
+            for bnd in range(bands):
+                seg = bits[bnd * bits_per_band : (bnd + 1) * bits_per_band]
+                out[i, bnd] = int(powers[seg].sum(dtype=np.uint64))
+        return pd.DataFrame(out, columns=[f"b{i}" for i in range(bands)])
+
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    sigs = (
+        ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .select("doc_id", bandsig("toks").alias("sig"))
+        .select("doc_id", *[F.col(f"sig.b{i}").alias(f"b{i}") for i in range(bands)])
+        .localCheckpoint(eager=True)
+    )
+    bnames = [f"b{i}" for i in range(bands)]
+    banded = sigs.select(
+        "doc_id",
+        *bnames,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", *bnames, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(b).alias(f"a_{b}") for b in bnames],
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(bn).alias(f"b_{bn}") for bn in bnames],
+        "band",
+        "key",
+    )
+    hamming = None
+    for bn in bnames:
+        term = F.bit_count(F.col(f"a_{bn}").bitwiseXOR(F.col(f"b_{bn}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_oracle_sql(max_hamming: int = 3, nbits: int = 60, bands: int = 4) -> str:
+    """DuckDB SQL computing EXACTLY ``simhash_near_dups_portable`` over the
+    ``documents`` view."""
+    bits_per_band = nbits // bands
+    vote_cols = ",\n             ".join(
+        f"SUM(((hv >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(nbits)
+    )
+    band_exprs = []
+    for bnd in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN v{bnd * bits_per_band + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+        band_exprs.append(f"CAST({terms} AS BIGINT) AS b{bnd}")
+    bnames = [f"b{i}" for i in range(bands)]
+    ham = " + ".join(f"bit_count(xor(a.{b}, b.{b}))" for b in bnames)
+    any_band = " OR ".join(f"a.{b} = b.{b}" for b in bnames)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {portable_hash60_sql('tok')} AS hv FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {vote_cols}
+      FROM h GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {', '.join(band_exprs)} FROM votes),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({ham} AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({any_band})
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
 
 
 # --- Paragraph-level dedup (C4/RefinedWeb-style) ----------------------------

@@ -428,12 +428,76 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k, ORACLE-EXACT variant: centroids are the ``n_centroids``
+    lowest-id vectors (no RNG, no k-means float accumulation-order drift),
+    and every cosine comparison (assignment, probe ranking, scoring) is
+    rounded to 6 decimals BEFORE comparison so engine-level FP ordering
+    can't flip an argmax. Same plan shape as ``ivf_topk`` (the k-means
+    scale variant): broadcast centroids → map-side max_by assignment →
+    broadcast probe set → bucket equi-join → window top-k."""
+    e = corpus.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cent = (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("cos_c").alias("s"), (-F.col("cid")).alias("t"))
+            ).alias("bucket"),
+            F.first("v").alias("v"),
+        )
+    )
+    q = queries.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    qprobe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_q", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("bucket"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     n_clusters: int = 8,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup: cluster the corpus, then score
     cosine pairs only *within* each cluster.
@@ -446,16 +510,47 @@ def semantic_dedup_pairs(
 
     Assignment is one broadcast of the k centroids + a map-side-combinable
     ``max_by(cid, struct(cos, -cid))`` hash aggregate — no window/sort.
-    Centroids here are the deterministic first-k vectors (ids < k) so the
-    whole operator stays oracle-exact in SQL; a production run would feed
-    ``kmeans_centroids`` output instead (same assignment/join shape).
+
+    PRECONDITION (round-1 advice): default centroids are the vectors whose
+    id is < ``n_clusters`` — the input MUST contain ids in [0, n_clusters),
+    or the operator raises (an empty centroid set would otherwise silently
+    return zero pairs). Offset/string-id corpora pass ``centroids=``
+    (schema: centroid_id, <vec_col>) — e.g. ``kmeans_centroids`` output
+    (same assignment/join shape). The id<k default keeps the operator
+    oracle-exact in SQL.
+
+    Zero-norm vectors are filtered up front: cosine is undefined there and
+    engines disagree (Spark NULL vs DuckDB inf/NaN under its IEEE default).
+
+    Within-cluster scoring is a per-cluster GEMM via ``applyInPandas``:
+    the cluster equi-shuffle co-locates members, then each cluster scores
+    its n_i × n_i block in one numpy matmul instead of n_i² HOF-cosine
+    expression evals (measured ~10s → ~1s at sf0.1). Task memory is
+    O(n_i·dim + n_i²) — with k ≈ √n clusters that is O(n), the same
+    bound as the candidate pair set itself; clusters too large for that
+    should be re-clustered (k up), not GEMM'd.
     """
-    v = emb.filter(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    ).select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec"))
-    cent = v.filter(F.col("vid") < n_clusters).select(
-        F.col("vid").alias("cid"), F.col("vec").alias("cvec")
+    import numpy as np
+    import pandas as pd
+
+    v = (
+        emb.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec"))
+        .filter(dot(F.col("vec"), F.col("vec")) > 0)
     )
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("centroid_id").alias("cid"), as_double(F.col(vec_col)).alias("cvec")
+        )
+    else:
+        cent = v.filter(F.col("vid") < n_clusters).select(
+            F.col("vid").alias("cid"), F.col("vec").alias("cvec")
+        )
+        if cent.limit(1).count() == 0 and v.limit(1).count() > 0:
+            raise ValueError(
+                f"semantic_dedup_pairs: no ids < n_clusters={n_clusters} in "
+                f"'{id_col}' — pass centroids= for offset/string-id corpora"
+            )
     assigned = (
         v.crossJoin(F.broadcast(cent))
         .withColumn("cos_c", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
@@ -467,18 +562,31 @@ def semantic_dedup_pairs(
         )
     )
     m = assigned.join(v, "vid").select("cluster_id", "vid", "vec")
-    a = m.select(
-        F.col("cluster_id"), F.col("vid").alias("vec_a"), F.col("vec").alias("va")
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"cluster_id": [], "vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype(
+                {"cluster_id": "int64", "vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        s = sims[ai, bi]
+        keep = s >= threshold
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()), pdf["cluster_id"].iloc[0], dtype=np.int64),
+                "vec_a": ids[ai[keep]],
+                "vec_b": ids[bi[keep]],
+                "cos_sim": s[keep],
+            }
+        )
+
+    return m.groupBy("cluster_id").applyInPandas(
+        score, "cluster_id long, vec_a long, vec_b long, cos_sim double"
     )
-    b = m.select(
-        F.col("cluster_id").alias("cl_b"), F.col("vid").alias("vec_b"), F.col("vec").alias("vb")
-    )
-    pairs = a.join(
-        b, (F.col("cluster_id") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b"))
-    ).select(
-        "cluster_id",
-        "vec_a",
-        "vec_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-    )
-    return pairs.filter(F.col("cos_sim") >= F.lit(threshold))

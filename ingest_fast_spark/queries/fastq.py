@@ -254,6 +254,34 @@ merged AS (
 )"""
 
 
+# --- harness boundary: arrays → strings --------------------------------------
+#
+# The driver's canonicalizer sorts result rows by every output column, and
+# Python lists are unhashable/unorderable there — so registered queries emit
+# array columns as '|'-joined strings. The arrays are already sorted+distinct
+# on both sides, so the serialization is deterministic and lossless for the
+# hash comparison. The underlying operators (fast_pipeline) keep real arrays.
+
+_DOC_ARRAY_COLS = ("altLabel", "sameAsLc", "sameAsViaf", "normalized")
+
+
+def _join_arrays(df, cols=_DOC_ARRAY_COLS):
+    for c in cols:
+        df = df.withColumn(c, F.array_join(F.col(c).cast("array<string>"), "|"))
+    return df
+
+
+def _sql_doc_str(src: str) -> str:
+    # COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+    return f"""
+    SELECT _id, fast, type, prefLabel,
+           COALESCE(array_to_string(altLabel, '|'), '')   AS altLabel,
+           COALESCE(array_to_string(sameAsLc, '|'), '')   AS sameAsLc,
+           COALESCE(array_to_string(sameAsViaf, '|'), '') AS sameAsViaf,
+           COALESCE(array_to_string(normalized, '|'), '') AS normalized
+    FROM {src}"""
+
+
 # --- queries -----------------------------------------------------------------
 
 @register(
@@ -275,13 +303,13 @@ def fast_parse_triples(spark, sf_dir):
     oracle=f"""
     WITH {_sql_parsed(TOPICAL_LINES)},
     fast_docs AS ({_sql_fast_docs('Topical')})
-    SELECT * FROM fast_docs
+    {_sql_doc_str('fast_docs')}
     """,
 )
 def fast_aggregate_docs(spark, sf_dir):
     """A1-A5: keyed accumulation into FAST authority documents."""
     parsed = fp.filter_triples(parse_nt_lines(_lines_df(spark, TOPICAL_LINES)))
-    return fp.aggregate_fast(parsed, "Topical")
+    return _join_arrays(fp.aggregate_fast(parsed, "Topical"))
 
 
 @register(
@@ -291,14 +319,16 @@ def fast_aggregate_docs(spark, sf_dir):
     fast_docs AS ({_sql_fast_docs('Topical')}),
     sameas AS ({_sql_sameas()}),
     {_sql_enriched('fast_docs', 'sameas')}
-    SELECT * FROM enriched
+    {_sql_doc_str('enriched')}
     """,
 )
 def fast_enrich_sameas(spark, sf_dir):
     """A7 + J1: sameAs label index + broadcast enrichment join."""
     parsed = fp.filter_triples(parse_nt_lines(_lines_df(spark, TOPICAL_LINES)))
-    return fp.enrich_with_sameas(
-        fp.aggregate_fast(parsed, "Topical"), fp.sameas_index(parsed)
+    return _join_arrays(
+        fp.enrich_with_sameas(
+            fp.aggregate_fast(parsed, "Topical"), fp.sameas_index(parsed)
+        )
     )
 
 
@@ -328,13 +358,13 @@ _ALL_BRANCHES = f"""
 @register(
     "fast_table_end_to_end",
     oracle=f"""{_ALL_BRANCHES}
-    SELECT * FROM merged
+    {_sql_doc_str('merged')}
     """,
 )
 def fast_table_end_to_end(spark, sf_dir):
     """The complete topical pipeline (§3.2): four source files, per-file
     parse→aggregate→enrich, Event skip-viaf filter, cross-file merge."""
-    return fp.build_fast_table(_triples_by_type(spark))
+    return _join_arrays(fp.build_fast_table(_triples_by_type(spark)))
 
 
 def _viaf_values() -> str:
@@ -372,9 +402,9 @@ def _viaf_values() -> str:
       FROM matches GROUP BY _id
     )
     SELECT v._id, v.viaf, v.lcId,
-           list_sort(list_distinct(list_concat(
+           COALESCE(array_to_string(list_sort(list_distinct(list_concat(
              COALESCE(v.fast, CAST([] AS BIGINT[])),
-             COALESCE(n._new_fast, CAST([] AS BIGINT[]))))) AS fast
+             COALESCE(n._new_fast, CAST([] AS BIGINT[]))))), '|'), '') AS fast
     FROM viaf v LEFT JOIN new_ids n ON v._id = n._id
     """,
 )
@@ -384,4 +414,4 @@ def fast_viaf_update(spark, sf_dir):
     viaf = spark.createDataFrame(
         VIAF_ROWS, "_id string, viaf string, lcId string, fast array<bigint>"
     )
-    return fp.build_viaf_updates(_triples_by_type(spark), viaf)
+    return _join_arrays(fp.build_viaf_updates(_triples_by_type(spark), viaf), ["fast"])

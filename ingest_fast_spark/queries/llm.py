@@ -74,21 +74,29 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: bucket hashes are engine-specific
+@register("dedup_minhash_lsh", oracle=D.minhash_oracle_sql())
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pipeline; recall vs exact Jaccard is asserted in
-    tests/test_dedup.py (the driver records the rows-only check)."""
-    return D.minhash_near_dups(
+    """MinHash-LSH near-dup pipeline (signatures → banded buckets →
+    exact-Jaccard verify), ORACLE-CHECKED end to end: the registered
+    variant uses the engine-portable md5-derived hash families so DuckDB
+    re-derives the identical buckets and pairs. The xxhash64 variant
+    (``D.minhash_near_dups``, same plan shape, faster hash) is the scale
+    default; recall vs exact Jaccard is asserted in tests/test_dedup.py."""
+    return D.minhash_near_dups_portable(
         load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.05
     )
 
 
-@register("dedup_simhash")  # rows-only: pandas-UDF path
+@register("dedup_simhash", oracle=D.simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dups at the standard 64-bit radius (hamming <= 3,
-    cf. Manku et al. WWW'07) — at d<=3 the 4x16-bit banding is EXACT
-    (any such pair must agree on a full band), not a recall heuristic."""
-    return D.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dups (hamming <= 3, cf. Manku et al. WWW'07) — at d<=3
+    the 4-band blocking is EXACT (some band must agree), not a recall
+    heuristic. Registered variant: 60-bit engine-portable signature,
+    ORACLE-CHECKED against DuckDB computing the identical votes/bands;
+    the 64-bit pandas/xxhash64 variants remain in operators/dedup.py."""
+    return D.simhash_near_dups_portable(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
 
 
 _EMB_COS = (
@@ -115,12 +123,50 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-@register("dedup_embedding_lsh")  # rows-only: LSH candidate set is approximate
+def _emb_lsh_oracle(threshold: float = 0.4, nbits: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of ``S.cosine_near_dup_lsh``: the SAME hyperplane
+    constants (seeded numpy, embedded as double literals that round-trip
+    exactly) produce the same sign-bit band keys; candidates sharing any
+    band are verified with exact round-6 cosine."""
+    planes = S._hyperplanes(64, nbits)
+    bits_per_band = nbits // bands
+    keys = []
+    for bnd in range(bands):
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in planes[bnd * bits_per_band + j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+        keys.append(f"({terms}) AS k{bnd}")
+    any_band = " OR ".join(f"a.k{i} = b.k{i}" for i in range(bands))
+    cos = (
+        "list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    sk AS (SELECT vec_id, v, {', '.join(keys)} FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sk a JOIN sk b ON a.vec_id < b.vec_id AND ({any_band})
+    )
+    SELECT vec_a, vec_b, ROUND({cos}, 6) AS cos_sim
+    FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+    WHERE ROUND({cos}, 6) >= {threshold}
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
 def dedup_embedding_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup (bucketed candidates, exact cosine
-    verify); recall vs the exact operator asserted in tests."""
+    verify) — ORACLE-CHECKED: the hyperplanes are deterministic literals,
+    so DuckDB re-derives the identical buckets, candidate set, and
+    verified pairs. Recall vs the exact operator asserted in tests."""
     return S.cosine_near_dup_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()),
+        threshold=0.4,
     )
 
 
@@ -159,12 +205,57 @@ def embed_topk_bruteforce(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@register("embed_topk_ivf")  # rows-only: ANN result is approximate by design
+_IVF_COS_A = (
+    "list_dot_product({x}, {y}) / "
+    "(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
+)
+
+_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    asg AS (
+      SELECT vec_id, v, cid AS bucket FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_IVF_COS_A.format(x='e.v', y='c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_IVF_COS_A.format(x='q.qv', y='c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND({_IVF_COS_A.format(x='p.qv', y='a.v')}, 6) AS cos_sim
+      FROM asg a JOIN probe p ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register("embed_topk_ivf", oracle=_IVF_ORACLE)
 def embed_topk_ivf(spark, sf_dir):
-    """IVF-style ANN top-k (probes 2 of 8 coarse buckets); recall vs brute
-    force asserted in tests/test_similarity.py."""
+    """IVF ANN top-k (probes 2 of 8 coarse buckets) — ORACLE-CHECKED
+    deterministic variant: lowest-id centroids, round-6 cosine before
+    every comparison. The k-means-centroid variant (``S.ivf_topk``, same
+    plan shape) is the production path; its recall vs brute force is
+    asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return S.ivf_topk_deterministic(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -987,7 +1078,7 @@ def text_chunk_overlap(spark, sf_dir):
     )
     SELECT token,
            COUNT(*) AS doc_freq,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_sort(list(doc_id)), '|') AS postings
     FROM toks
     GROUP BY token
     HAVING COUNT(*) >= 3
@@ -1013,7 +1104,11 @@ def build_inverted_index(spark, sf_dir):
         toks.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            # '|'-joined (not a real array): the driver canonicalizer sorts
+            # rows by every column and can't order list cells.
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), "|"
+            ).alias("postings"),
         )
         .filter(F.col("doc_freq") >= 3)
     )
@@ -1216,7 +1311,10 @@ _SEM_COS = (
     "dedup_semantic",
     oracle=f"""
     WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vec
-               FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     c AS (SELECT vid AS cid, vec AS cvec FROM v WHERE vid < 8),
     scored AS (
       SELECT v.vid, c.cid,
@@ -1307,7 +1405,8 @@ def graph_pagerank(spark, sf_dir):
     oracle="""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-             -ln((1 + (doc_id * 2654435761) % 1000000007) / CAST(1000000008 AS DOUBLE))
+             -ln((1 + ((doc_id % 1000000007) * 2654435761) % 1000000007)
+                 / CAST(1000000008 AS DOUBLE))
              / greatest(n_chars, 1) AS k
       FROM documents
       WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
@@ -1322,14 +1421,18 @@ def sample_weighted(spark, sf_dir):
     hash uniform in (0,1); the weighted sample is the global smallest-50
     keys — a TakeOrdered top-k, never a full sort. One pass, no
     replacement bookkeeping; at real scale swap the arithmetic hash for
-    xxhash64 (kept here because the oracle must compute the identical
-    u)."""
+    xxhash64 (kept here because the oracle must compute the identical u).
+
+    The id is reduced mod 1000000007 BEFORE the Knuth multiply: the raw
+    product overflows int64 once doc_id exceeds ~3.47e9, where Spark
+    (non-ANSI) silently wraps negative while DuckDB raises — the pre-mod
+    keeps the product < 2^61 so both engines stay in range at any id."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
     )
-    u = (F.lit(1) + (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)) / F.lit(
-        1000000008.0
-    )
+    u = (
+        F.lit(1) + ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)) % F.lit(1000000007)
+    ) / F.lit(1000000008.0)
     k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
     return (
         d.select("doc_id", "source", "n_chars", k.alias("k"))

@@ -188,7 +188,7 @@ def agg_basic_stats(spark, sf_dir):
     "agg_distinct_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), '|') AS statuses,
            COUNT(DISTINCT l_suppkey)                    AS n_supp,
            COUNT(DISTINCT l_partkey)                    AS n_part
     FROM lineitem
@@ -196,10 +196,12 @@ def agg_basic_stats(spark, sf_dir):
     """,
 )
 def agg_distinct_collect(spark, sf_dir):
-    """Set-collect (A5) + multi distinct-count in one aggregate."""
+    """Set-collect (A5) + multi distinct-count in one aggregate. The set is
+    emitted '|'-joined: the driver canonicalizer sorts rows by every column
+    and can't order list cells."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), "|").alias("statuses"),
         F.count_distinct("l_suppkey").alias("n_supp"),
         F.count_distinct("l_partkey").alias("n_part"),
     )

@@ -26,7 +26,9 @@ from pyspark.sql.types import (
 
 from ..session import apply_runtime_confs
 
-# events.parquet physical schema under nanosAsLong (ts is INT64 nanos).
+# events.parquet physical schema under nanosAsLong (ts is INT64 nanos) —
+# the legacy testdata vintage; newer testdata writes a real timestamp[us].
+# Use raw_events_schema()/normalize_ts to handle either.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -39,26 +41,44 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def raw_events_schema(spark: SparkSession, path: str) -> StructType:
+    """The physical schema of an events parquet file/dir, as Spark reads it
+    (ts may be INT64 nanos → long under the legacy flag, or timestamp)."""
+    apply_runtime_confs(spark)
+    return spark.read.parquet(path).schema
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """ts → zoned TIMESTAMP (micros), whatever the physical vintage:
+    INT64-nanos long (integer DIV — floor(a/b) via doubles drifts ±1 µs at
+    1e18 ns) or a real timestamp/timestamp_ntz column. Watermarks require
+    a zoned TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on ntz); the
+    session runs in UTC so the cast is a zone-flavor change only."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over events.parquet with the same ts
-    normalization as the batch loader (nanos → micros).
+    normalization as the batch loader.
 
-    Watermarks require a zoned TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
-    on timestamp_ntz), so ``ts`` stays TIMESTAMP here; the session runs in
-    UTC, and window bounds are cast back to timestamp_ntz in each output so
+    Window bounds are cast back to timestamp_ntz in each output so
     streaming results are schema- and value-identical to the batch twins."""
     apply_runtime_confs(spark)
     # The file-source stream monitors a DIRECTORY for files (a bare file is
     # rejected: "Option 'basePath' must be a directory"), so watch sf_dir
     # filtered down to the events file(s).
+    import os as _os
+
+    schema = raw_events_schema(spark, _os.path.join(sf_dir, "events.parquet"))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events*.parquet")
         .load(sf_dir)
     )
-    # Integer DIV (floor(a/b) via doubles drifts ±1 µs at 1e18 ns).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_ts(raw)
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

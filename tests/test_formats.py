@@ -52,12 +52,11 @@ def test_incremental_multibatch_upsert(spark, sf_dir, tmp_path):
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     raw.repartition(4).write.parquet(src)
 
-    stream = (
-        spark.readStream.schema(SE.EVENTS_RAW_SCHEMA)
+    stream = SE.normalize_ts(
+        spark.readStream.schema(SE.raw_events_schema(spark, src))
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     # The 4 split files are NOT time-ordered (round-robin repartition), so
     # each micro-batch spans the whole month; a 1-hour watermark would

@@ -55,12 +55,17 @@ def test_run_ingest_matches_pipeline_queries(spark, nt_dir):
         )
         metrics = jobs.run_ingest(spark, nt_dir, out_dir, viaf=viaf)
 
+        # The registered queries serialize arrays to '|'-joined strings for
+        # the driver harness; the written tables keep real arrays, so
+        # compare against the underlying operators.
+        from ingest_fast_spark.operators import fast_pipeline as fp
+
         written_fast = spark.read.parquet(os.path.join(out_dir, "fast"))
-        expected_fast = fastq.fast_table_end_to_end(spark, nt_dir)
+        expected_fast = fp.build_fast_table(fastq._triples_by_type(spark))
         assert _freeze(written_fast.collect()) == _freeze(expected_fast.collect())
 
         written_viaf = spark.read.parquet(os.path.join(out_dir, "viaf"))
-        expected_viaf = fastq.fast_viaf_update(spark, nt_dir)
+        expected_viaf = fp.build_viaf_updates(fastq._triples_by_type(spark), viaf)
         assert _freeze(written_viaf.collect()) == _freeze(expected_viaf.collect())
 
         assert metrics["n_fast_docs"] == written_fast.count()
