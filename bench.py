@@ -61,6 +61,11 @@ HEADLINE = [
     "graph_pagerank",
     "events_ohlc",
     "domain_kl_divergence",
+    "dedup_jaccard_prefix_filter",
+    "quality_model_score",
+    "doc_unigram_logppl",
+    "event_transition_matrix",
+    "sessions_max_concurrency",
 ]
 
 

@@ -126,6 +126,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering (AllPairs,
+    Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08).
+
+    Order every doc's shingle set by ascending global document frequency
+    (rarest first, shingle text as tiebreak — one GLOBAL total order).
+    A pair with J ≥ t must share at least one shingle inside each side's
+    first ``|S| - ceil(t·|S|) + 1`` shingles (if the prefixes were
+    disjoint, the overlap would be < t·|S| ≤ t·max sizes — contradiction).
+    So only prefix-shingle collisions become candidates, and exact-Jaccard
+    verification of those candidates loses NO recall: the output EQUALS
+    the full all-pairs join at the same threshold (the oracle checks
+    exactly that, making this algorithm-independently verified).
+
+    Why this is the scale path for high thresholds: the plain
+    shingle-blocked join fans out quadratically on FREQUENT shingles (the
+    skew keys); prefix filtering joins only on each doc's RAREST shingles,
+    so the frequent tail never enters the candidate join at all. At
+    t=0.5 the prefix is ~half the set; at t=0.8 ~20%.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles_df(df, text_col, id_col, k)
+    # Feeds df-count, the ranked prefix, and both verification sides.
+    sh = sh.localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("shingle"))
+    wsz = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+        )
+        .select("doc_id", "shingle")
+    )
+    a = ranked.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ranked.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
+    sets_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sets_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def doc_shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

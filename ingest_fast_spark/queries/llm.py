@@ -74,6 +74,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register("dedup_jaccard_prefix_filter", oracle=_JACCARD_ORACLE.format(thr="0.5"))
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """EXACT Jaccard pairs (J >= 0.5) via AllPairs/PPJoin prefix filtering:
+    candidates only where the rarest-shingle prefixes collide, then exact
+    verification — zero recall loss by construction. The oracle is the
+    PLAIN all-pairs formulation at the same threshold, so the driver
+    check proves algorithm-equivalence, not just self-consistency. This is
+    the high-threshold scale path: the candidate join touches each doc's
+    rare shingles only, so frequent-shingle skew keys never fan out."""
+    return D.jaccard_prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
 @register("dedup_minhash_lsh", oracle=D.minhash_oracle_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pipeline (signatures → banded buckets →
@@ -1493,5 +1507,111 @@ def domain_kl_divergence(spark, sf_dir):
         .agg(
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
             F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering / LM-perplexity proxy
+# ---------------------------------------------------------------------------
+
+# Fixed logistic-regression weights: a deterministic stand-in for a trained
+# quality classifier (FineWeb-Edu-style model-based filtering). The engine
+# contribution is the SCORING plan — feature extraction + linear model +
+# sigmoid, all JVM-side — not the weights themselves.
+_QM_W = {"bias": -1.5, "len": 2.0, "noise": -3.0, "div": 1.5, "stop": 4.0}
+
+
+@register(
+    "quality_model_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             least(len({_TOKS}) / 50.0, 1.0)          AS f_len,
+             {_NON_ALNUM}                              AS f_noise,
+             len(list_distinct({_TOKS})) / len({_TOKS}) AS f_div,
+             {_sw('en')}                               AS f_stop
+      FROM documents
+    ),
+    logit AS (
+      SELECT doc_id,
+             ROUND({_QM_W['bias']} + {_QM_W['len']} * f_len
+                   + {_QM_W['noise']} * f_noise + {_QM_W['div']} * f_div
+                   + {_QM_W['stop']} * f_stop, 6) AS z
+      FROM feats
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM logit
+    """,
+)
+def quality_model_score(spark, sf_dir):
+    """Model-based quality filtering: a fixed-weight logistic classifier
+    over engineered text features (length saturation, noise ratio,
+    vocabulary diversity, stopword density) -> keep/drop at p >= 0.5.
+    The logit is rounded to 6 before the sigmoid so both engines
+    exponentiate the identical double (libm ulp differences then vanish in
+    the final round). One scan, no shuffle, whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    f_len = F.least(T.token_count(t) / F.lit(50.0), F.lit(1.0))
+    f_noise = T.non_alnum_ratio(t)
+    f_div = T.distinct_token_count(t) / T.token_count(t)
+    f_stop = T.stopword_ratio(t, "en")
+    z = F.round(
+        F.lit(_QM_W["bias"])
+        + F.lit(_QM_W["len"]) * f_len
+        + F.lit(_QM_W["noise"]) * f_noise
+        + F.lit(_QM_W["div"]) * f_div
+        + F.lit(_QM_W["stop"]) * f_stop,
+        6,
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality_prob"),
+        F.when(prob >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+@register(
+    "doc_unigram_logppl",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+    n AS (SELECT COUNT(*) AS total FROM tk)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(c / CAST(total AS DOUBLE))), 6) AS unigram_logppl
+    FROM tk JOIN g USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logppl(spark, sf_dir):
+    """LM-perplexity-proxy filtering (CCNet/KenLM-style, unigram order):
+    score every document by the mean negative log-probability of its
+    tokens under the CORPUS unigram distribution — high values flag
+    out-of-distribution/garbage docs, low values flag boilerplate. The
+    unigram table is vocabulary-sized, so it broadcasts and the per-token
+    probe is map-side; one explode + two hash aggregates total. The
+    average is computed over token OCCURRENCES (multiplicity kept)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tk = tk.localCheckpoint(eager=True)  # feeds vocab counts + the probe side
+    g = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tk.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tk.join(F.broadcast(g), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("total").cast("double"))), 6
+            ).alias("unigram_logppl"),
         )
     )

@@ -2374,3 +2374,141 @@ def agg_regression(spark, sf_dir):
         F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
         F.regr_count(y, x).cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: Markov transitions, interval concurrency
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tn
+            FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n_transitions,
+           ROUND(t.n_transitions / CAST(tn AS DOUBLE), 6) AS p_transition
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type). One window (lead) over the
+    user-time order, one hash aggregate on the (from, to) pair, and the
+    per-from totals broadcast back for normalization — the standard
+    user-journey / clickstream model, all map-side after the one
+    user-keyed shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n_transitions").alias("tn"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("tn").cast("double"), 6).alias(
+                "p_transition"
+            ),
+        )
+    )
+
+
+@register(
+    "sessions_max_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    pts AS (
+      SELECT s AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT e, -1 FROM sess
+    ),
+    run AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM pts
+    )
+    SELECT CAST(MAX(r) AS BIGINT) AS max_concurrent,
+           MIN(t) FILTER (WHERE r = (SELECT MAX(r) FROM run)) AS peak_ts
+    FROM run
+    """,
+)
+def sessions_max_concurrency(spark, sf_dir):
+    """Peak session concurrency via the sweep-line idiom: sessionize (same
+    30-min gaps-and-islands as ``sessionize``), reduce each session to its
+    [start, end] interval, emit +1/-1 boundary points, and take the max of
+    the running sum over the global time order (+1 sorts before -1 at the
+    same instant, so a session starting exactly when another ends counts
+    as overlapping — both engines use the identical tie rule).
+
+    The final sweep is a GLOBAL-order window (single-partition sort) over
+    2×|sessions| boundary points — orders of magnitude smaller than the
+    event table; at 100 TB the same sweep runs per coarse time-bucket
+    (boundaries crossing buckets carried as open-count offsets) before a
+    tiny global combine."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    numbered = e.select(
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        F.col("event_id"),
+    ).select(
+        "user_id", "ts", F.sum("new_session").over(wf).alias("session_id")
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    wrun = Window.orderBy(F.asc("t"), F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = pts.select("t", F.sum("d").over(wrun).alias("r"))
+    mx = run.agg(F.max("r").alias("mx"))
+    return (
+        run.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mx"))
+        .agg(
+            F.max("r").cast("long").alias("max_concurrent"),
+            F.min("t").alias("peak_ts"),
+        )
+    )
