@@ -386,33 +386,25 @@ def _band_fold_sql(sig_expr: str, start: int, rows: int) -> str:
     return acc
 
 
-def minhash_near_dups_portable(
+def _portable_sig_frame(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    bands: int = 4,
     k: int = 3,
-    threshold: float = 0.05,
 ) -> DataFrame:
-    """MinHash-LSH near-dups with ENGINE-PORTABLE hashing, so the full
-    pipeline (signature → banded candidates → exact-Jaccard verify) is
-    oracle-checkable in DuckDB; see ``minhash_oracle_sql``.
+    """(doc_id, shingles, signature) with engine-portable MinHash values,
+    materialized (it always feeds several consumers).
 
-    Same shape as ``minhash_near_dups`` (the xxhash64 scale default): the
-    base shingle hash is computed ONCE per shingle (one md5), then the
-    ``num_hashes`` families are affine transforms (aᵢ·h+bᵢ) mod 2³¹-1 of
-    that value — all inside codegen over a shared array. Docs with no
-    shingles (< k tokens) can't near-dup and are excluded up front.
-    """
+    ONE aggregate fold computes all families: per shingle the base hash
+    ``h`` is a bound lambda variable, so md5 runs exactly once per
+    shingle by construction. (A two-step projection — hv column, then N
+    array_min(transform(hv, ...)) — gets CollapseProject'd by Catalyst,
+    inlining the md5 chain into every family: measured 16× the hash work,
+    ~3.8s → ~0.9s for the signature stage at sf0.1.) Docs with no
+    shingles (< k tokens) can't near-dup and are excluded up front."""
     fams = minhash_families(num_hashes)
     sets = doc_shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
-    # ONE aggregate fold computes all families: per shingle the base hash
-    # ``h`` is a bound lambda variable, so md5 runs exactly once per
-    # shingle by construction. (A two-step projection — hv column, then 16
-    # array_min(transform(hv, ...)) — gets CollapseProject'd by Catalyst,
-    # inlining the md5 chain into every family: measured 16× the hash work,
-    # ~3.8s → ~0.9s for the signature stage at sf0.1.)
     init = F.array(*[F.lit(_MINHASH_P).cast("long") for _ in fams])
     sig = F.aggregate(
         F.transform("shingles", lambda s: portable_hash60(s) % _MINHASH_P),
@@ -423,9 +415,13 @@ def minhash_near_dups_portable(
             lambda x, y: F.least(x, y),
         ),
     )
-    sigs = sets.select("doc_id", "shingles", sig.alias("signature")).localCheckpoint(
-        eager=True  # feeds banding + both verify sides
+    return sets.select("doc_id", "shingles", sig.alias("signature")).localCheckpoint(
+        eager=True
     )
+
+
+def _portable_candidates(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH banding over a portable signature frame → distinct (doc_a, doc_b)."""
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         "doc_id",
@@ -445,12 +441,29 @@ def minhash_near_dups_portable(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cands = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_near_dups_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """MinHash-LSH near-dups with ENGINE-PORTABLE hashing, so the full
+    pipeline (signature → banded candidates → exact-Jaccard verify) is
+    oracle-checkable in DuckDB; see ``minhash_oracle_sql``. Same plan
+    shape as ``minhash_near_dups`` (the xxhash64 scale default)."""
+    sigs = _portable_sig_frame(df, text_col, id_col, num_hashes, k)
+    cands = _portable_candidates(sigs, num_hashes, bands)
     sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -463,11 +476,59 @@ def minhash_near_dups_portable(
     )
 
 
-def minhash_oracle_sql(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.05
-) -> str:
-    """DuckDB SQL computing EXACTLY ``minhash_near_dups_portable`` over the
-    ``documents`` view (3-token shingles)."""
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Sketch-accuracy report: for every verified near-dup pair, the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature slots —
+    the unbiased estimator LSH decisions rest on) next to the exact
+    value and the absolute error. This is the query you run before
+    picking num_hashes/bands for a 100 TB dedup pass: it turns the
+    sketch-size trade-off into measured error on your own corpus."""
+    sigs = _portable_sig_frame(df, text_col, id_col, num_hashes, k)
+    cands = _portable_candidates(sigs, num_hashes, bands)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("signature").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("signature").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    est = F.round(agree / F.lit(float(num_hashes)), 6)
+    exact = F.round(inter / union, 6)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_sql_prefix(num_hashes: int, bands: int) -> str:
+    """Shared CTE chain (toks→sets→hs→sigs→banded→cands) for the MinHash
+    oracles — identical to the Spark operators by construction."""
     fams = minhash_families(num_hashes)
     rows_per_band = num_hashes // bands
     sig_elems = ", ".join(
@@ -479,8 +540,7 @@ def minhash_oracle_sql(
         f"{_band_fold_sql('sig', b * rows_per_band, rows_per_band)} AS bucket FROM sigs"
         for b in range(bands)
     )
-    return rf"""
-    WITH toks AS (
+    return rf"""toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
     ),
     sets AS (
@@ -502,7 +562,42 @@ def minhash_oracle_sql(
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def minhash_estimate_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.05
+) -> str:
+    """DuckDB SQL computing EXACTLY ``minhash_estimate_pairs``."""
+    agree = (
+        f"list_sum(list_transform(generate_series(1, {num_hashes}), "
+        f"i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH {_minhash_sql_prefix(num_hashes, bands)},
+    scored AS (
+      SELECT doc_a, doc_b,
+             ROUND({agree} / {float(num_hashes)}, 6) AS est_jaccard,
+             ROUND(len(list_intersect(sa.shingles, sb.shingles))
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+      FROM cands
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard, jaccard,
+           ROUND(abs(est_jaccard - jaccard), 6) AS abs_err
+    FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def minhash_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.05
+) -> str:
+    """DuckDB SQL computing EXACTLY ``minhash_near_dups_portable`` over the
+    ``documents`` view (3-token shingles)."""
+    return rf"""
+    WITH {_minhash_sql_prefix(num_hashes, bands)},
     verified AS (
       SELECT doc_a, doc_b,
              ROUND(len(list_intersect(sa.shingles, sb.shingles))

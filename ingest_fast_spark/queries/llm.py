@@ -101,6 +101,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register("minhash_jaccard_estimate", oracle=D.minhash_estimate_oracle_sql())
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch-accuracy report: MinHash's Jaccard estimate (agreeing
+    signature slots / num_hashes) next to the exact value and |error| for
+    every verified near-dup pair — the measurement you run to size
+    num_hashes/bands before a 100 TB dedup pass. Oracle-checked: DuckDB
+    re-derives identical signatures, candidates, and estimates."""
+    return D.minhash_estimate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.05
+    )
+
+
 @register("dedup_simhash", oracle=D.simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dups (hamming <= 3, cf. Manku et al. WWW'07) — at d<=3
@@ -1613,5 +1625,108 @@ def doc_unigram_logppl(spark, sf_dir):
             F.round(
                 F.avg(-F.log(F.col("c") / F.col("total").cast("double"))), 6
             ).alias("unigram_logppl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale normalization + vocabulary encoding
+# ---------------------------------------------------------------------------
+
+def _norm_docs_oracle() -> str:
+    from .fastq import _sql_norm
+
+    norm = _sql_norm("text")
+    return f"""
+    SELECT doc_id,
+           {norm} AS norm_text,
+           len(string_split_regex({norm}, ' ')) AS n_norm_tokens
+    FROM documents WHERE text IS NOT NULL
+    """
+
+
+@register("text_normalize_docs", oracle=_norm_docs_oracle())
+def text_normalize_docs(spark, sf_dir):
+    """The reference's normalize+singularize scalar chain (F4+F5,
+    reference lib/fast_parse.js:37,48 via nypl-registry-utils-normalize)
+    applied at corpus scale: lowercase, fold diacritics, strip
+    punctuation, singularize plurals — pure JVM translate/regexp
+    expressions in one codegen stage, no UDF. The oracle re-derives the
+    identical rule set in DuckDB SQL (same regexes by construction,
+    pinned by the reference's 9 parser goldens in tests)."""
+    from ..functions.scalars import normalize_and_singularize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = normalize_and_singularize(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
+
+
+@register(
+    "encode_docs_to_ids",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+               AS token_id
+      FROM counts
+    ),
+    seq AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t))) AS pos,
+             unnest(t) AS token
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents)
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_tokens,
+           array_to_string(list(v.token_id ORDER BY s.pos), '|') AS ids
+    FROM seq s JOIN vocab v USING (token)
+    GROUP BY s.doc_id
+    """,
+)
+def encode_docs_to_ids(spark, sf_dir):
+    """Tokenizer ENCODE step: map every document to its id sequence under
+    the corpus vocabulary (same freq-ranked ids as ``build_vocabulary``).
+    The vocab is vocabulary-sized → broadcast; the per-token probe is
+    map-side, then one doc-keyed aggregate reassembles order via
+    (pos, id) sort. Ids are '|'-joined for the harness (the real pipeline
+    keeps array<long> — see pack_training_sequences for the next stage)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    counts = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = counts.withColumn(
+        "token_id",
+        (F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))) - 1).cast(
+            "long"
+        ),
+    ).select("token", "token_id")
+    seq = d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    return (
+        seq.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                "|",
+            ).alias("ids"),
         )
     )
