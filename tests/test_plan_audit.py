@@ -165,3 +165,39 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_model_is_single_scan_no_shuffle(spark, sf_dir):
+    """The logistic quality model is feature-extraction + linear algebra
+    per row: it must stay one codegen'd scan — any Exchange means a
+    regression re-introduced a shuffle into a map-only op."""
+    plan = plan_of(spark, sf_dir, "quality_model_score")
+    assert "Exchange" not in plan, plan
+
+
+def test_unigram_logppl_broadcasts_vocab(spark, sf_dir):
+    """The corpus-unigram probe must broadcast the vocabulary-sized count
+    table; shuffling the exploded token stream against it would move the
+    whole corpus."""
+    plan = plan_of(spark, sf_dir, "doc_unigram_logppl")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_encode_docs_broadcasts_vocab(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "encode_docs_to_ids")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_transition_matrix_broadcasts_totals(spark, sf_dir):
+    """Per-from-type totals (a handful of rows) broadcast back onto the
+    transition counts for normalization."""
+    plan = plan_of(spark, sf_dir, "event_transition_matrix")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_normalize_docs_no_udf_in_plan(spark, sf_dir):
+    """F4+F5 normalization is pure JVM expressions: no Python eval node
+    (BatchEvalPython/ArrowEvalPython) may appear in the plan."""
+    plan = plan_of(spark, sf_dir, "text_normalize_docs")
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
