@@ -520,7 +520,7 @@ def udtf_sentences(spark, sf_dir):
     )
 
 
-_CLUSTER_ORACLE = r"""
+_CLUSTER_PREFIX = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
 ),
@@ -551,10 +551,26 @@ walk(id, comp) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
-)
+)"""
+
+_CLUSTER_ORACLE = (
+    _CLUSTER_PREFIX
+    + r"""
 SELECT id AS doc_id, MIN(comp) AS cluster_id, (MIN(comp) = id) AS is_canonical
 FROM walk GROUP BY id
 """
+)
+
+_CLUSTER_SIZES_ORACLE = (
+    _CLUSTER_PREFIX
+    + r""",
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM cs GROUP BY cluster_size
+"""
+)
 
 
 @register("dedup_cluster_canonical", oracle=_CLUSTER_ORACLE)
@@ -569,6 +585,87 @@ def dedup_cluster_canonical(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
     return near_dup_clusters(docs, pairs)
+
+
+@register("dedup_cluster_sizes", oracle=_CLUSTER_SIZES_ORACLE)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster SIZE DISTRIBUTION — the dedup health report:
+    how many singletons, pairs, ... N-doc families the near-dup graph
+    contains (and how many docs each bin accounts for). Reuses the same
+    connected components as ``dedup_cluster_canonical``; two tiny hash
+    aggregates on top (components → sizes → histogram), so the report is
+    free relative to the clustering itself."""
+    from ..operators.graph import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    comp = near_dup_clusters(docs, pairs)
+    cs = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cs.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+             END AS codes
+      FROM scaled
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           array_to_string(codes, '|') AS codes,
+           ROUND(sqrt(list_sum(list_transform(
+               list_zip(v, codes),
+               t -> (t[1] - t[2] * scale) * (t[1] - t[2] * scale)))), 6) AS l2_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the standard 4-8× memory cut that keeps billion-vector ANN indexes
+    in executor memory (codes + one float scale per vector; dequantize
+    is codes*scale). Emits the per-vector L2 reconstruction error so the
+    accuracy cost is measured, not assumed. Rounding is the
+    engine-portable floor(x+0.5) (plain ROUND half-away differs between
+    engines at exact .5 code boundaries). One scan, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    )
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, codes, lambda x, c: (x - c * scale) * (x - c * scale)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.array_join(codes.cast("array<string>"), "|").alias("codes"),
+        F.round(err, 6).alias("l2_err"),
+    )
 
 
 _KEPT = f"""

@@ -43,9 +43,21 @@ SHOWCASE = [
     ),
     (
         "dedup_minhash_lsh",
-        "MinHash-LSH: signatures computed JVM-side (xxhash64), banded "
-        "buckets are the shuffle key, exact-verify touches only "
-        "candidate pairs.",
+        "MinHash-LSH: signatures computed JVM-side (engine-portable "
+        "md5-derived families, one hash per shingle), banded buckets are "
+        "the shuffle key, exact-verify touches only candidate pairs.",
+    ),
+    (
+        "dedup_jaccard_prefix_filter",
+        "AllPairs/PPJoin prefix filtering: candidates join only on each "
+        "doc's rarest shingles (frequent-shingle skew keys never fan "
+        "out) with size-ratio pruning; exact verify, zero recall loss.",
+    ),
+    (
+        "quality_model_score",
+        "Model-based quality filter: feature extraction + logistic "
+        "scoring fused into one codegen'd scan — no Exchange anywhere "
+        "in the plan.",
     ),
     (
         "decontaminate_benchmark",
