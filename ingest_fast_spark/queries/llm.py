@@ -1827,3 +1827,217 @@ def encode_docs_to_ids(spark, sf_dir):
             ).alias("ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 scoring + hybrid (lexical ∪ vector) reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("vector", "hash", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_scored_sql() -> str:
+    q = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return rf"""
+    lens AS (
+      SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ),
+    qtok AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok WHERE t IN ({q})
+             GROUP BY doc_id, t),
+    dfs AS (SELECT t, COUNT(*) AS df FROM qtok GROUP BY t),
+    scored AS (
+      SELECT qtok.doc_id,
+             SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * ({_BM25_K1} + 1)
+                 / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)))
+               AS s
+      FROM qtok
+      JOIN dfs USING (t)
+      JOIN lens USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY qtok.doc_id
+    )"""
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_scored_sql()}
+    SELECT doc_id, ROUND(s, 6) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def search_bm25_topk(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-20 for a fixed keyword query — the
+    lexical retrieval half of a RAG stack, over the same corpus stats the
+    inverted index exposes. The exploded token stream is filtered to the
+    query's terms BEFORE any aggregation (the predicate reaches the
+    explode), so corpus-scale work is one scan + tiny per-term frames:
+    df and the doc-length table join broadcast-side onto the ~|Q|·|hits|
+    tf rows. idf = ln(1+(N-df+.5)/(df+.5)) (the Robertson-Sparck Jones
+    smooth form)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    lens = d.select("doc_id", F.size(toks).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tok = d.select("doc_id", F.explode(toks).alias("t")).filter(
+        F.col("t").isin(*_BM25_QUERY)
+    )
+    qtok = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = qtok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        qtok.join(F.broadcast(dfs), "t")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * F.lit(_BM25_K1 + 1) / denom).alias("s"))
+    )
+    return (
+        scored.select("doc_id", F.round("s", 6).alias("bm25"))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+_RRF_K = 60
+_HYBRID_COS = (
+    "list_dot_product(qv, v) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+)
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_bm25_scored_sql()},
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS INT)
+               AS lex_rank
+      FROM scored QUALIFY lex_rank <= 50
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND({_HYBRID_COS}, 6) DESC, vec_id) AS INT) AS vec_rank
+      FROM e CROSS JOIN qv WHERE vec_id <> 0
+      QUALIFY vec_rank <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + lex_rank), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + vec_rank), 0), 6) AS rrf,
+             lex_rank, vec_rank
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rrf, lex_rank, vec_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+    FROM fused QUALIFY rank <= 20
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    SIGIR'09): BM25 top-50 and embedding-cosine top-50 (query = vector 0,
+    doc_id-aligned corpus) fused by sum of 1/(60+rank) — the standard
+    score-free way to combine lexical and dense retrievers. Each leg is
+    the operator already proven above (broadcast-probe BM25; broadcast
+    1-row query vector × corpus scan); fusion is a full outer join on the
+    two tiny top-50 frames."""
+    from pyspark.sql import Window
+
+    # The lexical leg recomputed at top-50 (the registered query caps at 20).
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    lens = d.select("doc_id", F.size(toks).alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tok = d.select("doc_id", F.explode(toks).alias("t")).filter(
+        F.col("t").isin(*_BM25_QUERY)
+    )
+    qtok = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = qtok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        qtok.join(F.broadcast(dfs), "t")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * F.lit(_BM25_K1 + 1) / denom), 6).alias("s"))
+    )
+    lex = (
+        scored.withColumn(
+            "lex_rank", F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        )
+        .filter(F.col("lex_rank") <= 50)
+        .select("doc_id", "lex_rank")
+    )
+
+    from ..operators.similarity import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id"))),
+        )
+        .filter(F.col("vec_rank") <= 50)
+        .select("doc_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            "lex_rank",
+            "vec_rank",
+        )
+    )
+    return (
+        fused.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        )
+        .filter(F.col("rank") <= 20)
+    )
