@@ -66,7 +66,6 @@ _SHOWCASE_ORDER = [
     "q1_pricing_summary",
     "agg_basic_stats",
     "agg_distinct_collect",
-    "agg_rollup",
     "agg_percentiles",
     # joins
     "join_inner_broadcast",
@@ -81,7 +80,6 @@ _SHOWCASE_ORDER = [
     "window_running_agg",
     "sessionize",
     "funnel_stages",
-    "event_pattern_match",
     "timeseries_gapfill_ffill",
     "event_transition_matrix",
     "sessions_max_concurrency",
@@ -103,6 +101,9 @@ _SHOWCASE_ORDER = [
     "dedup_cluster_canonical",
     "embed_topk_bruteforce",
     "embed_topk_ivf",
+    # retrieval (lexical + hybrid)
+    "search_bm25_topk",
+    "search_hybrid_rrf",
     # text analysis / curation / training prep
     "text_quality_score",
     "quality_model_score",
