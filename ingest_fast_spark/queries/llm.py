@@ -2041,3 +2041,111 @@ def search_hybrid_rrf(spark, sf_dir):
         )
         .filter(F.col("rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup: new crawl vs existing training set
+# ---------------------------------------------------------------------------
+
+_NEW_SOURCES = ("src0", "src1", "src2")
+
+
+@register(
+    "dedup_cross_corpus",
+    oracle=rf"""
+    WITH shn AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE source IN {_NEW_SOURCES})
+    ),
+    shr AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE source NOT IN {_NEW_SOURCES})
+    ),
+    szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+    szr AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+    overlap AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, COUNT(*) AS n_common
+      FROM shn a JOIN shr b ON a.shingle = b.shingle
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    p AS (
+      SELECT overlap.doc_id AS doc_id, overlap.ref_id AS ref_id,
+             ROUND(n_common / (szn.n + szr.n - n_common), 6) AS j
+      FROM overlap
+      JOIN szn ON szn.doc_id = overlap.doc_id
+      JOIN szr ON szr.doc_id = overlap.ref_id
+      WHERE ROUND(n_common / (szn.n + szr.n - n_common), 6) >= 0.3
+    )
+    SELECT doc_id, ref_id AS best_ref_id, j AS best_jaccard,
+           CAST(n_matches AS BIGINT) AS n_matches
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, ref_id) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+      FROM p
+    ) WHERE rn = 1
+    """,
+)
+def dedup_cross_corpus(spark, sf_dir):
+    """Cross-corpus dedup — the incremental-crawl question: which NEW
+    documents (sources src0-src2 stand in for the fresh crawl) near-
+    duplicate the EXISTING corpus (every other source), and against whom?
+    Asymmetric shingle-blocked join (new × reference only — no new×new or
+    ref×ref pairs computed), exact Jaccard, then one window keeps the
+    best reference match per new doc plus its total match count. At
+    scale the reference side's shingles are the big table and the crawl
+    side probes it: the join shuffles on the shingle key, the standard
+    decontamination shape (cf. ``decontaminate_benchmark`` where the
+    small side broadcasts instead)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    new_df = d.filter(F.col("source").isin(*_NEW_SOURCES))
+    ref_df = d.filter(~F.col("source").isin(*_NEW_SOURCES))
+    shn = D.shingles_df(new_df)
+    shr = D.shingles_df(ref_df)
+    szn = shn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    szr = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ref"))
+    overlap = (
+        shn.join(
+            shr.select(F.col("doc_id").alias("ref_id"), "shingle"), "shingle"
+        )
+        .groupBy("doc_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    p = (
+        overlap.join(F.broadcast(szn), "doc_id")
+        .join(
+            F.broadcast(szr.select(F.col("doc_id").alias("ref_id"), "n_ref")),
+            "ref_id",
+        )
+        .select(
+            "doc_id",
+            "ref_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_new") + F.col("n_ref") - F.col("n_common")),
+                6,
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.3)
+    )
+    w = Window.partitionBy("doc_id")
+    return (
+        p.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("j"), F.asc("ref_id")))
+        )
+        .withColumn("n_matches", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("ref_id").alias("best_ref_id"),
+            F.col("j").alias("best_jaccard"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+        )
+    )
