@@ -2,10 +2,18 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "scaled": {...}}.
 
 Each query is materialized through the noop sink (computes every column,
 ships nothing to the driver) so the measured time is the real plan cost.
+
+The "scaled" section (VERDICT r2 item 8): a deterministic 10× scale-up of
+sf0.1 (tools/scale_data.py — constant workload density, cached in /tmp)
+re-times the most expensive headliners at ~sf1 to expose super-linear
+constants the sf0.1 numbers can't show. Knobs: SPARK_GRAFT_SCALE_MULT
+(0 disables, default 10 when benching sf0.1), SPARK_GRAFT_SCALE_BUDGET
+(wall-clock cap in sec for the whole section, default 600 — remaining
+queries are reported as skipped, never silently dropped).
 """
 
 from __future__ import annotations
@@ -72,6 +80,65 @@ HEADLINE = [
 ]
 
 
+# Scale-section queries, most scale-informative first (so a budget cutoff
+# still records the ones whose constants matter most at 100 TB).
+SCALE_QUERIES = [
+    "dedup_jaccard_prefix_filter",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_canonical",
+    "graph_pagerank",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_large_orders",
+    "window_running_agg",
+    "dedup_exact",
+]
+
+
+def run_scale_section(spark, queries_reg, sf_dir: str, sf: float) -> dict:
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
+    if mult <= 1:
+        return {}
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "600"))
+    dst = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scaled_x{mult}"
+    )
+    from tools.scale_data import make_scaled
+
+    t0 = time.perf_counter()
+    generated = make_scaled(spark, sf_dir, dst, mult)
+    gen_sec = round(time.perf_counter() - t0, 3)
+    print(
+        f"# scaled x{mult}: {'generated' if generated else 'reused'} {dst} "
+        f"in {gen_sec}s",
+        file=sys.stderr,
+    )
+
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    section_start = time.perf_counter()
+    for name in SCALE_QUERIES:
+        if time.perf_counter() - section_start > budget:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        queries_reg[name](spark, dst).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# scaled {name}: {timings[name]:.3f}s", file=sys.stderr)
+        gc.collect()
+    return {
+        "mult": mult,
+        "sf": round(sf * mult, 3),
+        "gen_sec": gen_sec,
+        "total": round(sum(timings.values()), 3),
+        "queries": timings,
+        "skipped": skipped,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -105,17 +172,20 @@ def main() -> int:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    try:
+        scaled = run_scale_section(spark, QUERIES, sf_dir, sf)
+        if scaled:
+            payload["scaled"] = scaled
+    except Exception as e:  # the scale section must never sink the bench
+        payload["scaled"] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(payload))
     return 0
 
 

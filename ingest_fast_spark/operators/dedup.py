@@ -155,9 +155,12 @@ def jaccard_prefix_filter_pairs(
     from pyspark.sql import Window
 
     # Work on the 64-bit shingle hash throughout (same rationale as
-    # ngram_jaccard_pairs: ~2.5× smaller shuffles, long-vs-long compares;
-    # a collision merely perturbs one candidate's overlap count with
-    # probability ~n²/2⁶⁵). Feeds the df-window, the prefix, and both
+    # ngram_jaccard_pairs: ~2.5× smaller shuffles, long-vs-long compares).
+    # Collision caveat: Jaccard is computed over HASHES, so a collision
+    # perturbs not just a pair's overlap count but also the per-doc set
+    # size sz (two distinct shingles within one doc collapsing to one
+    # hash) — the "EXACT" guarantee in the docstring holds modulo that
+    # ~n²/2⁶⁵ event. Feeds the df-window, the prefix, and both
     # verification sides — materialize once.
     sh = (
         shingles_df(df, text_col, id_col, k)

@@ -70,6 +70,82 @@ def decode_image_stub(payload: bytes) -> dict:
     )
 
 
+def decode_image(payload: bytes) -> dict:
+    """REAL image decode when PIL is importable (optional dependency);
+    falls through to ``decode_image_stub`` (which raises) when it is not —
+    gated, never faked. Returns {width, height, mode, format}."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return decode_image_stub(payload)
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return {
+            "width": im.width,
+            "height": im.height,
+            "mode": im.mode,
+            "format": im.format,
+        }
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mode", StringType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Real image-decode operator (PIL behind an optional-dependency gate):
+    mapInPandas over binary payloads → (doc_id, width, height, mode,
+    format). Without PIL on the executors every batch raises
+    NotImplementedError — an honest failure, not a silent fake; the
+    byte-level ``extract_features`` is the no-deps path. NULL payloads
+    yield NULL features (missing media is data, not an error)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+
+        try:
+            from PIL import Image
+        except ImportError as exc:  # pragma: no cover - exercised without PIL
+            raise NotImplementedError(
+                "decode_images requires PIL (optional dependency); install "
+                "pillow or use extract_features() for byte-level features"
+            ) from exc
+
+        for pdf in batches:
+            ws, hs, modes, fmts = [], [], [], []
+            for b in pdf["payload"]:
+                if b is None:
+                    ws.append(None), hs.append(None)
+                    modes.append(None), fmts.append(None)
+                    continue
+                with Image.open(io.BytesIO(bytes(b))) as im:
+                    im.load()
+                    ws.append(im.width), hs.append(im.height)
+                    modes.append(im.mode), fmts.append(im.format)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "mode": modes,
+                    "format": fmts,
+                }
+            )
+
+    return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

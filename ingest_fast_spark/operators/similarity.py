@@ -343,6 +343,12 @@ def cosine_near_dup_lsh(
     equi-join — sub-quadratic and shuffle-bounded. Recall vs the exact
     operator is asserted in tests/test_similarity.py. All sketch math is
     JVM-side (the planes are literal arrays folded into codegen).
+
+    The sign bit compares the dot product ROUNDED to 6 decimals against 0
+    (the oracle does the same): without rounding, an FP summation-order
+    difference between engines can flip a sign bit when <v, plane> ≈ 0 and
+    silently diverge the candidate sets — the same convention
+    ``ivf_topk_deterministic`` uses for its assignment ties.
     """
     planes = _hyperplanes(dim, nbits)
     v = as_double(F.col(vec_col))
@@ -352,7 +358,7 @@ def cosine_near_dup_lsh(
         key = F.lit(0)
         for j in range(bits_per_band):
             plane = F.array(*[F.lit(x) for x in planes[bnd * bits_per_band + j]])
-            bit = (dot(v, plane) > 0).cast("int")
+            bit = (F.round(dot(v, plane), 6) > 0).cast("int")
             key = key + F.shiftleft(bit, j)
         band_keys.append(F.struct(F.lit(bnd).alias("band"), key.alias("key")))
     sketched = emb.select(

@@ -46,78 +46,75 @@ def _load_all() -> None:
     from . import tpch_extra  # noqa: F401
 
 
-# The driver's correctness gate samples a PREFIX of the registry (r01
-# recorded exactly the first 50 registrations), so order the dict to lead
-# with a diverse, fully-oracle-checked cross-section of the engine:
-# reference pipeline, relational core, joins, windows, TPC-H shapes, the
-# dedup/similarity suite, text/curation ops, graph/sampling. Everything
-# else keeps its import order after these; selfcheck.py always runs all.
+# The driver's correctness gate samples a PREFIX of the registry (50
+# queries per round), so the window ROTATES each round to accumulate
+# independent driver attestation over the whole surface (VERDICT r2 asked
+# for exactly this): r1+r2 recorded the original 50-query showcase
+# (reference pipeline, relational core, joins, windows, TPC-H q1/3/5/7/
+# 18/21, dedup/similarity, retrieval, curation headliners) — all green in
+# CORRECTNESS_r02.json. The r3 prefix below leads with 50 queries the
+# driver has NEVER checked: the streaming suite, remaining TPC-H, the
+# agg/window long tail, curation/text, plus this round's two new
+# rows-only entries. Rotate again next round for the remainder;
+# selfcheck.py always runs all queries regardless of this order.
 _SHOWCASE_ORDER = [
-    # reference (FAST ingest) semantics
-    "fast_parse_triples",
-    "fast_aggregate_docs",
-    "fast_enrich_sameas",
-    "fast_table_end_to_end",
-    "fast_viaf_update",
-    # relational core
-    "filter_project",
-    "scalar_string_funcs",
-    "date_time_funcs",
-    "q1_pricing_summary",
-    "agg_basic_stats",
-    "agg_distinct_collect",
-    "agg_percentiles",
-    # joins
-    "join_inner_broadcast",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "join_range",
-    "join_lateral_topk",
-    # windows / event analytics
-    "topk_per_group",
-    "window_running_agg",
-    "sessionize",
-    "funnel_stages",
-    "timeseries_gapfill_ffill",
-    "event_transition_matrix",
-    "sessions_max_concurrency",
-    # TPC-H shapes
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_volume_shipping",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    # dedup / similarity (LLM-pipeline core)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix_filter",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_semantic",
-    "dedup_cluster_canonical",
-    "embed_topk_bruteforce",
-    "embed_topk_ivf",
-    # retrieval (lexical + hybrid)
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    # text analysis / curation / training prep
-    "text_quality_score",
-    "quality_model_score",
-    "doc_unigram_logppl",
-    "decontaminate_benchmark",
-    "pack_training_sequences",
-    # graph / sampling
-    "graph_pagerank",
-    "sample_weighted",
-    # upsert / SCD
-    "merge_upsert_customers",
-    "scd2_user_history",
-    # streaming (batch-equivalent checks)
-    "stream_windowed_counts",
+    # streaming (batch-equivalence checks)
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_user_state",
+    "stream_interval_join",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_dedup_within_watermark",
+    "stream_hourly_rollup",
+    "stream_session_timeout",
+    # TPC-H: the 16 shapes not yet driver-checked
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_inventory_value",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q20_excess_inventory",
+    "q22_inactive_customers",
+    # aggregation long tail
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_salted_skew",
+    "agg_corr_stats",
+    "agg_having",
+    "agg_min_max_by",
+    "agg_listagg",
+    "agg_conditional",
+    "agg_regression",
+    "agg_approx_count_distinct",
+    # window long tail
+    "window_ranking",
+    "window_range_frame",
+    "window_distribution",
+    "window_navigation",
+    # curation / text
+    "curation_pipeline",
+    "curation_domain_cap",
+    "curation_temperature_mix",
+    "text_token_stats",
+    "text_tfidf_top_terms",
+    # join long tail
+    "join_disjunctive_union",
+    "join_full_outer",
+    "join_null_safe",
+    # new this round (rows-only: scale-default MinHash + ANN recall report)
+    "dedup_minhash_lsh_fast",
+    "ann_recall_report",
 ]
 
 

@@ -159,9 +159,9 @@ def _emb_lsh_oracle(threshold: float = 0.4, nbits: int = 16, bands: int = 4) -> 
     keys = []
     for bnd in range(bands):
         terms = " + ".join(
-            "(CASE WHEN list_dot_product(v, ["
+            "(CASE WHEN ROUND(list_dot_product(v, ["
             + ", ".join(repr(x) for x in planes[bnd * bits_per_band + j])
-            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+            + f"]), 6) > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(bits_per_band)
         )
         keys.append(f"({terms}) AS k{bnd}")
@@ -452,20 +452,26 @@ def multimodal_features(spark, sf_dir):
 def text_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document: tokenize → tf per (doc, term) →
     document frequency → idf join (broadcast: the term dictionary is tiny
-    relative to the corpus) → per-doc window top-k."""
+    relative to the corpus) → per-doc window top-k. The corpus size enters
+    as a broadcast 1-row aggregate (crossJoin), not a separate ``count()``
+    action — the whole query is ONE job, one scan of ``documents``."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))  # 1 row
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 
@@ -1549,7 +1555,8 @@ def sample_weighted(spark, sf_dir):
     The id is reduced mod 1000000007 BEFORE the Knuth multiply: the raw
     product overflows int64 once doc_id exceeds ~3.47e9, where Spark
     (non-ANSI) silently wraps negative while DuckDB raises — the pre-mod
-    keeps the product < 2^61 so both engines stay in range at any id."""
+    keeps the product < 2^62 (1000000006 × 2654435761 ≈ 2.66e18), well
+    within int64 at any id."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
     )
@@ -2118,10 +2125,14 @@ def dedup_cross_corpus(spark, sf_dir):
         .groupBy("doc_id", "ref_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # Size tables: szn (one row per NEW-crawl doc) is the small side at
+    # scale — broadcast it. szr is one row per doc of the FULL existing
+    # corpus (arbitrarily large at 100 TB): no broadcast hint, let AQE pick
+    # a shuffle join (it will still broadcast at test SFs on its own).
     p = (
         overlap.join(F.broadcast(szn), "doc_id")
         .join(
-            F.broadcast(szr.select(F.col("doc_id").alias("ref_id"), "n_ref")),
+            szr.select(F.col("doc_id").alias("ref_id"), "n_ref"),
             "ref_id",
         )
         .select(
@@ -2149,3 +2160,93 @@ def dedup_cross_corpus(spark, sf_dir):
             F.col("n_matches").cast("long").alias("n_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-default MinHash + approximation-quality report
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh_fast")
+def dedup_minhash_lsh_fast(spark, sf_dir):
+    """THE SCALE DEFAULT for MinHash near-dup: xxhash64 signature families
+    (pure JVM codegen — one shared shingle array, no Python, no md5
+    chains) → banded buckets → exact-Jaccard verification of candidates.
+    Same plan shape as ``dedup_minhash_lsh`` but ~3× faster at sf0.1
+    (BENCH r2: 1.42s vs 4.71s) — the portable-md5 variant exists solely so
+    DuckDB can re-derive identical buckets for the oracle gate; production
+    dedup runs THIS one. Rows-only in the driver gate (xxhash64 has no
+    DuckDB twin); correctness is covered by (a) the candidate-verification
+    step being exact Jaccard — every emitted pair is truly >= threshold —
+    (b) the recall assertion in tests/test_dedup.py, and (c) the
+    corpus-wide recall measurement in ``ann_recall_report``."""
+    return D.minhash_near_dups(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.05
+    )
+
+
+@register("ann_recall_report")
+def ann_recall_report(spark, sf_dir):
+    """Approximation-quality report (rows-only): recall of each
+    APPROXIMATE operator against its EXACT counterpart on the same data —
+    the artifact that makes sketch/LSH/IVF quality visible in the driver
+    record instead of living only in tests:
+
+      * ``ivf_topk``            — recall@10 vs ``brute_force_topk``;
+      * ``cosine_near_dup_lsh`` — pair recall vs exact all-pairs cosine;
+      * ``minhash (xxhash64)``  — pair recall vs the exact shingle-Jaccard
+                                  self-join at the same threshold.
+
+    One row per method: (method, n_exact, n_approx, n_hit, recall). All
+    counts are 1-row aggregates cross-joined — no driver-side collect of
+    result sets. Approx outputs verify exactly (LSH/MinHash pairs pass an
+    exact check; IVF returns true cosines), so precision is 1 by
+    construction and recall is the only number that matters.
+    Thresholds are asserted in tests/test_recall_report.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+
+    def one(method, exact, approx, keys):
+        hit = exact.join(approx, keys, "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        nx = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        na = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+        return (
+            nx.crossJoin(na)
+            .crossJoin(hit)
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_approx",
+                "n_hit",
+                F.round(F.col("n_hit") / F.greatest("n_exact", F.lit(1)), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    ivf = one(
+        "ivf_topk@10",
+        S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        S.ivf_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        ["query_id", "vec_id"],
+    )
+    lsh = one(
+        "cosine_lsh_pairs",
+        S.cosine_near_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b"),
+        S.cosine_near_dup_lsh(emb, threshold=0.4).select("vec_a", "vec_b"),
+        ["vec_a", "vec_b"],
+    )
+    mh = one(
+        "minhash_xxhash64_pairs",
+        D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b"),
+        D.minhash_near_dups(docs, num_hashes=16, bands=4, threshold=0.05).select(
+            "doc_a", "doc_b"
+        ),
+        ["doc_a", "doc_b"],
+    )
+    return ivf.unionByName(lsh).unionByName(mh)

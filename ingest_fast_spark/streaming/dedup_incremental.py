@@ -33,6 +33,11 @@ from ..session import apply_runtime_confs
 
 _DOCS_SCHEMA = "doc_id long, text string"
 
+# Rows pulled to the driver by the most recent micro-batch (matches +
+# batch ids). Tests assert this stays O(delta) — i.e. independent of how
+# large the persisted kept-index has grown.
+last_batch_driver_rows: int = 0
+
 
 def _lsh_pairs(new_sigs: DataFrame, index: DataFrame, bands: int) -> DataFrame:
     """Candidate (new_id, kept_id) pairs: new docs vs kept index, banded.
@@ -138,29 +143,40 @@ def run_incremental_near_dedup(
             sigs,
             threshold,
         )
-        matches = intra if vs_index is None else vs_index.unionByName(intra)
+        # Tag match provenance BEFORE collecting: the persisted index only
+        # ever receives kept docs, so a vs_index match is by construction a
+        # match against an already-kept doc — no lookup into the index is
+        # needed to know that. Only intra-batch matches have undecided
+        # kept-status (resolved in the greedy loop below).
+        if vs_index is None:
+            matches = intra.withColumn("from_index", F.lit(False))
+        else:
+            matches = vs_index.withColumn("from_index", F.lit(True)).unionByName(
+                intra.withColumn("from_index", F.lit(False))
+            )
 
         # Greedy first-seen-wins resolution in id order: a doc is a dup iff
         # it matches an already-KEPT doc (chains: if X's only match was
         # itself rejected as a dup, X is kept). This step is inherently
-        # sequential, so it runs driver-side — over O(delta) matches and
-        # ids only, never the O(history) index; the heavy work (signatures,
-        # banding, verification) stayed distributed above.
+        # sequential, so it runs driver-side — over this batch's matches
+        # and ids ONLY: everything collected here is O(delta); the
+        # O(history) index is never collected (its kept-status rides on the
+        # from_index tag). The heavy work (signatures, banding,
+        # verification) stayed distributed above.
         all_matches = [
-            (r["new_id"], r["kept_id"]) for r in matches.collect()
+            (r["new_id"], r["kept_id"], r["from_index"]) for r in matches.collect()
         ]
-        kept_prior = set()
-        if index is not None:
-            kept_prior = {r["doc_id"] for r in index.select("doc_id").collect()}
         batch_ids = sorted(r["doc_id"] for r in sigs.select("doc_id").collect())
-        match_map: dict[int, set[int]] = {}
-        for a, b in all_matches:
-            match_map.setdefault(a, set()).add(b)
+        global last_batch_driver_rows
+        last_batch_driver_rows = len(all_matches) + len(batch_ids)
+        match_map: dict[int, set[tuple[int, bool]]] = {}
+        for a, b, fi in all_matches:
+            match_map.setdefault(a, set()).add((b, fi))
         kept_now: set[int] = set()
         decisions = []
         for did in batch_ids:
             hits = match_map.get(did, set())
-            hit_kept = sorted(h for h in hits if h in kept_prior or h in kept_now)
+            hit_kept = sorted(h for h, fi in hits if fi or h in kept_now)
             if hit_kept:
                 decisions.append((did, False, hit_kept[0]))
             else:

@@ -65,6 +65,40 @@ def test_incremental_dedup_two_batches(spark, dirs):
     assert index_ids == {1, 3, 6}
 
 
+def test_driver_traffic_is_o_delta_not_o_history(spark, dirs):
+    """The greedy resolution must never pull the persisted index to the
+    driver: after seeding a LARGE kept-index, a small batch's driver-side
+    collect volume must be bounded by the batch (matches + batch ids),
+    independent of index size."""
+    from ingest_fast_spark.streaming import dedup_incremental as di
+
+    docs, out = dirs
+    # Seed: 120 mutually-distinct docs -> all kept -> index of 120 rows.
+    seed = [
+        (i, f"seed document number {i} with unique words w{i}a w{i}b w{i}c w{i}d w{i}e")
+        for i in range(120)
+    ]
+    write_jsonl(os.path.join(docs, "seed.jsonl"), seed)
+    run_incremental_near_dedup(spark, docs, out, threshold=0.5, bands=8).awaitTermination()
+    index_rows = spark.read.parquet(os.path.join(out, "index")).count()
+    assert index_rows == 120
+
+    # Delta: 3 docs (one near-dups a seed doc). Driver rows for this batch
+    # must be O(3 + matches), nowhere near the 120-row index.
+    write_jsonl(
+        os.path.join(docs, "delta.jsonl"),
+        [(1000, seed[7][1] + " extra"), (1001, BASE), (1002, OTHER)],
+    )
+    run_incremental_near_dedup(spark, docs, out, threshold=0.5, bands=8).awaitTermination()
+    got = decisions(spark, out)
+    assert got[1000] == (False, 7)
+    assert got[1001][0] is True and got[1002][0] is True
+    assert di.last_batch_driver_rows <= 10, (
+        f"driver pulled {di.last_batch_driver_rows} rows for a 3-doc batch "
+        f"against a {index_rows}-row index — O(history) leak"
+    )
+
+
 def test_greedy_chain_semantics(spark, dirs):
     docs, out = dirs
     # 10 ~ 11 ~ 12 transitively but 10 !~ 12 at thr=0.5 (3-shingle

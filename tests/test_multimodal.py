@@ -29,6 +29,53 @@ def test_decode_stub_raises(spark):
         M.decode_image_stub(b"\x89PNG")
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed (optional dep)")
+def test_decode_images_real(spark):
+    """With PIL available, decode_images returns true dimensions/format."""
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (1, 2, 3)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(7, 5), "image/png", "{}"), (2, None, "image/png", "{}")],
+        M.PAYLOAD_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in M.decode_images(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (7, 5)
+    assert rows[1]["format"] == "PNG" and rows[1]["mode"] == "RGB"
+    assert rows[2]["width"] is None  # missing media -> NULL features
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present; gate untestable")
+def test_decode_images_without_pil_is_honest(spark):
+    """Without PIL, decode_image falls through to the raising stub and the
+    DataFrame operator fails with NotImplementedError — gated, not faked."""
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+    df = spark.createDataFrame([(1, b"\x89PNG", "image/png", "{}")], M.PAYLOAD_SCHEMA)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        M.decode_images(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode_images requires PIL" in str(
+        ei.value
+    )
+
+
 def test_payload_column_pruned_when_untouched(spark, sf_dir, tmp_path):
     """A query that doesn't read the payload must not scan it — the whole
     point of the binary-column convention at 100 TB."""
