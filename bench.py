@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_exact_substring",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "embed_topk_bruteforce",
@@ -87,6 +89,7 @@ SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_ngram_jaccard",
+    "dedup_exact_substring",
     "dedup_simhash",
     "dedup_cluster_canonical",
     "graph_pagerank",

@@ -311,15 +311,24 @@ def minhash_near_dups(
     Verification joins each candidate pair back to its two (distinct)
     shingle sets and intersects them — O(candidates), never the full
     shingle self-join. At scale the shingle sets ride along the signature
-    DataFrame, so this is two broadcast-able joins on doc_id."""
+    DataFrame, so this is two broadcast-able joins on doc_id. The carried
+    set is the xxhash64 of each shingle (8-byte longs, ~2.5× smaller
+    shuffle + cheaper intersects than strings; a collision perturbs one
+    pair's Jaccard with probability ~n²/2⁶⁵)."""
     # sigs feeds candidates + both verification sides — materialize once
     # (same 3-consumer recompute pattern as ngram_jaccard_pairs).
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).localCheckpoint(
-        eager=True
+    sigs = (
+        minhash_signatures(df, text_col, id_col, num_hashes, k)
+        .select(
+            "doc_id",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("hv"),
+            "signature",
+        )
+        .localCheckpoint(eager=True)
     )
     cands = minhash_lsh_candidates(sigs.select("doc_id", "signature"), bands)
-    sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("hv").alias("sh_a"))
+    sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("hv").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -396,21 +405,34 @@ def _portable_sig_frame(
     num_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """(doc_id, shingles, signature) with engine-portable MinHash values,
-    materialized (it always feeds several consumers).
+    """(doc_id, hv, signature) with engine-portable MinHash values,
+    materialized (it always feeds several consumers). ``hv`` is the
+    per-shingle 60-bit hash array (mod P) — downstream exact-Jaccard
+    verification intersects THESE 8-byte longs, not shingle strings
+    (~2.5× smaller verify shuffle, identical result modulo the
+    documented ~2⁻⁶⁰ collision trade shared with the prefix filter).
 
-    ONE aggregate fold computes all families: per shingle the base hash
-    ``h`` is a bound lambda variable, so md5 runs exactly once per
-    shingle by construction. (A two-step projection — hv column, then N
-    array_min(transform(hv, ...)) — gets CollapseProject'd by Catalyst,
-    inlining the md5 chain into every family: measured 16× the hash work,
-    ~3.8s → ~0.9s for the signature stage at sf0.1.) Docs with no
-    shingles (< k tokens) can't near-dup and are excluded up front."""
+    Two materialization barriers keep the md5 work exactly once per
+    shingle: hv is computed in its own checkpointed projection (inside
+    one plan Catalyst CollapseProject's the md5 chain into every family:
+    measured 16× the hash work, ~3.8s → ~0.9s at sf0.1), then the
+    signature is pure modular arithmetic over the materialized hv.
+
+    NEGATIVE RESULT recorded: a vocab-level-hashing pandas UDF (the trick
+    that wins 4× for SimHash) measured 4.4s → 5.4s for the full query at
+    sf0.1 — k-token SHINGLES are mostly unique per document (unlike
+    single-token vocabularies), so batch-level dedup saves almost no md5
+    calls and the Arrow string-array transfer is pure overhead. The JVM
+    chain stays the default."""
     fams = minhash_families(num_hashes)
     sets = doc_shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
+    hv_frame = sets.select(
+        "doc_id",
+        F.transform("shingles", lambda s: portable_hash60(s) % _MINHASH_P).alias("hv"),
+    ).localCheckpoint(eager=True)
     init = F.array(*[F.lit(_MINHASH_P).cast("long") for _ in fams])
     sig = F.aggregate(
-        F.transform("shingles", lambda s: portable_hash60(s) % _MINHASH_P),
+        "hv",
         init,
         lambda acc, h: F.zip_with(
             acc,
@@ -418,9 +440,11 @@ def _portable_sig_frame(
             lambda x, y: F.least(x, y),
         ),
     )
-    return sets.select("doc_id", "shingles", sig.alias("signature")).localCheckpoint(
+    return hv_frame.select("doc_id", "hv", sig.alias("signature")).localCheckpoint(
         eager=True
     )
+
+
 
 
 def _portable_candidates(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -464,11 +488,14 @@ def minhash_near_dups_portable(
     """MinHash-LSH near-dups with ENGINE-PORTABLE hashing, so the full
     pipeline (signature → banded candidates → exact-Jaccard verify) is
     oracle-checkable in DuckDB; see ``minhash_oracle_sql``. Same plan
-    shape as ``minhash_near_dups`` (the xxhash64 scale default)."""
+    shape as ``minhash_near_dups`` (the xxhash64 scale default).
+    Verification intersects the per-shingle hash arrays (``hv``), not
+    strings — the oracle intersects strings; equal modulo ~2⁻⁶⁰
+    collisions (same documented trade as the prefix filter)."""
     sigs = _portable_sig_frame(df, text_col, id_col, num_hashes, k)
     cands = _portable_candidates(sigs, num_hashes, bands)
-    sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sets_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("hv").alias("sh_a"))
+    sets_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("hv").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -498,12 +525,12 @@ def minhash_estimate_pairs(
     cands = _portable_candidates(sigs, num_hashes, bands)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
+        F.col("hv").alias("sh_a"),
         F.col("signature").alias("sig_a"),
     )
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
+        F.col("hv").alias("sh_b"),
         F.col("signature").alias("sig_b"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -876,6 +903,120 @@ def simhash_oracle_sql(max_hamming: int = 3, nbits: int = 60, bands: int = 4) ->
       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({any_band})
     )
     SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+# --- Exact-substring dedup (suffix-array-family signal) ---------------------
+
+def positional_kgrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """One row per (doc, position, k-token gram) — positions preserved
+    (unlike ``shingles_df``, which is distinct-set semantics)."""
+    df = ensure_parallelism(df)
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram")
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 15,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring dedup signal (the suffix-array method of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): for every doc pair, the length in tokens
+    of the LONGEST exactly-shared token span, for spans >= ``min_span``.
+
+    A shared span of s tokens is a maximal DIAGONAL RUN of s-k+1 matching
+    k-grams: matching grams at positions (pa, pb) with constant pa-pb and
+    consecutive pa chain into one span. So: positional k-grams → equi-join
+    on the gram (the blocking key — only docs sharing an 8-gram ever
+    meet, same shape as ``ngram_contamination``) → per (pair, diagonal)
+    gaps-and-islands over pa → max island + k - 1.
+
+    Scale: the join shuffles on 8-byte xxhash64 gram keys; 8-grams are
+    near-unique outside true duplication, so fan-out tracks actual shared
+    text. Boilerplate-heavy corpora use ``max_doc_freq`` to drop grams in
+    more than that many POSTINGS before the join (the stop-gram guard,
+    same trade as ``ngram_jaccard_pairs``). A maximal run cut by a
+    dropped gram under-reports its span — guarded runs are a lower bound,
+    exactly like dropped stop-shingles under-report Jaccard.
+    """
+    from pyspark.sql import Window
+
+    g = positional_kgrams(df, text_col, id_col, k).select(
+        "doc_id", "pos", F.xxhash64("gram").alias("g")
+    )
+    if max_doc_freq is not None:
+        freq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
+        g = g.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "g"
+        ).drop("df_")
+    g = g.localCheckpoint(eager=True)  # feeds both join sides
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    m = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("max_span_tokens"))
+        .filter(F.col("max_span_tokens") >= min_span)
+    )
+
+
+def substring_span_oracle_sql(k: int = 8, min_span: int = 15) -> str:
+    """DuckDB SQL computing EXACTLY ``substring_span_pairs`` over the
+    ``documents`` view (join on gram strings; the Spark side joins on
+    xxhash64 of the gram — identical pairs modulo 64-bit collisions)."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS pos,
+             unnest(list_transform(generate_series(1, greatest(len(t) - {k - 1}, 0)),
+                                   i -> array_to_string(t[i:i+{k - 1}], ' '))) AS g
+      FROM toks
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      FROM m
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, CAST(MAX(run) + {k - 1} AS BIGINT) AS max_span_tokens
+    FROM islands GROUP BY doc_a, doc_b
+    HAVING MAX(run) + {k - 1} >= {min_span}
     """
 
 

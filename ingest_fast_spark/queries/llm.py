@@ -101,6 +101,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register("dedup_exact_substring", oracle=D.substring_span_oracle_sql())
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup (suffix-array family, Lee et al. 2022): per
+    doc pair, the longest exactly-shared token span (>= 15 tokens), found
+    as maximal diagonal runs of matching positional 8-grams — ORACLE-
+    CHECKED via the identical gaps-and-islands formulation in DuckDB.
+    Complements the set-similarity family: substring dedup catches long
+    verbatim quotes inside otherwise-different documents, which Jaccard
+    over whole-doc shingle sets dilutes below any workable threshold."""
+    return D.substring_span_pairs(
+        load_table(spark, sf_dir, "documents"), k=8, min_span=15
+    )
+
+
 @register("minhash_jaccard_estimate", oracle=D.minhash_estimate_oracle_sql())
 def minhash_jaccard_estimate(spark, sf_dir):
     """Sketch-accuracy report: MinHash's Jaccard estimate (agreeing

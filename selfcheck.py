@@ -7,10 +7,17 @@ on DuckDB over the same parquet tables, then compares row count, schema
 order-insensitive values (exact match after canonicalization).
 
 Usage: python selfcheck.py [sf_dir] [query ...]
+       python selfcheck.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a CORRECTNESS-style artifact covering
+EVERY query run (the driver's recorded gate samples a 50-query prefix;
+this file is the full-surface record — commit it per round so the whole
+registry has an attested result, not just the sampled window).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import duckdb
@@ -75,8 +82,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    record: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from ingest_fast_spark.session import get_spark
@@ -96,32 +109,57 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append(name)
+            record[name] = {"status": "fail", "err": f"spark: {e}"[:500]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         sql = oracles.get(name)
         if sql is None:
             rows_only.append(name)
+            record[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
             continue
         try:
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
             failed.append(name)
+            record[name] = {"status": "fail", "err": f"duckdb: {e}"[:500]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             failed.append(name)
+            record[name] = {
+                "status": "fail",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(ddf),
+                "err": "; ".join(problems)[:500],
+            }
             print(f"FAIL {name}:")
             for p in problems:
                 print(f"    {p}")
         else:
             passed.append(name)
+            record[name] = {
+                "status": "ok",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(ddf),
+            }
             print(f"OK   {name} ({len(sdf)} rows)")
 
     print(f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failed)} failed")
     if failed:
         print("failed:", " ".join(failed))
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_ok": len(passed),
+            "n_rows_only": len(rows_only),
+            "n_failed": len(failed),
+            "queries": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 

@@ -51,6 +51,42 @@ def test_max_doc_freq_guard_bounds_explosion(spark, hot_corpus):
     assert len(pairs) <= 5, f"guard leaked {len(pairs)} pairs"
 
 
+def test_substring_spans_exact_lengths(spark):
+    """Hand-built docs pin the diagonal-run arithmetic: a shared run of m
+    consecutive matching k-grams is a span of m + k - 1 tokens."""
+    shared = " ".join(f"s{i}" for i in range(20))  # 20-token verbatim block
+    rows = [
+        (1, f"intro one two three {shared} outro alpha beta"),
+        (2, f"different prefix here {shared} and a different tail"),
+        (3, "no overlap with anyone at all in this document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["max_span_tokens"]
+        for r in D.substring_span_pairs(df, k=8, min_span=15).collect()
+    }
+    # Docs 1 and 2 share exactly the 20-token block: 13 matching 8-grams
+    # in a single diagonal run -> 13 + 7 = 20.
+    assert out == {(1, 2): 20}
+
+
+def test_substring_spans_split_runs(spark):
+    """Two separate shared blocks must NOT merge into one span."""
+    a = " ".join(f"a{i}" for i in range(16))
+    b = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, f"{a} xx yy {b}"),
+        (2, f"{b} qq rr {a}"),  # same blocks, different order/diagonals
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.substring_span_pairs(df, k=8, min_span=15).collect()
+    # Only the 16-token block clears min_span=15; the 10-token block is a
+    # separate diagonal and must not extend it.
+    assert [(r["doc_a"], r["doc_b"], r["max_span_tokens"]) for r in out] == [
+        (1, 2, 16)
+    ]
+
+
 def test_prefix_filter_immune_to_hot_shingles(spark, hot_corpus):
     """The high-threshold prefix-filter path self-mitigates: prefixes are
     rarest-first, so a shingle in >50% of docs is never a join key. At

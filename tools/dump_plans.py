@@ -54,6 +54,14 @@ SHOWCASE = [
         "out) with size-ratio pruning; exact verify, zero recall loss.",
     ),
     (
+        "dedup_exact_substring",
+        "Exact-substring dedup (Lee et al. 2022 family): positional "
+        "8-grams join on 8-byte xxhash64 keys (the blocking key — only "
+        "docs sharing a gram meet), then the diagonal gaps-and-islands "
+        "runs as one window + two hash aggregates. No cartesian, no "
+        "driver collect; fan-out tracks genuinely shared text.",
+    ),
+    (
         "quality_model_score",
         "Model-based quality filter: feature extraction + logistic "
         "scoring fused into one codegen'd scan — no Exchange anywhere "
