@@ -2177,6 +2177,100 @@ def dedup_cross_corpus(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training output prep: sharding + intra-doc cleanup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shard_training_data",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ((doc_id % 1000000007) * 2654435761) % 1000000007 AS shuffle_key
+      FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(shuffle_key % 8 AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shuffle_key % 8 ORDER BY shuffle_key, doc_id
+           ) AS BIGINT) AS pos_in_shard,
+           n_chars
+    FROM keyed
+    """,
+)
+def shard_training_data(spark, sf_dir):
+    """Deterministic global shuffle + sharding — the last step before a
+    training run: every doc gets a pseudorandom shuffle key (the same
+    engine-portable Knuth-multiply hash as ``sample_weighted``), a shard
+    assignment (key mod n_shards), and its position within the shard
+    (ordered by key — i.e. a reproducible random order, NOT corpus
+    order, so each shard is an unbiased sample and sequential readers
+    see shuffled data). One shuffle on shard_id; at scale this maps to
+    ``repartition(n_shards, key)`` + ``sortWithinPartitions`` writing one
+    file per shard."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    key = ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)) % F.lit(
+        1000000007
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select("doc_id", "n_chars", key.alias("shuffle_key"))
+        .withColumn("shard_id", (F.col("shuffle_key") % F.lit(8)).cast("long"))
+        .select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+            "n_chars",
+        )
+    )
+
+
+@register(
+    "text_dedup_sentences_within_doc",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(text, '\.\s+') AS sents
+      FROM documents WHERE text IS NOT NULL
+    ),
+    kept AS (
+      SELECT doc_id,
+             list_filter(sents, (x, i) -> list_position(sents, x) = i) AS k,
+             len(sents) AS n_total
+      FROM s
+    )
+    SELECT doc_id,
+           array_to_string(k, '. ') AS text_clean,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           CAST(n_total - len(k) AS BIGINT) AS n_dropped
+    FROM kept
+    """,
+)
+def text_dedup_sentences_within_doc(spark, sf_dir):
+    """Intra-document repeated-sentence removal (the within-doc cleanup
+    pass of Gopher/RefinedWeb pipelines — boilerplate sentences repeat
+    INSIDE a page, not just across pages): keep each sentence's first
+    occurrence, preserve order, reassemble. Entirely map-side — higher-
+    order array functions in codegen, NO shuffle (contrast with
+    ``dedup_paragraphs``, the corpus-wide variant that must shuffle on
+    paragraph identity). ``array_position`` returns the FIRST index of a
+    value, so ``filter(s, (x, i) -> array_position(s, x) == i+1)`` is
+    first-occurrence-wins in one expression on both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sents = F.split(F.col("text"), r"\.\s+")
+    kept = F.filter(
+        sents, lambda x, i: F.array_position(sents, x) == i + F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(kept, ". ").alias("text_clean"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(sents) - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scale-default MinHash + approximation-quality report
 # ---------------------------------------------------------------------------
 

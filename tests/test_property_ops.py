@@ -42,6 +42,53 @@ def test_pack_matches_reference(spark, lens, target):
     assert got == py_pack(lens, target)
 
 
+# --- substring spans vs brute-force token LCS --------------------------------
+
+# Small alphabet forces shared runs; docs of 0-30 tokens cover the
+# shorter-than-k edge and multi-island diagonals.
+token = st.integers(min_value=0, max_value=5).map(lambda i: f"t{i}")
+doc_tokens = st.lists(token, min_size=0, max_size=30)
+
+
+def py_longest_token_lcs(a: list, b: list) -> int:
+    """O(|a||b|) DP longest common (contiguous) token substring."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            if x == y:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+@given(st.lists(doc_tokens, min_size=2, max_size=5), st.integers(2, 4))
+@_settings
+def test_substring_spans_match_token_lcs(spark, docs, k):
+    """substring_span_pairs must equal the brute-force longest-common-
+    token-substring for every pair (for LCS >= k; shorter spans have no
+    matching k-gram and are invisible by design)."""
+    from ingest_fast_spark.operators.dedup import substring_span_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_span_tokens"]
+        for r in substring_span_pairs(df, k=k, min_span=k).collect()
+    }
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            lcs = py_longest_token_lcs(docs[i], docs[j])
+            if lcs >= k:
+                want[(i, j)] = lcs
+    assert got == want
+
+
 kv = st.dictionaries(
     st.integers(min_value=0, max_value=8),
     st.integers(min_value=-100, max_value=100),
