@@ -2270,6 +2270,54 @@ def text_dedup_sentences_within_doc(spark, sf_dir):
     )
 
 
+@register("stream_incremental_dedup")
+def stream_incremental_dedup(spark, sf_dir):
+    """Streaming incremental near-dup dedup as a registered (rows-only)
+    surface: the documents table is materialized as two JSONL arrival
+    batches (lower / upper doc_id halves); the AvailableNow query runs
+    once per arrival, so batch 2 is deduped against the PERSISTED index
+    built by batch 1 — exercising index accumulation, cross-batch LSH
+    candidate generation, and the greedy first-seen-wins resolution
+    (O(delta) driver traffic, see streaming/dedup_incremental.py).
+    Returns the decisions log (doc_id, kept, dup_of). Deterministic:
+    arrival order is doc_id order, signatures are seeded xxhash64. The
+    driver-side JSONL write is harness setup (simulating a watched
+    landing directory), not part of the operator's dataflow."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+
+    from ..streaming.dedup_incremental import run_incremental_near_dedup
+
+    base = "/tmp/spark_graft_incdedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(docs_dir)
+    rows = sorted(
+        (
+            (r["doc_id"], r["text"])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .collect()
+        ),
+    )
+    half = len(rows) // 2
+    for name, chunk in (("b1.jsonl", rows[:half]), ("b2.jsonl", rows[half:])):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for doc_id, text in chunk:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        run_incremental_near_dedup(
+            spark, docs_dir, out_dir, threshold=0.5, bands=8
+        ).awaitTermination()
+    decisions_path = os.path.join(out_dir, "decisions")
+    try:
+        return spark.read.parquet(decisions_path).select("doc_id", "kept", "dup_of")
+    except Exception:  # empty corpus: no batch ever produced decisions
+        return spark.createDataFrame([], "doc_id long, kept boolean, dup_of long")
+
+
 # ---------------------------------------------------------------------------
 # Scale-default MinHash + approximation-quality report
 # ---------------------------------------------------------------------------

@@ -201,3 +201,27 @@ def test_normalize_docs_no_udf_in_plan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_normalize_docs")
     assert "EvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_sentence_dedup_is_map_only(spark, sf_dir):
+    """Intra-doc sentence dedup is higher-order array expressions over one
+    scan: no shuffle, no Python eval — the whole point vs the corpus-wide
+    paragraph dedup."""
+    plan = plan_of(spark, sf_dir, "text_dedup_sentences_within_doc")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_shard_is_single_shuffle(spark, sf_dir):
+    """Shuffle-and-shard pays exactly one exchange (the shard_id window
+    partition); the shuffle key is computed map-side."""
+    plan = plan_of(spark, sf_dir, "shard_training_data")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_substring_spans_no_cartesian_no_python(spark, sf_dir):
+    """Exact-substring dedup blocks on the gram hash: equi-join only, all
+    JVM."""
+    plan = plan_of(spark, sf_dir, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
