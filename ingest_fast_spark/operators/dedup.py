@@ -173,20 +173,34 @@ def jaccard_prefix_filter_pairs(
     # when the vocabulary outgrows the threshold — strictly better than a
     # window over the shingle partition, which always pays a full sort.
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("h"))
-    wsz = Window.partitionBy("doc_id")
-    ranked = (
+    # ONE doc_id shuffle builds the df-sorted shingle array per doc; the
+    # prefix is an array slice and the SAME array feeds verification.
+    # (Previous formulation: a row_number window — per-doc sort within a
+    # doc_id shuffle — PLUS a second doc_id shuffle to collect_list the
+    # verification sets. sort_array over ~doc-sized structs replaces the
+    # window sort, and the second shuffle disappears entirely.)
+    byd = (
         sh.join(dfreq, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("sz", F.count(F.lit(1)).over(wsz))
-        .filter(
-            F.col("rn")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_", "h"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.transform("ranked", lambda x: x["h"]).alias("hs"),
+            F.size("ranked").alias("sz"),
         )
-        .select("doc_id", "h", "sz")
+        .withColumn(
+            "prefix",
+            F.slice(
+                "hs",
+                1,
+                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds candidate explode + both verify sides
     )
-    a = ranked.select(F.col("doc_id").alias("doc_a"), "h", F.col("sz").alias("sz_a"))
-    b = ranked.select(F.col("doc_id").alias("doc_b"), "h", F.col("sz").alias("sz_b"))
+    pre = byd.select("doc_id", "sz", F.explode("prefix").alias("h"))
+    a = pre.select(F.col("doc_id").alias("doc_a"), "h", F.col("sz").alias("sz_a"))
+    b = pre.select(F.col("doc_id").alias("doc_b"), "h", F.col("sz").alias("sz_b"))
     # Size-ratio pruning (necessary condition of J ≥ t: t·|A| ≤ |B| ≤ |A|/t)
     # discards most spurious prefix collisions before the dedup shuffle.
     cands = (
@@ -199,9 +213,8 @@ def jaccard_prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("sh_set"))
-    sets_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
-    sets_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    sets_a = byd.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sets_b = byd.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

@@ -108,14 +108,17 @@ _SHOWCASE_ORDER = [
     "curation_temperature_mix",
     "text_token_stats",
     "text_tfidf_top_terms",
-    # join long tail
-    "join_disjunctive_union",
-    "join_full_outer",
-    "join_null_safe",
+    # new this round (oracle-backed)
+    "dedup_exact_substring",
+    "shard_training_data",
+    "text_dedup_sentences_within_doc",
     # new this round (rows-only: scale-default MinHash + ANN recall report)
     "dedup_minhash_lsh_fast",
     "ann_recall_report",
 ]
+# Still awaiting a driver row (r4 rotation): join_disjunctive_union,
+# join_full_outer, join_null_safe, join_cross, join_asof_cogroup,
+# sort/set/pivot/subquery/scalar long tail, stream_incremental_dedup.
 
 
 def _reorder() -> None:
