@@ -99,6 +99,42 @@ def test_driver_traffic_is_o_delta_not_o_history(spark, dirs):
     )
 
 
+def test_registered_query_decisions_are_consistent(spark, sf_dir):
+    """The registered stream_incremental_dedup query's decisions must be
+    internally consistent on real data: every duplicate's dup_of target
+    is itself kept, was seen earlier (lower doc_id), and truly matches at
+    the threshold (exact 3-shingle Jaccard >= 0.5); every doc appears
+    exactly once."""
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.queries import QUERIES
+
+    decisions = QUERIES["stream_incremental_dedup"](spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in decisions}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r["doc_id"] is not None and r["text"] is not None
+    }
+    assert set(by_id) == set(docs)  # one decision per doc
+
+    def shingle_set(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for r in decisions:
+        if r["kept"]:
+            assert r["dup_of"] is None
+            continue
+        target = r["dup_of"]
+        assert target is not None and target < r["doc_id"]
+        assert by_id[target]["kept"], f"{r['doc_id']} dups a non-kept {target}"
+        a, b = shingle_set(docs[r["doc_id"]]), shingle_set(docs[target])
+        j = len(a & b) / len(a | b) if a | b else 0.0
+        assert j >= 0.5, f"{r['doc_id']}->{target} jaccard {j}"
+
+
 def test_greedy_chain_semantics(spark, dirs):
     docs, out = dirs
     # 10 ~ 11 ~ 12 transitively but 10 !~ 12 at thr=0.5 (3-shingle
