@@ -25,6 +25,9 @@ REPRESENTATIVE = [
     "merge_upsert_customers",   # full-outer merge
     "build_vocabulary",         # global rank
     "funnel_stages",            # chained conditional aggs
+    "dedup_exact_substring",    # positional grams + diagonal islands
+    "shard_training_data",      # row_number over hash order
+    "text_dedup_sentences_within_doc",  # per-doc array ops
 ]
 
 TABLES = (
