@@ -1033,6 +1033,150 @@ def substring_span_oracle_sql(k: int = 8, min_span: int = 15) -> str:
     """
 
 
+# --- Content-defined chunking (rsync/LBFS-family) ---------------------------
+
+_CDC_K = 1000003          # rolling-hash base
+_CDC_M = 1000000007       # rolling-hash modulus
+_CDC_W = 4                # rolling window (tokens)
+_CDC_D = 16               # boundary divisor → expected chunk ≈ D tokens
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (doc, chunk): CONTENT-DEFINED chunk boundaries via a
+    rolling hash over the last ``_CDC_W`` token hashes — a boundary falls
+    after token i when the window hash ≡ 0 (mod ``_CDC_D``), so
+    boundaries move WITH the content (insert one token and only the
+    chunks around the edit change — the rsync/LBFS/storage-dedup
+    property that fixed-size blocks lack; cf. Muthitacharoen et al.
+    SOSP'01). Engine-portable arithmetic (md5-derived token hash, modular
+    polynomial), so DuckDB re-derives identical boundaries.
+
+    All map-side: tokens → hashes → boundary positions → chunk slices,
+    one explode. Shuffle only happens in whatever aggregates downstream.
+    """
+    df = ensure_parallelism(df)
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    th = F.transform(toks, lambda s: portable_hash60(s) % _MINHASH_P)
+    kpow = [pow(_CDC_K, j, _CDC_M) for j in range(_CDC_W)]
+
+    def rolling(i):
+        # window hash of tokens (i-W+1 .. i), 1-based index i ≥ W
+        acc = None
+        for j in range(_CDC_W):
+            term = (F.element_at(th, i - F.lit(j)) * F.lit(kpow[j])) % F.lit(_CDC_M)
+            acc = term if acc is None else acc + term
+        return acc % F.lit(_CDC_M)
+
+    cuts = F.when(
+        n >= _CDC_W,
+        F.filter(
+            F.sequence(F.lit(_CDC_W), n),
+            lambda i: rolling(i) % _CDC_D == F.lit(0),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+    with_cuts = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("t"), n.alias("n"), cuts.alias("cuts")
+    ).filter(F.col("n") > 0)
+    nc = F.size("cuts")
+    starts = F.concat(F.array(F.lit(1)), F.transform("cuts", lambda c: c + 1))
+    ends = F.concat("cuts", F.array(F.col("n")))
+    chunk_at = lambda ci: F.array_join(  # noqa: E731
+        F.slice(
+            "t",
+            F.element_at(starts, ci),
+            F.element_at(ends, ci) - F.element_at(starts, ci) + 1,
+        ),
+        " ",
+    )
+    chunks = F.filter(
+        F.transform(F.sequence(F.lit(1), nc + 1), chunk_at),
+        lambda c: F.length(c) > 0,
+    )
+    return with_cuts.select("doc_id", F.explode(chunks).alias("chunk"))
+
+
+def cdc_chunk_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level chunk-dedup report: how much of the corpus is
+    REDUNDANT at content-defined-chunk granularity — total vs distinct
+    chunks, token-weighted, and the dedup ratio (fraction of chunk
+    tokens that a chunk-store would NOT store again). One digest
+    hash-aggregate; the standard sizing measurement before building a
+    chunk-level store or delta-encoding a crawl."""
+    ch = cdc_chunks(df, text_col, id_col).select(
+        F.md5("chunk").alias("dg"),
+        F.size(F.split("chunk", " ")).alias("sz"),
+    )
+    per_digest = ch.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("copies"), F.first("sz").alias("sz")
+    )
+    return per_digest.agg(
+        F.sum("copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("copies") * F.col("sz")).cast("long").alias("total_chunk_tokens"),
+        F.sum("sz").cast("long").alias("distinct_chunk_tokens"),
+    ).select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_chunk_tokens",
+        "distinct_chunk_tokens",
+        F.round(
+            1 - F.col("distinct_chunk_tokens") / F.col("total_chunk_tokens"), 6
+        ).alias("dedup_ratio"),
+    )
+
+
+def cdc_oracle_sql() -> str:
+    """DuckDB SQL computing EXACTLY ``cdc_chunk_stats`` over ``documents``."""
+    kpow = [pow(_CDC_K, j, _CDC_M) for j in range(_CDC_W)]
+    rh = " + ".join(
+        f"(h[i - {j}] * {kpow[j]}) % {_CDC_M}" for j in range(_CDC_W)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    th AS (
+      SELECT doc_id, t, len(t) AS n,
+             list_transform(t, s -> {portable_hash60_sql('s')} % {_MINHASH_P}) AS h
+      FROM toks WHERE len(t) > 0
+    ),
+    b AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n >= {_CDC_W} THEN
+               list_filter(generate_series({_CDC_W}, n),
+                           i -> (({rh}) % {_CDC_M}) % {_CDC_D} = 0)
+             ELSE [] END AS cuts
+      FROM th
+    ),
+    chunks AS (
+      SELECT doc_id, unnest(list_filter(
+        list_transform(generate_series(1, len(cuts) + 1),
+          ci -> array_to_string(
+            t[CASE WHEN ci = 1 THEN 1 ELSE cuts[ci - 1] + 1 END :
+              CASE WHEN ci = len(cuts) + 1 THEN n ELSE cuts[ci] END], ' ')),
+        c -> length(c) > 0)) AS chunk
+      FROM b
+    ),
+    sized AS (
+      SELECT md5(chunk) AS dg, len(string_split(chunk, ' ')) AS sz FROM chunks
+    ),
+    per AS (SELECT dg, COUNT(*) AS copies, MIN(sz) AS sz FROM sized GROUP BY dg)
+    SELECT CAST(SUM(copies) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(copies * sz) AS BIGINT) AS total_chunk_tokens,
+           CAST(SUM(sz) AS BIGINT) AS distinct_chunk_tokens,
+           ROUND(1 - SUM(sz) / CAST(SUM(copies * sz) AS DOUBLE), 6) AS dedup_ratio
+    FROM per
+    """
+
+
 # --- Paragraph-level dedup (C4/RefinedWeb-style) ----------------------------
 
 def paragraph_dedup(

@@ -115,6 +115,17 @@ def dedup_exact_substring(spark, sf_dir):
     )
 
 
+@register("dedup_chunks_cdc", oracle=D.cdc_oracle_sql())
+def dedup_chunks_cdc(spark, sf_dir):
+    """Content-defined-chunking dedup report (rsync/LBFS family): rolling-
+    hash boundaries that move with the content, chunk digests, and the
+    corpus-level redundancy ratio a chunk store would reclaim — the
+    storage-granularity complement to the document-level dedup family.
+    ORACLE-CHECKED: DuckDB re-derives identical boundaries and digests
+    from the same modular rolling-hash arithmetic."""
+    return D.cdc_chunk_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("minhash_jaccard_estimate", oracle=D.minhash_estimate_oracle_sql())
 def minhash_jaccard_estimate(spark, sf_dir):
     """Sketch-accuracy report: MinHash's Jaccard estimate (agreeing

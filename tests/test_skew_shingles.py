@@ -87,6 +87,44 @@ def test_substring_spans_split_runs(spark):
     ]
 
 
+def test_cdc_boundaries_realign_after_edit(spark):
+    """THE content-defined-chunking property: prepending one token shifts
+    every byte offset, yet after the first content-defined cut all
+    downstream chunk boundaries realign — so nearly every chunk is
+    shared between the original and the edited copy (fixed-size blocks
+    would share none)."""
+    from ingest_fast_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(300))
+    edited = "inserted " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    by_doc = {1: [], 2: []}
+    for r in cdc_chunks(df).collect():
+        by_doc[r["doc_id"]].append(r["chunk"])
+    c1, c2 = set(by_doc[1]), set(by_doc[2])
+    assert len(by_doc[1]) >= 5, "corpus too small to chunk"
+    # all but the first (pre-first-cut) chunk must survive the edit
+    assert len(c1 & c2) >= len(c1) - 1, (len(c1), len(c2), len(c1 & c2))
+    # reassembly sanity: chunks concatenate back to the doc
+    assert " ".join(by_doc[1]) == base
+
+
+def test_cdc_stats_on_duplicated_corpus(spark):
+    """A corpus of two identical docs dedups to ~half at chunk level."""
+    from ingest_fast_spark.operators.dedup import cdc_chunk_stats
+
+    text = " ".join(f"t{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    row = cdc_chunk_stats(df).collect()[0]
+    assert row["n_chunks"] == 2 * row["n_distinct_chunks"]
+    assert row["total_chunk_tokens"] == 400
+    assert row["dedup_ratio"] == 0.5
+
+
 def test_prefix_filter_immune_to_hot_shingles(spark, hot_corpus):
     """The high-threshold prefix-filter path self-mitigates: prefixes are
     rarest-first, so a shingle in >50% of docs is never a join key. At
