@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_exact_substring",
+    "dedup_chunks_cdc",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "embed_topk_bruteforce",
@@ -90,6 +91,7 @@ SCALE_QUERIES = [
     "dedup_minhash_lsh_fast",
     "dedup_ngram_jaccard",
     "dedup_exact_substring",
+    "dedup_chunks_cdc",
     "dedup_simhash",
     "dedup_cluster_canonical",
     "graph_pagerank",
