@@ -1,0 +1,205 @@
+"""Sketch-backed pre-filters for 100 TB membership / frequency questions
+(SURVEY.md §2.9 [EXT] family; no reference counterpart — the reference's
+closest analogue is the in-heap ``allSameAs`` probe index,
+lib/ingest.js:103,257-260, which these replace with bounded-size sketches).
+
+Two operators, both designed so the APPROXIMATE structure only *routes*
+work and the registered answer stays EXACTLY equal to a direct
+computation (hence DuckDB-oracle-checkable):
+
+* Bloom-filter membership pre-filter — build an m-bit filter over the
+  reference corpus's shingles, probe every new-crawl shingle against it.
+  The filter is the classic crawl-admission gate: at 100 TB the bit
+  array (m bits, e.g. 2^30 bits = 128 MB) broadcasts to every executor
+  while the reference shingle set itself (TBs) never moves. The filter
+  content is represented relationally as the DISTINCT set-bit positions
+  (≤ m rows of one int) — semantically identical to the bit array,
+  join-able, and expressible in SQL for the oracle. No false negatives
+  by construction; false positives are *measured* by the query output.
+
+* Misra-Gries heavy hitters with exact recount — per-partition bounded
+  MG summaries (capacity c) find a candidate superset, then only the
+  ≤ c×partitions candidate tokens are exactly recounted. The MG merge
+  guarantee (undercount ≤ Σ_p n_p/(c+1) = n/(c+1)) makes the candidate
+  set a PROVEN superset of every token with frequency > n/(c+1), so
+  with threshold φ ≥ 1/(c+1) the final output equals the plain
+  GROUP BY / HAVING answer — without ever shuffling the full token
+  stream on the token key. (Cf. Misra & Gries 1982; mergeability per
+  Agarwal et al., "Mergeable Summaries", PODS 2012.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _MINHASH_P, minhash_families, portable_hash60, portable_hash60_sql
+
+# Bloom geometry for the registered query (sf-test sized so the measured
+# false-positive rate is non-trivial: ~13% at sf0.01's 14.5k reference
+# shingles; at 100 TB you scale m with the reference corpus's
+# distinct-shingle count to hold fp ≈ (1 - e^{-k·n/m})^k at target).
+BLOOM_M = 1 << 16
+BLOOM_K = 2
+BLOOM_SEED = 20260814
+
+
+def _bloom_fams() -> list[tuple[int, int]]:
+    return minhash_families(BLOOM_K, seed=BLOOM_SEED)
+
+
+def _positions(hcol):
+    """Array of BLOOM_K bit positions for a (already mod-P) 60-bit hash."""
+    return F.array(
+        *[
+            ((F.lit(a) * hcol + F.lit(b)) % _MINHASH_P) % F.lit(BLOOM_M)
+            for a, b in _bloom_fams()
+        ]
+    )
+
+
+def bloom_build_bits(shingle_df: DataFrame, shingle_col: str = "shingle") -> DataFrame:
+    """Set-bit positions (one int column ``pos``) of the Bloom filter over
+    a shingle relation. One explode + one distinct; ≤ BLOOM_M rows out,
+    always broadcastable regardless of input size."""
+    h = portable_hash60(F.col(shingle_col)) % _MINHASH_P
+    return (
+        shingle_df.select(F.explode(_positions(h)).alias("pos"))
+        .dropDuplicates(["pos"])
+    )
+
+
+def bloom_probe_report(
+    probe_shingles: DataFrame,
+    ref_shingles: DataFrame,
+) -> DataFrame:
+    """Per probe document: how many of its shingles pass the Bloom filter
+    built from ``ref_shingles``, versus how many are EXACT members of the
+    reference shingle set. ``n_false_pos`` is the filter's measured
+    false-positive count — the number you check before trusting the
+    filter as an admission gate.
+
+    Inputs are (doc_id, shingle) relations (see ``dedup.shingles_df``).
+    Plan shape: bits (≤ m rows) broadcasts into the position probe; the
+    exact check is a semi-join on the shingle key (the only big shuffle,
+    and it is exactly the join the filter would *replace* at scale — the
+    query exists to measure that trade)."""
+    bits = bloom_build_bits(ref_shingles)
+    h = portable_hash60(F.col("shingle")) % _MINHASH_P
+    probed = probe_shingles.select(
+        "doc_id", "shingle", F.explode(_positions(h)).alias("pos")
+    )
+    # A shingle passes iff ALL K of its positions are set. Count matched
+    # exploded rows per (doc, shingle): every position row matches ≤ 1
+    # bits row (bits is distinct), so hits == BLOOM_K ⇔ all set.
+    hits = (
+        probed.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    passed = hits.filter(F.col("n_hit") == BLOOM_K).select("doc_id", "shingle")
+    exact = probe_shingles.join(
+        ref_shingles.select("shingle").dropDuplicates(["shingle"]),
+        "shingle",
+        "left_semi",
+    )
+    n_all = probe_shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    n_pass = passed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_exact = exact.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    return (
+        n_all.join(n_pass, "doc_id", "left")
+        .join(n_exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_bloom_pass", F.lit(0)).alias("n_bloom_pass"),
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            (
+                F.coalesce("n_bloom_pass", F.lit(0))
+                - F.coalesce("n_exact_hits", F.lit(0))
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def bloom_positions_sql(hexpr: str, i: int) -> str:
+    """DuckDB twin of position i for a mod-P hash expression."""
+    a, b = _bloom_fams()[i]
+    return f"(({a} * ({hexpr}) + {b}) % {_MINHASH_P}) % {BLOOM_M}"
+
+
+def bloom_hash_sql(shingle_expr: str) -> str:
+    return f"({portable_hash60_sql(shingle_expr)} % {_MINHASH_P})"
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def mg_candidates(tokens_df: DataFrame, capacity: int, tok_col: str = "tok") -> DataFrame:
+    """Per-partition Misra-Gries survivors (distinct tokens). Bounded
+    memory (``capacity`` counters per partition) and bounded output
+    (≤ capacity × partitions rows) no matter the input size — this is
+    the routing stage, not the answer."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[tok_col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    # Decrement-all; drop zeros. Amortized O(1)/token: each
+                    # decrement cancels one earlier increment.
+                    dead = []
+                    for k2 in counters:
+                        counters[k2] -= 1
+                        if counters[k2] == 0:
+                            dead.append(k2)
+                    for k2 in dead:
+                        del counters[k2]
+        if counters:
+            yield pd.DataFrame({tok_col: list(counters.keys())})
+
+    return tokens_df.select(tok_col).mapInPandas(
+        mg, f"{tok_col} string"
+    ).dropDuplicates([tok_col])
+
+
+def heavy_hitters_exact(
+    tokens_df: DataFrame,
+    inv_phi: int = 500,
+    capacity: int = 1000,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Tokens with frequency ≥ total/inv_phi, with EXACT counts — equal to
+    a plain GROUP BY/HAVING (the oracle) by the MG superset guarantee,
+    which needs capacity + 1 > inv_phi (asserted). The full token stream
+    is aggregated only against the broadcast candidate set, so the big
+    shuffle a naive global GROUP BY pays on the token key is bounded to
+    candidate tokens."""
+    if capacity + 1 <= inv_phi:
+        raise ValueError("MG guarantee needs capacity + 1 > inv_phi")
+    cand = mg_candidates(tokens_df, capacity, tok_col)
+    counts = (
+        tokens_df.join(F.broadcast(cand), tok_col)
+        .groupBy(tok_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = tokens_df.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * inv_phi >= F.col("total"))
+        .select(
+            tok_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
+        )
+    )

@@ -91,12 +91,10 @@ _SHOWCASE_ORDER = [
     "agg_grouping_sets",
     "agg_salted_skew",
     "agg_corr_stats",
-    "agg_having",
     "agg_min_max_by",
     "agg_listagg",
     "agg_conditional",
     "agg_regression",
-    "agg_approx_count_distinct",
     # window long tail
     "window_ranking",
     "window_range_frame",
@@ -112,13 +110,17 @@ _SHOWCASE_ORDER = [
     "dedup_exact_substring",
     "shard_training_data",
     "text_dedup_sentences_within_doc",
+    "dedup_bloom_prefilter",
+    "text_heavy_hitters",
     # new this round (rows-only: scale-default MinHash + ANN recall report)
     "dedup_minhash_lsh_fast",
     "ann_recall_report",
 ]
 # Still awaiting a driver row (r4 rotation): join_disjunctive_union,
 # join_full_outer, join_null_safe, join_cross, join_asof_cogroup,
-# sort/set/pivot/subquery/scalar long tail, stream_incremental_dedup.
+# sort/set/pivot/subquery/scalar long tail, stream_incremental_dedup,
+# agg_having, agg_approx_count_distinct (both bumped from the r3 window
+# to make room for the round's new oracle-backed sketch queries).
 
 
 def _reorder() -> None:

@@ -2417,3 +2417,109 @@ def ann_recall_report(spark, sf_dir):
         ["doc_a", "doc_b"],
     )
     return ivf.unionByName(lsh).unionByName(mh)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-backed pre-filters (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def _bloom_oracle() -> str:
+    from ..operators import sketches as K
+
+    h_ref = K.bloom_hash_sql("shingle")
+    h_probe = "h"
+    pos_ref = [K.bloom_positions_sql(h_ref, i) for i in range(K.BLOOM_K)]
+    pos_probe = [K.bloom_positions_sql(h_probe, i) for i in range(K.BLOOM_K)]
+    bits_union = " UNION ALL ".join(f"SELECT {p} AS pos FROM refsh" for p in pos_ref)
+    pass_conds = " AND ".join(f"({p}) IN (SELECT pos FROM bits)" for p in pos_probe)
+    return rf"""
+    WITH shn AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE source IN {_NEW_SOURCES} AND text IS NOT NULL)
+    ),
+    shr AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE source NOT IN {_NEW_SOURCES} AND text IS NOT NULL)
+    ),
+    refsh AS (SELECT DISTINCT shingle FROM shr),
+    bits AS (SELECT DISTINCT pos FROM ({bits_union})),
+    ph AS (SELECT doc_id, shingle, {K.bloom_hash_sql("shingle")} AS h FROM shn),
+    pass_ AS (SELECT doc_id, shingle FROM ph WHERE {pass_conds}),
+    exact_ AS (SELECT doc_id, shingle FROM shn WHERE shingle IN (SELECT shingle FROM refsh)),
+    na AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    np AS (SELECT doc_id, COUNT(*) AS n_bloom_pass FROM pass_ GROUP BY doc_id),
+    ne AS (SELECT doc_id, COUNT(*) AS n_exact_hits FROM exact_ GROUP BY doc_id)
+    SELECT na.doc_id,
+           na.n_shingles,
+           CAST(COALESCE(np.n_bloom_pass, 0) AS BIGINT) AS n_bloom_pass,
+           CAST(COALESCE(ne.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+           CAST(COALESCE(np.n_bloom_pass, 0) - COALESCE(ne.n_exact_hits, 0) AS BIGINT)
+             AS n_false_pos
+    FROM na
+    LEFT JOIN np ON np.doc_id = na.doc_id
+    LEFT JOIN ne ON ne.doc_id = na.doc_id
+    """
+
+
+@register("dedup_bloom_prefilter", oracle=_bloom_oracle())
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter crawl-admission pre-filter: build an m-bit filter over
+    the EXISTING corpus's 3-shingles (sources != src0-2), probe every
+    NEW-crawl shingle, and report per new document the bloom-positive
+    count next to the exact-membership count — i.e. the filter's measured
+    false-positive behavior on this corpus. No false negatives by
+    construction (asserted in tests/test_sketches.py).
+
+    Scale design: the filter content (≤ m distinct set-bit positions, one
+    int each — the relational twin of the 100 TB deployment's broadcast
+    bit array) broadcasts into a map-side probe; the reference shingle
+    relation itself never shuffles to the probe side. The exact-membership
+    leg is the expensive semi-join the filter would REPLACE at scale; it
+    is part of this query precisely to measure what skipping it costs.
+    Engine-portable md5-derived hashing (operators/dedup.py
+    portable_hash60) keeps the oracle bit-identical."""
+    from ..operators import sketches as K
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    new_df = d.filter(F.col("source").isin(*_NEW_SOURCES))
+    ref_df = d.filter(~F.col("source").isin(*_NEW_SOURCES))
+    return K.bloom_probe_report(D.shingles_df(new_df), D.shingles_df(ref_df))
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=r"""
+    WITH tk AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS total FROM tk),
+    g AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt / CAST(total AS DOUBLE), 6) AS share
+    FROM g CROSS JOIN n
+    WHERE cnt * 500 >= total
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters (tokens with frequency ≥ 1/500 of all token
+    occurrences) with EXACT counts, computed the 100 TB way: bounded
+    per-partition Misra-Gries summaries find a candidate superset
+    (≤ capacity × partitions tokens ever leave the executors), then only
+    candidates are recounted exactly against a broadcast set. The MG
+    merge bound (undercount ≤ n/(capacity+1) < n/inv_phi) PROVES the
+    output equals the oracle's plain GROUP BY/HAVING — same answer, but
+    the full token stream never shuffles on the token key. Guarantee +
+    decrement path exercised on an adversarial corpus in
+    tests/test_sketches.py."""
+    from ..operators.sketches import heavy_hitters_exact
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters_exact(tk, inv_phi=500, capacity=1000)

@@ -1,0 +1,94 @@
+"""Sketch pre-filters (operators/sketches.py): Bloom membership and
+Misra-Gries heavy hitters — the structural guarantees the registered
+queries rest on, exercised on adversarial synthetic corpora the sf
+testdata can't produce (its vocabulary is ~31 tokens)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from ingest_fast_spark.operators import sketches as K
+from ingest_fast_spark.operators.dedup import shingles_df
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_no_false_negatives(spark):
+    # 60 ref docs, 40 probe docs; 15 probes are verbatim copies of refs,
+    # so every copied shingle is an exact member and MUST pass the filter.
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    ref = [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(60)]
+    probe = [(1000 + i, ref[i][1]) for i in range(15)] + [
+        (2000 + i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(25)
+    ]
+    ref_sh = shingles_df(_docs(spark, ref))
+    probe_sh = shingles_df(_docs(spark, probe))
+    rep = K.bloom_probe_report(probe_sh, ref_sh).collect()
+    by_id = {r["doc_id"]: r for r in rep}
+    for i in range(15):
+        r = by_id[1000 + i]
+        # a verbatim copy: all shingles are exact members → all must pass
+        assert r["n_exact_hits"] == r["n_shingles"]
+        assert r["n_bloom_pass"] == r["n_shingles"], "bloom false negative"
+    # globally: pass-set ⊇ exact-set, i.e. n_false_pos ≥ 0 everywhere
+    assert all(r["n_false_pos"] >= 0 for r in rep)
+
+
+def test_bloom_bits_bounded(spark):
+    ref_sh = shingles_df(
+        _docs(spark, [(i, f"a b c d e f g h token{i} x y z") for i in range(50)])
+    )
+    bits = K.bloom_build_bits(ref_sh)
+    n = bits.count()
+    assert 0 < n <= K.BLOOM_M
+    # distinct positions: the filter content is a set
+    assert bits.dropDuplicates(["pos"]).count() == n
+
+
+def test_heavy_hitters_equal_exact_on_adversarial_corpus(spark):
+    # Vocabulary (5000) far above MG capacity (64) so the decrement path
+    # runs constantly; a few planted heavy tokens plus a long random tail.
+    rng = random.Random(13)
+    tokens = ["hot_a"] * 400 + ["hot_b"] * 250 + ["hot_c"] * 120
+    tokens += [f"tail{rng.randrange(5000)}" for _ in range(4000)]
+    rng.shuffle(tokens)
+    # many small docs so tokens spread over partitions
+    docs = [
+        (i, " ".join(tokens[i * 20 : (i + 1) * 20]))
+        for i in range(len(tokens) // 20)
+    ]
+    d = _docs(spark, docs).repartition(8)
+    tk = d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+    inv_phi, capacity = 50, 64  # threshold n/50; capacity+1 > inv_phi holds
+    got = {
+        r["tok"]: r["cnt"]
+        for r in K.heavy_hitters_exact(tk, inv_phi=inv_phi, capacity=capacity).collect()
+    }
+    exact = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tk.count()
+    want = {
+        r["tok"]: r["cnt"]
+        for r in exact.filter(F.col("cnt") * inv_phi >= F.lit(total)).collect()
+    }
+    assert got == want and "hot_a" in got
+
+
+def test_heavy_hitters_candidate_set_is_bounded(spark):
+    rng = random.Random(5)
+    tk = spark.createDataFrame(
+        [(f"t{rng.randrange(10000)}",) for _ in range(20000)], "tok string"
+    ).repartition(8)
+    capacity = 32
+    n_cand = K.mg_candidates(tk, capacity).count()
+    assert n_cand <= capacity * 8
+
+
+def test_heavy_hitters_rejects_unsound_capacity(spark):
+    import pytest
+
+    tk = spark.createDataFrame([("a",)], "tok string")
+    with pytest.raises(ValueError):
+        K.heavy_hitters_exact(tk, inv_phi=500, capacity=100)
