@@ -80,6 +80,8 @@ HEADLINE = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "embedding_quantize_int8",
+    "dedup_bloom_prefilter",
+    "text_heavy_hitters",
 ]
 
 

@@ -1,0 +1,194 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") — SURVEY.md §2.9
+[EXT]: the vocabulary-construction step of an LLM data pipeline, learned
+from the corpus itself.
+
+The classic algorithm iterates on the WORD-FREQUENCY table, not the
+corpus: after one ``groupBy(word)`` over the token stream (the only
+corpus-sized shuffle), every merge round touches a vocabulary-sized
+relation — millions of rows at 100 TB, not billions. Each round is:
+
+  adjacent-pair counts (explode + hash agg, weighted by word freq)
+  → argmax pair (freq DESC, then lexicographic — deterministic)
+  → apply the merge to every word (map-only string replace)
+
+The word's symbol sequence is encoded engine-portably as a separator-
+framed string: ``SEP s1 SEP SEP s2 SEP … SEP sn SEP`` (SEP = U+001F,
+outside any sane corpus alphabet). Applying merge (a, b) is then exactly
+``replace(repr, SEP a SEP SEP b SEP, SEP a b SEP)`` — and both Spark's
+``replace`` and DuckDB's ``replace`` scan left-to-right over the
+original string without rescanning replacements, which reproduces
+greedy BPE merge semantics including the overlapping-run case
+("aaa" + merge(a,a) → "aa","a"). That makes the whole training loop
+expressible in BOTH engines, so the registered query is oracle-EXACT —
+rare for an iterative algorithm (cf. graph_pagerank's unrolled oracle).
+
+No driver-side collect anywhere: the per-round argmax is a 1-row
+DataFrame crossJoin-broadcast back into the merge application; rounds
+are localCheckpoint-barriered so the plan stays linear in rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+_SEP2 = SEP + SEP
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace-lowercase tokens — the one
+    corpus-sized aggregation."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_repr(word_col) -> F.Column:
+    chars = F.regexp_extract_all(word_col, F.lit("."), 0)
+    return F.concat(F.lit(SEP), F.array_join(chars, _SEP2), F.lit(SEP))
+
+
+def _symbols(repr_col) -> F.Column:
+    return F.split(
+        F.substring(repr_col, 2, F.length(repr_col) - 2), _SEP2
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    (rank, left_sym, right_sym, freq): the merge table in learned order,
+    where ``freq`` is the pair's weighted count at the time it was
+    chosen. Deterministic: ties broken lexicographically on (left,
+    right), and string order is codepoint order in both engines."""
+    w = (
+        word_freq_table(docs, text_col)
+        .select(_initial_repr(F.col("word")).alias("repr"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    bests: list[DataFrame] = []
+    for r in range(n_merges):
+        syms = _symbols(F.col("repr"))
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pc = (
+            w.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = (
+            pc.orderBy(F.desc("pair_freq"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row, materialized on executors
+        )
+        bests.append(best.select(F.lit(r + 1).alias("rank"), "a", "b", "pair_freq"))
+        search = F.concat(F.lit(SEP), F.col("a"), F.lit(_SEP2), F.col("b"), F.lit(SEP))
+        repl = F.concat(F.lit(SEP), F.col("a"), F.col("b"), F.lit(SEP))
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(F.replace(F.col("repr"), search, repl).alias("repr"), "freq")
+            .localCheckpoint(eager=True)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "rank",
+        F.col("a").alias("left_sym"),
+        F.col("b").alias("right_sym"),
+        F.col("pair_freq").alias("freq"),
+    )
+
+
+def bpe_train_py(word_freqs: dict[str, int], n_merges: int = 8):
+    """Pure-Python reference (independent of the string encoding): words
+    as symbol tuples, greedy left-to-right merge. Used by tests to pin
+    the distributed implementation's semantics."""
+    words = {tuple(w): f for w, f in word_freqs.items() if w}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), f = best
+        merges.append((rank, a, b, f))
+        new_words: dict[tuple, int] = {}
+        for syms, fr in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + fr
+        words = new_words
+    return merges
+
+
+def bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of ``bpe_train`` — the merge loop unrolled into CTE
+    rounds with the identical repr encoding, pair argmax, and replace."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    parts = [
+        f"""
+    w0 AS (
+      SELECT {sep} || array_to_string(regexp_extract_all(word, '.'), {sep2}) || {sep} AS repr,
+             freq
+      FROM (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE length(word) > 0
+        GROUP BY word
+      )
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""
+    s{r} AS (
+      SELECT string_split(substr(repr, 2, length(repr) - 2), {sep2}) AS syms, freq
+      FROM w{r}
+    ),
+    p{r} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS pair_freq
+      FROM s{r}, unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT a, b, pair_freq FROM p{r} ORDER BY pair_freq DESC, a, b LIMIT 1),
+    w{r + 1} AS (
+      SELECT replace(repr, {sep}||a||{sep2}||b||{sep}, {sep}||a||b||{sep}) AS repr, freq
+      FROM w{r}, b{r}
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, a, b, pair_freq FROM b{r}" for r in range(n_merges)
+    )
+    return f"""
+    WITH {",".join(parts)}
+    SELECT rank, a AS left_sym, b AS right_sym, CAST(pair_freq AS BIGINT) AS freq
+    FROM ({union})
+    """

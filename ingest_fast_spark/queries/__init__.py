@@ -91,7 +91,6 @@ _SHOWCASE_ORDER = [
     "agg_grouping_sets",
     "agg_salted_skew",
     "agg_corr_stats",
-    "agg_min_max_by",
     "agg_listagg",
     "agg_conditional",
     "agg_regression",
@@ -112,6 +111,7 @@ _SHOWCASE_ORDER = [
     "text_dedup_sentences_within_doc",
     "dedup_bloom_prefilter",
     "text_heavy_hitters",
+    "bpe_train_merges",
     # new this round (rows-only: scale-default MinHash + ANN recall report)
     "dedup_minhash_lsh_fast",
     "ann_recall_report",
@@ -119,8 +119,8 @@ _SHOWCASE_ORDER = [
 # Still awaiting a driver row (r4 rotation): join_disjunctive_union,
 # join_full_outer, join_null_safe, join_cross, join_asof_cogroup,
 # sort/set/pivot/subquery/scalar long tail, stream_incremental_dedup,
-# agg_having, agg_approx_count_distinct (both bumped from the r3 window
-# to make room for the round's new oracle-backed sketch queries).
+# agg_having, agg_approx_count_distinct, agg_min_max_by (bumped from the
+# r3 window to make room for the round's new oracle-backed operators).
 
 
 def _reorder() -> None:

@@ -2523,3 +2523,27 @@ def text_heavy_hitters(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tk = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     return heavy_hitters_exact(tk, inv_phi=500, capacity=1000)
+
+
+def _bpe_oracle() -> str:
+    from ..operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(8)
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first 8 merge rules from the corpus, operating on the word-
+    frequency table so every round after the single corpus-sized
+    groupBy(word) touches only a vocabulary-sized relation. The per-round
+    argmax is a 1-row broadcast (no driver collect); merge application is
+    a map-only string replace over an engine-portable symbol encoding,
+    which is what makes this ITERATIVE algorithm oracle-EXACT in DuckDB
+    (the oracle unrolls the same 8 rounds as CTEs). Greedy-merge parity
+    with a pure-Python tuple-based reference is pinned in
+    tests/test_bpe.py."""
+    from ..operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bpe_train(d, n_merges=8)
