@@ -192,3 +192,94 @@ def bpe_oracle_sql(n_merges: int = 8) -> str:
     SELECT rank, a AS left_sym, b AS right_sym, CAST(pair_freq AS BIGINT) AS freq
     FROM ({union})
     """
+
+
+def bpe_encode_lengths(
+    docs: DataFrame, merges: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Apply a learned merge table to the corpus and report per-document
+    BPE token counts next to whitespace token counts (the number packing
+    and token-budget planning actually need). Each DISTINCT word is
+    encoded once (vocabulary-sized work), then the per-doc counts come
+    from a broadcast join of the word→length map onto the exploded token
+    stream — the corpus never carries symbol strings through a shuffle.
+    Merge application is the same portable string replace as training,
+    chained in rank order."""
+    wf = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    enc = wf.select("word", _initial_repr(F.col("word")).alias("repr"))
+    expr = F.col("repr")
+    for r in range(1, n_merges + 1):
+        m = merges.filter(F.col("rank") == r).select(
+            F.col("left_sym").alias(f"a{r}"), F.col("right_sym").alias(f"b{r}")
+        )
+        enc = enc.crossJoin(F.broadcast(m))
+        search = F.concat(
+            F.lit(SEP), F.col(f"a{r}"), F.lit(_SEP2), F.col(f"b{r}"), F.lit(SEP)
+        )
+        repl = F.concat(F.lit(SEP), F.col(f"a{r}"), F.col(f"b{r}"), F.lit(SEP))
+        expr = F.replace(expr, search, repl)
+    word_lens = enc.select(
+        "word", F.size(_symbols(expr)).alias("n_bpe_word")
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(F.broadcast(word_lens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_bpe_word").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens") / F.col("n_ws_tokens").cast("double"), 6
+            ).alias("bpe_ratio"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin: trains the same merges (unrolled CTEs from
+    ``bpe_oracle_sql``) then applies them to every distinct word and
+    aggregates per document."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    base = bpe_oracle_sql(n_merges)
+    # reuse the WITH-block of the training oracle, swap the final SELECT
+    with_block = base.split("SELECT rank,")[0].rstrip().rstrip(",")
+    expr = "repr"
+    aliases = ", ".join(f"b{r} m{r}" for r in range(n_merges))
+    for r in range(n_merges):
+        s = f"{sep}||m{r}.a||{sep2}||m{r}.b||{sep}"
+        t = f"{sep}||m{r}.a||m{r}.b||{sep}"
+        expr = f"replace({expr}, {s}, {t})"
+    return f"""{with_block},
+    vocab AS (
+      SELECT word, {sep} || array_to_string(regexp_extract_all(word, '.'), {sep2}) || {sep} AS repr
+      FROM (
+        SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE length(word) > 0
+    ),
+    enc AS (
+      SELECT word,
+             len(string_split(substr(f, 2, length(f) - 2), {sep2})) AS n_bpe_word
+      FROM (SELECT word, {expr} AS f FROM vocab, {aliases})
+    ),
+    dw AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ws_tokens,
+           CAST(SUM(n_bpe_word) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(n_bpe_word) / CAST(COUNT(*) AS DOUBLE), 6) AS bpe_ratio
+    FROM dw JOIN enc USING (word)
+    WHERE length(word) > 0
+    GROUP BY doc_id
+    """

@@ -2547,3 +2547,26 @@ def bpe_train_merges(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return bpe_train(d, n_merges=8)
+
+
+def _bpe_encode_oracle() -> str:
+    from ..operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(8)
+
+
+@register("bpe_encode_lengths", oracle=_bpe_encode_oracle())
+def bpe_encode_lengths(spark, sf_dir):
+    """Tokenizer-aware corpus length accounting: train the 8 BPE merges
+    (see ``bpe_train_merges``) and apply them to every document,
+    reporting BPE token counts next to whitespace counts — the numbers a
+    packing/token-budget stage actually consumes. Each DISTINCT word is
+    encoded once (vocabulary-sized), then a broadcast word→length map
+    joins onto the exploded token stream; the corpus never shuffles
+    symbol strings. Oracle-exact end-to-end: the DuckDB twin re-trains
+    the same merges in unrolled CTEs and re-applies them."""
+    from ..operators.bpe import bpe_encode_lengths as enc
+    from ..operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return enc(d, bpe_train(d, n_merges=8), n_merges=8)
