@@ -1273,3 +1273,57 @@ def ngram_contamination(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs (doc_id, ref_id)
+    where doc_id's k-shingle set is ≥ ``threshold`` CONTAINED in
+    ref_id's (overlap / |shingles(doc)|). This is the quote/boilerplate/
+    subset case symmetric Jaccard systematically misses: a 100-word doc
+    fully embedded in a 10,000-word doc has containment 1.0 but Jaccard
+    ≈ 0.01. Same shingle-blocked join shape (and skew guard) as
+    ``ngram_jaccard_pairs``; the Jaccard value rides along so the output
+    separates true subsets from symmetric copies."""
+    sh = shingles_df(df, text_col, id_col, k)
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.localCheckpoint(eager=True)  # feeds sizes + both join sides
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle"
+        ).drop("df_")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh
+    b = sh.select(F.col("doc_id").alias("ref_id"), "shingle")
+    ov = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .groupBy("doc_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.round(F.col("n_common") / F.col("n_doc"), 6)
+    jac = F.round(
+        F.col("n_common") / (F.col("n_doc") + F.col("n_ref") - F.col("n_common")), 6
+    )
+    return (
+        ov.join(sizes.select("doc_id", F.col("n").alias("n_doc")), "doc_id")
+        .join(
+            sizes.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("n_ref")),
+            "ref_id",
+        )
+        .select(
+            "doc_id",
+            "ref_id",
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+            "n_common",
+        )
+        .filter(F.col("containment") >= threshold)
+    )

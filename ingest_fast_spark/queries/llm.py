@@ -2570,3 +2570,41 @@ def bpe_encode_lengths(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return enc(d, bpe_train(d, n_merges=8), n_merges=8)
+
+
+@register(
+    "dedup_containment",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ov.doc_id, ov.ref_id,
+           ROUND(n_common / CAST(sa.n AS DOUBLE), 6) AS containment,
+           ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard,
+           n_common
+    FROM ov
+    JOIN sz sa ON sa.doc_id = ov.doc_id
+    JOIN sz sb ON sb.doc_id = ov.ref_id
+    WHERE ROUND(n_common / CAST(sa.n AS DOUBLE), 6) >= 0.9
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric (containment) near-dup report: which documents are
+    ≥90% shingle-contained in another — the quote/boilerplate/subset
+    relation symmetric Jaccard misses (a small doc embedded in a huge one
+    has containment 1.0, Jaccard ≈ 0). See
+    ``operators/dedup.containment_pairs`` for the scale design (shingle-
+    blocked join on 64-bit hashes, stop-shingle skew guard)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return D.containment_pairs(d, threshold=0.9)

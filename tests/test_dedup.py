@@ -69,3 +69,23 @@ def test_simhash_deterministic_and_finds_exact_dupes(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_near_dups(docs_with_dupes(spark), max_hamming=16).collect()}
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs  # near dupe within hamming radius
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from ingest_fast_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here of course")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, threshold=0.9).collect()
+    got = {(r["doc_id"], r["ref_id"]): r for r in cont}
+    assert (1, 2) in got  # small fully contained in big
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.05
+    # symmetric Jaccard at the same strictness finds nothing
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+    # big is NOT contained in small
+    assert (2, 1) not in got
