@@ -225,3 +225,38 @@ def test_substring_spans_no_cartesian_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_exact_substring")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bloom_bits_broadcast_and_no_cartesian(spark, sf_dir):
+    # The filter content (set-bit positions) must broadcast into the
+    # probe; the only non-broadcast join is the exact-membership leg.
+    plan = plan_of(spark, sf_dir, "dedup_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    # The MG candidate set broadcasts into the recount; the full token
+    # stream must not shuffle on the token key except for candidates.
+    plan = plan_of(spark, sf_dir, "text_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one Python stage: the bounded mapInPandas candidate pass
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_bpe_train_rounds_stay_jvm_side(spark, sf_dir):
+    # Merge rounds are pure Column expressions over checkpointed frames:
+    # no Python evaluation, no cartesian blowup (the per-round crossJoin
+    # is against a 1-row broadcast).
+    plan = plan_of(spark, sf_dir, "bpe_train_merges")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} in BPE plan"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_encode_word_lengths_broadcast(spark, sf_dir):
+    # The word->BPE-length map must broadcast onto the exploded token
+    # stream (vocabulary-sized build side, corpus-sized probe side).
+    plan = plan_of(spark, sf_dir, "bpe_encode_lengths")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
