@@ -1,0 +1,52 @@
+"""Shuffle-budget audit: every headline query has a declared ceiling on
+the number of hash-partition exchanges in its physical plan. A shuffle
+that sneaks in during a refactor is the single most expensive silent
+regression at 100 TB (each exchange re-materializes the whole relation
+over the network), so the budget is pinned here, not discovered in the
+next bench run.
+
+Budgets are ceilings, not exact counts — AQE may merge/elide exchanges
+at runtime; plan shape is stable across scale factors so this runs at
+sf0.001. Only `Exchange hashpartitioning` counts: broadcasts and
+single-partition exchanges are not corpus-sized."""
+
+import pytest
+
+from ingest_fast_spark.queries import QUERIES
+
+# name -> max allowed hash-partition exchanges in the static plan.
+SHUFFLE_BUDGET = {
+    # reference pipeline: one agg shuffle + one merge shuffle
+    "fast_aggregate_docs": 2,
+    "fast_parse_triples": 0,  # map-only parse
+    # relational core
+    "q1_pricing_summary": 1,  # the group-by; dims broadcast
+    "q5_region_revenue": 3,
+    "filter_project": 0,  # scan+filter+project, no shuffle
+    "topk_per_group": 1,  # one window partition
+    "window_running_agg": 1,
+    "sessionize": 1,
+    "join_asof": 1,  # union+window single shuffle design
+    # text / curation: map-only or broadcast-probe designs
+    "text_token_stats": 0,
+    "text_quality_score": 0,
+    "quality_model_score": 0,
+    "pack_training_sequences": 1,  # the single window pass
+    "shard_training_data": 1,
+    "curation_domain_cap": 2,  # group limit + totals agg
+    # dedup family: shingle agg + pair join + sizes
+    "dedup_exact": 1,
+    "dedup_paragraphs": 2,  # paragraph window + doc_id reassembly (by design)
+    "text_heavy_hitters": 2,  # candidate recount + total (1-row)
+    "bpe_encode_lengths": 12,  # word-freq agg + 8 checkpointed rounds
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} hash exchanges > budget {SHUFFLE_BUDGET[name]}\n{plan}"
+    )
