@@ -82,6 +82,9 @@ HEADLINE = [
     "embedding_quantize_int8",
     "dedup_bloom_prefilter",
     "text_heavy_hitters",
+    "dedup_containment",
+    "bpe_train_merges",
+    "bpe_encode_lengths",
 ]
 
 

@@ -596,3 +596,78 @@ def semantic_dedup_pairs(
     return m.groupBy("cluster_id").applyInPandas(
         score, "cluster_id long, vec_a long, vec_b long, cos_sim double"
     )
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """FILTERED exact top-k: for every query vector, the k most cosine-
+    similar corpus vectors with a DIFFERENT label — contrastive
+    hard-negative mining (high-similarity, wrong-class examples are the
+    pairs a contrastive/reranker trainer learns most from).
+
+    Same scale shape as ``brute_force_topk`` (queries broadcast, one GEMM
+    per corpus partition, local top-k, corpus never shuffles); the label
+    predicate is applied INSIDE the GEMM as a mask, not as a post-rank
+    filter — post-filtering a plain top-k would under-fill k whenever
+    same-label vectors crowd the head of the ranking."""
+    import numpy as np
+
+    from ..catalog import ensure_parallelism
+
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col))
+        .collect()
+    )
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, cos_sim double, rank int"
+        )
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_labels = np.array([r[label_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_labels, qmat))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_q, labels_q, mat_q = bc.value
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna() & pdf[label_col].notna()]
+            if len(pdf) == 0:
+                continue
+            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block_labels = pdf[label_col].to_numpy(dtype=np.int64)
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block @ mat_q.T, 6)
+            # the filter: same-label (and self) pairs never rank
+            sims[block_labels[:, None] == labels_q[None, :]] = -np.inf
+            sims[block_ids[:, None] == ids_q[None, :]] = -np.inf
+            take = min(k, len(block_ids))
+            frames = []
+            for j, qid in enumerate(ids_q):
+                col = sims[:, j]
+                order = np.lexsort((block_ids, -col))[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, id_col: block_ids[order], "cos_sim": col[order]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    candidates = ensure_parallelism(corpus.select(id_col, vec_col, label_col)).mapInPandas(
+        score, f"query_id long, {id_col} long, cos_sim double"
+    ).filter(F.col("cos_sim") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2608,3 +2608,120 @@ def dedup_containment(spark, sf_dir):
     blocked join on 64-bit hashes, stop-shingle skew guard)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return D.containment_pairs(d, threshold=0.9)
+
+
+@register(
+    "dedup_health_by_source",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, doc_id, md5(text) AS digest
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dc AS (SELECT digest, COUNT(*) AS n_copies FROM d GROUP BY digest),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM overlap
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.3
+    ),
+    near AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+      )
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE n_copies > 1) AS BIGINT) AS n_exact_dup,
+           CAST(COUNT(*) FILTER (WHERE near.doc_id IS NOT NULL) AS BIGINT) AS n_near_dup,
+           ROUND(COUNT(*) FILTER (WHERE n_copies > 1) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS exact_dup_rate,
+           ROUND(COUNT(*) FILTER (WHERE near.doc_id IS NOT NULL) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS near_dup_rate
+    FROM d
+    JOIN dc USING (digest)
+    LEFT JOIN near ON near.doc_id = d.doc_id
+    GROUP BY source
+    """,
+)
+def dedup_health_by_source(spark, sf_dir):
+    """Dedup-health dashboard: per source (domain), how much of its
+    content is exact-duplicated (same digest appears >1 corpus-wide) and
+    how much is near-duplicated (participates in a Jaccard ≥ 0.3 pair).
+    This is the report a curation run reads BEFORE choosing per-domain
+    quotas — a domain whose near-dup rate is 60% contributes far less
+    unique signal than its raw row count suggests. Scale shape: digest
+    counts are one hash agg; the near-dup doc-id set is tiny (pairs
+    only) and broadcasts back onto the corpus scan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dig = d.select("source", "doc_id", F.md5("text").alias("digest"))
+    digc = dig.groupBy("digest").agg(F.count(F.lit(1)).alias("n_copies"))
+    pairs = D.ngram_jaccard_pairs(d, k=3, threshold=0.3)
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .dropDuplicates(["doc_id"])
+        .withColumn("is_near", F.lit(1))
+    )
+    n = F.count(F.lit(1))
+    n_exact = F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+    n_near = F.sum(F.coalesce(F.col("is_near"), F.lit(0)))
+    return (
+        dig.join(digc, "digest")
+        .join(F.broadcast(near), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            n_exact.cast("long").alias("n_exact_dup"),
+            n_near.cast("long").alias("n_near_dup"),
+            F.round(n_exact / n.cast("double"), 6).alias("exact_dup_rate"),
+            F.round(n_near / n.cast("double"), 6).alias("near_dup_rate"),
+        )
+    )
+
+
+@register(
+    "embed_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND label IS NOT NULL),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec, label FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    scored AS (
+      SELECT q.query_id, c.vec_id, ROUND({_COS}, 6) AS cos_sim
+      FROM c CROSS JOIN q
+      WHERE c.label <> q.qlabel AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embed_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for each of the first 5 query
+    vectors, the 5 most cosine-similar vectors with a DIFFERENT label —
+    the high-similarity wrong-class pairs a contrastive or reranker
+    trainer learns most from. The label predicate is applied inside the
+    per-partition GEMM as a mask (see
+    ``operators/similarity.hard_negatives_topk``), not post-rank, so k is
+    always filled; corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_negatives_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)

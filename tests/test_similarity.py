@@ -121,3 +121,23 @@ def test_semantic_dedup_pairs_subset_of_exact(spark, sf_dir):
     assert sem, "semantic dedup found no pairs at sf0.001"
     for pair, cos in sem.items():
         assert pair in exact and abs(exact[pair] - cos) < 2e-6, pair
+
+
+def test_hard_negatives_mask_fills_k_where_postfilter_would_not(spark):
+    from ingest_fast_spark.operators.similarity import brute_force_topk, hard_negatives_topk
+
+    # 10 near-identical label-0 vectors crowd the ranking head; 5 label-1
+    # vectors sit farther away. A plain top-5 then post-filtered by label
+    # would return nothing; the masked GEMM must return all 5 label-1.
+    rows = [(0, [1.0, 0.0, 0.0], 0)]
+    rows += [(i, [1.0, 0.001 * i, 0.0], 0) for i in range(1, 10)]
+    rows += [(100 + i, [0.5, 1.0, 0.1 * i], 1) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter("vec_id = 0")
+    got = hard_negatives_topk(emb, q, k=5).collect()
+    assert len(got) == 5
+    labels = {r["vec_id"] for r in got}
+    assert labels == {100, 101, 102, 103, 104}
+    # plain top-5 is all same-label: post-filtering it would yield zero
+    plain = brute_force_topk(emb, q, k=5).collect()
+    assert all(r["vec_id"] < 100 for r in plain)
