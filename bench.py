@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_containment",
     "bpe_train_merges",
     "bpe_encode_lengths",
+    "dedup_health_by_source",
+    "embed_hard_negatives",
 ]
 
 

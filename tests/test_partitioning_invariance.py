@@ -28,6 +28,10 @@ REPRESENTATIVE = [
     "dedup_exact_substring",    # positional grams + diagonal islands
     "shard_training_data",      # row_number over hash order
     "text_dedup_sentences_within_doc",  # per-doc array ops
+    "text_heavy_hitters",       # MG candidates vary per layout; recount must not
+    "bpe_train_merges",         # argmax tie-break must be partition-independent
+    "dedup_bloom_prefilter",    # bit-set build across layouts
+    "embed_hard_negatives",     # GEMM local top-k across partition boundaries
 ]
 
 TABLES = (
