@@ -102,6 +102,32 @@ SHOWCASE = [
         "per-user span aggregate (narrow), the fill is one window pass "
         "over the same user partitioning.",
     ),
+    (
+        "dedup_bloom_prefilter",
+        "Bloom admission pre-filter: the set-bit positions (≤ m ints, the "
+        "relational twin of the broadcast bit array) broadcast into the "
+        "probe; the only corpus-sized shuffle is the exact-membership leg "
+        "the filter exists to replace — kept in-plan to measure it.",
+    ),
+    (
+        "text_heavy_hitters",
+        "Exact heavy hitters: one bounded MapInPandas stage emits the "
+        "Misra-Gries candidate superset, which broadcasts into the exact "
+        "recount — the full token stream never shuffles on the token key.",
+    ),
+    (
+        "bpe_train_merges",
+        "BPE training: after the single corpus-sized word groupBy, each "
+        "merge round is a vocabulary-sized pair count + 1-row argmax "
+        "broadcast + map-only replace; rounds are checkpoint-barriered so "
+        "the plan stays linear.",
+    ),
+    (
+        "embed_hard_negatives",
+        "Label-masked hard negatives: queries broadcast into a "
+        "per-partition GEMM (mask applied inside the kernel), local top-k "
+        "per partition, global window ranks only partitions×k candidates.",
+    ),
 ]
 
 
