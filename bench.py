@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_encode_lengths",
     "dedup_health_by_source",
     "embed_hard_negatives",
+    "embedding_pq_codes",
 ]
 
 

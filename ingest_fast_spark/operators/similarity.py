@@ -671,3 +671,91 @@ def hard_negatives_topk(
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subspaces, assign each subvector to its nearest of ``k``
+    per-subspace centroids, and emit the code word plus the measured
+    reconstruction error — the memory/recall trade a 100 TB vector store
+    actually deploys (64 dims × 4 bytes → m bytes per vector here).
+
+    Codebook: deterministic lowest-id seeding (the same convention as
+    ``sample_centroids``/``ivf_topk_deterministic`` — production would run
+    ``kmeans_centroids`` per subspace; determinism is what makes the
+    whole encode ORACLE-CHECKABLE). Scale shape: the codebook (m × k
+    subvectors) broadcasts; assignment is a per-row argmin over m×k
+    rounded L2 distances — map-only except the final per-vector window,
+    which is keyed by (vec_id, sub) and never carries full vectors.
+    Returns (vec_id, codes array<int> ordered by subspace, recon_mse)."""
+    e = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
+    dim_expr = F.size("v")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("sub"),
+                F.slice("v", s * (dim_expr / m).cast("int") + 1, (dim_expr / m).cast("int")).alias(
+                    "sv"
+                ),
+            ),
+        )
+    )
+    sub_rows = e.select("vec_id", subs.alias("p")).select(
+        "vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    )
+    cent_sub = cent.select(
+        "centroid_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.slice(
+                        "cv", s * (F.size("cv") / m).cast("int") + 1, (F.size("cv") / m).cast("int")
+                    ).alias("csv"),
+                ),
+            )
+        ).alias("p"),
+    ).select("centroid_id", F.col("p.sub").alias("sub"), F.col("p.csv").alias("csv"))
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("sv", "csv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    best = (
+        sub_rows.join(F.broadcast(cent_sub), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "centroid_id",
+            dist.alias("dist"),
+            F.size("sv").alias("n_el"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "centroid_id"))),
+            lambda t: t["centroid_id"].cast("int"),
+        ).alias("codes"),
+        F.round(F.sum("dist") / F.sum("n_el"), 6).alias("recon_mse"),
+    )

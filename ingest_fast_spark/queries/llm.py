@@ -2725,3 +2725,53 @@ def embed_hard_negatives(spark, sf_dir):
     always filled; corpus never shuffles."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.hard_negatives_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+    sub_rows AS (
+      SELECT vec_id, sub, v[sub * 16 + 1 : (sub + 1) * 16] AS sv FROM e CROSS JOIN ss
+    ),
+    cent_sub AS (
+      SELECT centroid_id, sub, cv[sub * 16 + 1 : (sub + 1) * 16] AS csv
+      FROM cent CROSS JOIN ss
+    ),
+    scored AS (
+      SELECT vec_id, s.sub, centroid_id,
+             ROUND(list_sum(list_transform(generate_series(1, 16),
+                     i -> (sv[i] - csv[i]) * (sv[i] - csv[i]))), 6) AS dist
+      FROM sub_rows s JOIN cent_sub c ON c.sub = s.sub
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           list(CAST(centroid_id AS INT) ORDER BY sub) AS codes,
+           ROUND(SUM(dist) / 64.0, 6) AS recon_mse
+    FROM best
+    GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011): encode every embedding
+    as 4 subspace code words (8 centroids each → 4 bytes per vector vs
+    256) and report the measured reconstruction MSE — the compression
+    the 100 TB vector store deploys next to int8 (``embedding_quantize_
+    int8``) and IVF bucketing. Deterministic lowest-id codebook makes
+    the full encode oracle-exact; production swaps in per-subspace
+    ``kmeans_centroids``. Codebook broadcasts; assignment is map-only up
+    to the (vec_id, sub)-keyed argmin window."""
+    return S.pq_encode(
+        load_table(spark, sf_dir, "embeddings"), m=4, k=8
+    )

@@ -141,3 +141,36 @@ def test_hard_negatives_mask_fills_k_where_postfilter_would_not(spark):
     # plain top-5 is all same-label: post-filtering it would yield zero
     plain = brute_force_topk(emb, q, k=5).collect()
     assert all(r["vec_id"] < 100 for r in plain)
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    import numpy as np
+
+    from ingest_fast_spark.operators.similarity import pq_encode
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k = 4, 8  # 8 dims -> 4 subspaces of 2
+    got = {r["vec_id"]: (r["codes"], r["recon_mse"]) for r in pq_encode(emb, m=m, k=k).collect()}
+
+    cents = vecs[:k]  # lowest-id codebook
+    d = vecs.shape[1] // m
+    for i in range(40):
+        codes, mse = [], 0.0
+        for s in range(m):
+            sv = vecs[i, s * d : (s + 1) * d]
+            dists = np.round(((cents[:, s * d : (s + 1) * d] - sv) ** 2).sum(axis=1), 6)
+            c = int(np.lexsort((np.arange(k), dists))[0])
+            codes.append(c)
+            mse += dists[c]
+        want = (codes, round(mse / vecs.shape[1], 6))
+        assert got[i][0] == want[0], (i, got[i], want)
+        # 2e-6 tolerance: Python round() is banker's, Spark ROUND is
+        # half-up — they differ by one 6th-decimal ULP at .5 boundaries
+        assert abs(got[i][1] - want[1]) <= 2e-6
+    # a centroid vector reconstructs itself exactly
+    assert got[0] == ([0, 0, 0, 0], 0.0)
