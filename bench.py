@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_health_by_source",
     "embed_hard_negatives",
     "embedding_pq_codes",
+    "embed_topk_pq_adc",
 ]
 
 

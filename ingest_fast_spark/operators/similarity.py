@@ -759,3 +759,77 @@ def pq_encode(
         ).alias("codes"),
         F.round(F.sum("dist") / F.sum("n_el"), 6).alias("recon_mse"),
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_cent: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric distance computation (ADC) top-k: score every corpus
+    vector through its PQ CODES only — per query, a distance table of
+    m × n_cent entries (query subvector ↔ every codebook centroid) is
+    built once and each corpus vector costs m table lookups + a sum,
+    never a full d-dim distance. This is how a PQ-compressed 100 TB
+    store answers queries: the codes relation (m small ints per vector)
+    is the only corpus-sized input; the distance tables broadcast.
+
+    Approximate by construction (quantization error); deterministic, so
+    oracle-checkable — compare with ``brute_force_topk`` for recall.
+    Distances are L2 (the PQ-native metric). Returns (query_id, vec_id,
+    approx_dist, rank)."""
+    codes = pq_encode(corpus, m=m, k=n_cent, id_col=id_col, vec_col=vec_col)
+    e = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
+    cent = (
+        e.orderBy("vec_id")
+        .limit(n_cent)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    sub_of = lambda col, width: F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("sub"),
+                F.slice(col, s * width + 1, width).alias("sv"),
+            ),
+        )
+    )
+    q = queries.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    qsub = q.select(
+        "query_id", sub_of(F.col("qv"), (F.size("qv") / m).cast("int")).alias("p")
+    ).select("query_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("qsv"))
+    csub = cent.select(
+        "centroid_id", sub_of(F.col("cv"), (F.size("cv") / m).cast("int")).alias("p")
+    ).select("centroid_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("csv"))
+    d = F.round(
+        F.aggregate(
+            F.zip_with("qsv", "csv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dtab = qsub.join(csub, "sub").select(
+        "query_id", "sub", F.col("centroid_id").alias("code"), d.alias("d")
+    )
+    corpus_codes = codes.select(
+        "vec_id",
+        F.posexplode("codes").alias("sub", "code"),
+    ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    return (
+        corpus_codes.join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

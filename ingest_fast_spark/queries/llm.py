@@ -2775,3 +2775,67 @@ def embedding_pq_codes(spark, sf_dir):
     return S.pq_encode(
         load_table(spark, sf_dir, "embeddings"), m=4, k=8
     )
+
+
+@register(
+    "embed_topk_pq_adc",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+    sub_rows AS (
+      SELECT vec_id, sub, v[sub * 16 + 1 : (sub + 1) * 16] AS sv FROM e CROSS JOIN ss
+    ),
+    cent_sub AS (
+      SELECT centroid_id, sub, cv[sub * 16 + 1 : (sub + 1) * 16] AS csv
+      FROM cent CROSS JOIN ss
+    ),
+    scored AS (
+      SELECT vec_id, s.sub, centroid_id,
+             ROUND(list_sum(list_transform(generate_series(1, 16),
+                     i -> (sv[i] - csv[i]) * (sv[i] - csv[i]))), 6) AS dist
+      FROM sub_rows s JOIN cent_sub c ON c.sub = s.sub
+    ),
+    codes AS (
+      SELECT vec_id, sub, centroid_id AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qsub AS (
+      SELECT query_id, sub, qv[sub * 16 + 1 : (sub + 1) * 16] AS qsv
+      FROM q CROSS JOIN ss
+    ),
+    dtab AS (
+      SELECT query_id, s.sub, centroid_id AS code,
+             ROUND(list_sum(list_transform(generate_series(1, 16),
+                     i -> (qsv[i] - csv[i]) * (qsv[i] - csv[i]))), 6) AS d
+      FROM qsub s JOIN cent_sub c ON c.sub = s.sub
+    ),
+    approx AS (
+      SELECT query_id, vec_id, ROUND(SUM(d), 6) AS approx_dist
+      FROM codes JOIN dtab USING (sub, code)
+      WHERE vec_id <> query_id
+      GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, approx_dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx_dist, vec_id) AS INT) AS rank
+      FROM approx
+    ) WHERE rank <= 10
+    """,
+)
+def embed_topk_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for the first 5 query vectors: every
+    corpus vector is scored through its 4 PQ code words via a broadcast
+    per-query distance table (m × k lookups + a sum — never a 64-dim
+    distance). This is the query path of a PQ-compressed vector store;
+    deterministic codebook makes the approximation itself oracle-exact.
+    Compare with ``embed_topk_bruteforce`` for the recall trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, m=4, n_cent=8)
