@@ -89,6 +89,7 @@ HEADLINE = [
     "embed_hard_negatives",
     "embedding_pq_codes",
     "embed_topk_pq_adc",
+    "embed_label_noise_audit",
 ]
 
 

@@ -2839,3 +2839,37 @@ def embed_topk_pq_adc(spark, sf_dir):
     Compare with ``embed_topk_bruteforce`` for the recall trade."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, m=4, n_cent=8)
+
+
+@register(
+    "embed_label_noise_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+               WHERE embedding IS NOT NULL AND vec_id IS NOT NULL AND label IS NOT NULL),
+    scored AS (
+      SELECT a.vec_id, a.label, b.vec_id AS nb_id, b.label AS nb_label,
+             ROUND({_IVF_COS_A.format(x='a.v', y='b.v')}, 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos_sim DESC, nb_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS INT) AS n_neighbors,
+           CAST(COUNT(*) FILTER (WHERE nb_label = label) AS INT) AS n_same_label,
+           ROUND(COUNT(*) FILTER (WHERE nb_label = label) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS knn_agreement
+    FROM ranked WHERE rn <= 5
+    GROUP BY vec_id, label
+    """,
+)
+def embed_label_noise_audit(spark, sf_dir):
+    """Label-noise audit: per labeled embedding, the share of its 5
+    nearest neighbors agreeing with its label — low values flag probable
+    mislabels before they poison a classifier/reranker fine-tune. Fully
+    map-only (broadcast corpus GEMM, no shuffle/window); see
+    ``operators/similarity.knn_label_agreement`` for the scale regime and
+    the IVF-bucketed path beyond broadcast reach."""
+    return S.knn_label_agreement(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -174,3 +174,22 @@ def test_pq_encode_matches_numpy_reference(spark):
         assert abs(got[i][1] - want[1]) <= 2e-6
     # a centroid vector reconstructs itself exactly
     assert got[0] == ([0, 0, 0, 0], 0.0)
+
+
+def test_knn_label_agreement_flags_planted_mislabel(spark):
+    import numpy as np
+
+    from ingest_fast_spark.operators.similarity import knn_label_agreement
+
+    rng = np.random.RandomState(11)
+    # two tight, well-separated clusters; vector 0 carries the WRONG label
+    a = rng.randn(20, 6) * 0.05 + np.array([5, 0, 0, 0, 0, 0])
+    b = rng.randn(20, 6) * 0.05 + np.array([0, 5, 0, 0, 0, 0])
+    rows = [(0, [float(x) for x in a[0]], 1)]  # mislabeled: sits in cluster 0
+    rows += [(i, [float(x) for x in a[i]], 0) for i in range(1, 20)]
+    rows += [(20 + i, [float(x) for x in b[i]], 1) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    rep = {r["vec_id"]: r for r in knn_label_agreement(emb, k=5).collect()}
+    assert rep[0]["knn_agreement"] == 0.0  # every neighbor disagrees
+    clean = [r["knn_agreement"] for vid, r in rep.items() if vid != 0]
+    assert min(clean) >= 0.8  # well-separated clusters agree with themselves
