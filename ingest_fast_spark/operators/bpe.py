@@ -72,6 +72,13 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
         .select(_initial_repr(F.col("word")).alias("repr"), "freq")
         .localCheckpoint(eager=True)
     )
+    if w.isEmpty():
+        # Degenerate corpus: skip the 8 rounds of (argmax + replace +
+        # checkpoint) jobs they'd burn producing nothing. Same 0-row
+        # result the oracle's CTEs produce on an empty word table.
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, left_sym string, right_sym string, freq long"
+        )
     bests: list[DataFrame] = []
     for r in range(n_merges):
         syms = _symbols(F.col("repr"))

@@ -752,12 +752,21 @@ def pq_encode(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
+    # Sum EXACT integer micro-units, not rounded doubles: FP addition
+    # order varies with partitioning, and a last-ULP difference flips
+    # ROUND at a .xxxxx5 boundary (observed: 0.020279 vs 0.020278
+    # between two runs of the same query). dist is already rounded to 6
+    # decimals, so dist·10⁶ is integral up to FP error that round()
+    # removes; the long sum is then order-independent.
+    micro = F.round(F.col("dist") * 1e6).cast("long")
     return best.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "centroid_id"))),
             lambda t: t["centroid_id"].cast("int"),
         ).alias("codes"),
-        F.round(F.sum("dist") / F.sum("n_el"), 6).alias("recon_mse"),
+        F.round(
+            F.sum(micro) / (F.sum("n_el") * F.lit(1000000.0)), 6
+        ).alias("recon_mse"),
     )
 
 
@@ -824,14 +833,23 @@ def pq_adc_topk(
         "vec_id",
         F.posexplode("codes").alias("sub", "code"),
     ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    # Rank on the EXACT long micro-unit sum (same determinism rationale
+    # as pq_encode's recon_mse: FP addition order varies per run).
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_micro"), F.asc("vec_id"))
+    micro = F.round(F.col("d") * 1e6).cast("long")
     return (
         corpus_codes.join(F.broadcast(dtab), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+        .agg(F.sum(micro).alias("approx_micro"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("approx_micro") / 1e6, 6).alias("approx_dist"),
+            "rank",
+        )
     )
 
 

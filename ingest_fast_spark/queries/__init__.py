@@ -9,6 +9,11 @@ Parity conventions (so Spark and DuckDB hash identically):
   * every computed column is aliased the same on both sides;
   * double aggregates are rounded (FP sums are order-dependent at the ULP
     level; rounding makes both engines agree);
+  * when the SUMMANDS are themselves rounded doubles and few per group,
+    sum exact integer micro-units instead (`round(x*1e6) as long`, divide
+    after) — a last-ULP difference from partition-dependent addition
+    order can flip ROUND at a .xxxxx5 boundary run-to-run (caught live
+    on pq_encode's 4-term recon_mse; see operators/similarity.py);
   * DuckDB ``SUM(BIGINT)`` returns HUGEINT → always ``CAST(... AS BIGINT)``;
   * arrays are ``array_sort``ed / ``list_sort``ed before comparison;
   * timestamps are naive UTC (timestamp_ntz) on the Spark side.

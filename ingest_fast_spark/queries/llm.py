@@ -2758,7 +2758,7 @@ def embed_hard_negatives(spark, sf_dir):
     )
     SELECT vec_id,
            list(CAST(centroid_id AS INT) ORDER BY sub) AS codes,
-           ROUND(SUM(dist) / 64.0, 6) AS recon_mse
+           ROUND(SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) / 64000000.0, 6) AS recon_mse
     FROM best
     GROUP BY vec_id
     """,
@@ -2818,14 +2818,16 @@ def embedding_pq_codes(spark, sf_dir):
       FROM qsub s JOIN cent_sub c ON c.sub = s.sub
     ),
     approx AS (
-      SELECT query_id, vec_id, ROUND(SUM(d), 6) AS approx_dist
+      SELECT query_id, vec_id,
+             SUM(CAST(ROUND(d * 1000000) AS BIGINT)) AS approx_micro
       FROM codes JOIN dtab USING (sub, code)
       WHERE vec_id <> query_id
       GROUP BY query_id, vec_id
     )
-    SELECT query_id, vec_id, approx_dist, rank FROM (
+    SELECT query_id, vec_id,
+           ROUND(approx_micro / 1000000.0, 6) AS approx_dist, rank FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (
-          PARTITION BY query_id ORDER BY approx_dist, vec_id) AS INT) AS rank
+          PARTITION BY query_id ORDER BY approx_micro, vec_id) AS INT) AS rank
       FROM approx
     ) WHERE rank <= 10
     """,
