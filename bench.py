@@ -90,6 +90,13 @@ HEADLINE = [
     "embedding_pq_codes",
     "embed_topk_pq_adc",
     "embed_label_noise_audit",
+    "search_ndcg_eval",
+    "doc_bigram_logppl",
+    "split_leakage_report",
+    "quality_quarantine",
+    "curation_dsir_weights",
+    "events_anomaly_zscore",
+    "embedding_whiten_zca",
 ]
 
 

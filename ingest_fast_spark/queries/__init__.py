@@ -46,6 +46,7 @@ def register(name: str, oracle: str | None = None):
 def _load_all() -> None:
     from . import fastq  # noqa: F401
     from . import llm  # noqa: F401
+    from . import pipelineq  # noqa: F401
     from . import relational  # noqa: F401
     from . import streamq  # noqa: F401
     from . import tpch_extra  # noqa: F401

@@ -1,0 +1,702 @@
+"""Training-pipeline evaluation & audit queries (SURVEY.md §2.9 [EXT]).
+
+The curation surface (dedup, quality, mixing) answers "what goes into the
+corpus"; this module answers "how good is what came out": retrieval-quality
+evaluation (NDCG/MRR/P@k), LM-based document scoring (interpolated bigram
+perplexity), train/eval split leakage auditing, quarantine gating with
+reason codes, DSIR importance weights (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling"), ZCA embedding whitening,
+and per-user event anomaly detection.
+
+Every query follows the registry parity conventions (queries/__init__.py):
+identical aliases on both engines, doubles rounded to 6, arrays sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from . import register
+
+# Shared DuckDB fragments mirroring functions/text.py exactly (same
+# definitions as queries/llm.py — kept local so each module's oracles are
+# self-contained strings).
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_NON_ALNUM = r"round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)"
+
+
+def _sw(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"round(len(list_filter({_TOKS}, t -> t IN ({words}))) / len({_TOKS}), 6)"
+
+
+_SW_EN, _SW_DE, _SW_ES, _SW_FR = (_sw(lang) for lang in ("en", "de", "es", "fr"))
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: NDCG@10 / MRR / P@10 for dense retrieval
+# ---------------------------------------------------------------------------
+
+_EVAL_QUERY_IDS = (0, 1, 2, 3, 4)
+_EVAL_K = 10
+
+_COS = (
+    "list_dot_product(qv, v) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+)
+
+
+@register(
+    "search_ndcg_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e
+      WHERE vec_id IN {_EVAL_QUERY_IDS}
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, e.vec_id, e.label,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND({_COS}, 6) DESC, e.vec_id) AS INT) AS rank
+      FROM e CROSS JOIN q WHERE e.vec_id <> query_id
+      QUALIFY rank <= {_EVAL_K}
+    ),
+    rel AS (
+      SELECT query_id, rank,
+             CASE WHEN label IS NOT NULL AND label = qlabel THEN 1 ELSE 0 END AS r
+      FROM ranked
+    ),
+    tot AS (
+      SELECT q.query_id, COUNT(*) AS n_rel
+      FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+      GROUP BY q.query_id
+    ),
+    idcg AS (
+      SELECT i AS n, SUM(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS v
+      FROM generate_series(1, {_EVAL_K}) t(i)
+    ),
+    m AS (
+      SELECT query_id,
+             CAST(SUM(r) AS BIGINT) AS n_rel_topk,
+             MAX(CASE WHEN r = 1 THEN 1.0 / rank ELSE 0 END) AS mrr_raw,
+             SUM(r / log2(rank + 1.0)) AS dcg
+      FROM rel GROUP BY query_id
+    )
+    SELECT m.query_id,
+           m.n_rel_topk,
+           CAST(COALESCE(tot.n_rel, 0) AS BIGINT) AS n_rel_total,
+           ROUND(m.n_rel_topk / {_EVAL_K}.0, 6) AS p_at_k,
+           ROUND(m.mrr_raw, 6) AS mrr,
+           CASE WHEN COALESCE(tot.n_rel, 0) = 0 THEN 0.0
+                ELSE ROUND(m.dcg / idcg.v, 6) END AS ndcg_at_k
+    FROM m
+    LEFT JOIN tot ON tot.query_id = m.query_id
+    LEFT JOIN idcg ON idcg.n = LEAST({_EVAL_K}, COALESCE(tot.n_rel, 1))
+    """,
+)
+def search_ndcg_eval(spark, sf_dir):
+    """Dense-retrieval quality evaluation — the feedback loop every
+    embedding-based dedup/retrieval stage needs: for 5 held-out query
+    vectors, rank the corpus by exact cosine (top-10, the GEMM local-top-k
+    operator), treat same-`label` as binary relevance, and report
+    P@10 / MRR / NDCG@10 per query plus the corpus-wide relevant count.
+
+    Scale shape: rides ``brute_force_topk`` (corpus never shuffles; only
+    partitions×k×|Q| candidate rows reach the final rank); the label
+    lookup joins the tiny top-k table back to the corpus scan, and the
+    per-query relevant totals are one conditional aggregate over a
+    broadcast 5-row query table. Metrics math is pure Column arithmetic
+    on ≤ k rows per query."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    q = e.filter(F.col("vec_id").isin(*_EVAL_QUERY_IDS))
+    qlab = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    top = S.brute_force_topk(e, q, k=_EVAL_K)
+    labels = e.select("vec_id", "label")
+    rel = (
+        labels.join(F.broadcast(top), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            F.when(
+                F.col("label").isNotNull() & (F.col("label") == F.col("qlabel")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("r"),
+        )
+    )
+    tot = (
+        labels.join(
+            F.broadcast(qlab), labels["label"] == qlab["qlabel"], "inner"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    m = rel.groupBy("query_id").agg(
+        F.sum("r").cast("long").alias("n_rel_topk"),
+        F.round(
+            F.max(F.when(F.col("r") == 1, F.lit(1.0) / F.col("rank")).otherwise(0.0)),
+            6,
+        ).alias("mrr"),
+        F.sum(F.col("r") / F.log2(F.col("rank") + F.lit(1.0))).alias("dcg"),
+    )
+    # IDCG(n) = sum_{i=1..min(k,n)} 1/log2(i+1), folded left-to-right in
+    # ascending i on BOTH engines (DuckDB uses a cumulative window).
+    n_rel = F.coalesce(F.col("n_rel"), F.lit(0))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(_EVAL_K), F.greatest(n_rel, F.lit(1)))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return (
+        m.join(tot, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel_topk",
+            n_rel.cast("long").alias("n_rel_total"),
+            F.round(F.col("n_rel_topk") / F.lit(float(_EVAL_K)), 6).alias("p_at_k"),
+            "mrr",
+            F.when(n_rel == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("dcg") / idcg, 6))
+            .alias("ndcg_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM perplexity (CCNet-style scoring, one order up)
+# ---------------------------------------------------------------------------
+
+_LAMBDA = 0.75  # bigram weight; (1-λ) backs off to the unigram MLE
+
+
+@register(
+    "doc_bigram_logppl",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    tt AS (SELECT doc_id, t FROM t WHERE len(t) >= 2),
+    b AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(2, len(t)),
+                 i -> {{'w1': t[i-1], 'w2': t[i]}})) AS p
+        FROM tt)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY w1, w2),
+    cp AS (SELECT w1, COUNT(*) AS cp FROM b GROUP BY w1),
+    uni AS (SELECT unnest(t) AS w FROM t),
+    cw AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM uni),
+    sc AS (
+      SELECT b.doc_id,
+             ln({_LAMBDA} * cb.cb / cp.cp + {1 - _LAMBDA} * cw.cw / tot.n) AS lp
+      FROM b
+      JOIN cb USING (w1, w2)
+      JOIN cp USING (w1)
+      JOIN cw ON cw.w = b.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(-AVG(lp), 6) AS logppl
+    FROM sc GROUP BY doc_id
+    """,
+)
+def doc_bigram_logppl(spark, sf_dir):
+    """Interpolated bigram language-model scoring — the next rung above
+    ``doc_unigram_logppl`` on the CCNet quality ladder: train bigram +
+    unigram MLEs on the corpus itself, score every document's tokens 2..n
+    with p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N, and report mean
+    negative log-prob per document (lower = more fluent under the corpus
+    LM). Pairs are built map-only from the token array (no window
+    shuffle); the bigram count table shuffles on (w₁,w₂) — vocabulary²-
+    bounded, far below corpus size; the unigram table broadcasts.
+
+    Docs with <2 tokens are unscored (no bigrams), matching DuckDB where
+    ``generate_series(2, 1)`` would error rather than return empty."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = T.tokens(F.col("text"))
+    tt = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    b = (
+        tt.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("t")),
+                    lambda i: F.struct(
+                        F.element_at("t", i - 1).alias("w1"),
+                        F.element_at("t", i).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    cb = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cp = b.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    uni = d.select(F.explode(toks).alias("w"))
+    cw = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    lp = F.log(
+        F.lit(_LAMBDA) * F.col("cb") / F.col("cp")
+        + F.lit(1 - _LAMBDA) * F.col("cw") / F.col("n")
+    )
+    return (
+        b.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
+        .join(F.broadcast(cw), b["w2"] == cw["w"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.round(-F.avg(lp), 6).alias("logppl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval split leakage audit
+# ---------------------------------------------------------------------------
+
+# Engine-portable pseudorandom split (same Knuth-multiply hash as
+# sample_weighted / shard_training_data): ~10% of docs land in eval.
+_SPLIT_KEY = "((doc_id % 1000000007) * 2654435761) % 10"
+_LEAK_THR = 0.5
+
+
+@register(
+    "split_leakage_report",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, text, source, {_SPLIT_KEY} = 7 AS is_eval
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    she AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM d WHERE is_eval)
+    ),
+    sht AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM d WHERE NOT is_eval)
+    ),
+    sze AS (SELECT doc_id, COUNT(*) AS n FROM she GROUP BY doc_id),
+    szt AS (SELECT doc_id, COUNT(*) AS n FROM sht GROUP BY doc_id),
+    leaked AS (
+      SELECT DISTINCT ov.doc_id FROM (
+        SELECT a.doc_id AS doc_id, b.doc_id AS train_id, COUNT(*) AS n_common
+        FROM she a JOIN sht b ON a.shingle = b.shingle
+        GROUP BY a.doc_id, b.doc_id
+      ) ov
+      JOIN sze ON sze.doc_id = ov.doc_id
+      JOIN szt ON szt.doc_id = ov.train_id
+      WHERE ROUND(n_common / (sze.n + szt.n - n_common), 6) >= {_LEAK_THR}
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(COUNT(leaked.doc_id) AS BIGINT) AS n_leaked,
+           ROUND(COUNT(leaked.doc_id) / COUNT(*), 6) AS leak_rate
+    FROM d LEFT JOIN leaked ON leaked.doc_id = d.doc_id
+    WHERE d.is_eval
+    GROUP BY d.source
+    """,
+)
+def split_leakage_report(spark, sf_dir):
+    """Train/eval contamination audit — decontamination's sibling for the
+    splits you MAKE rather than the benchmarks you import: form the
+    standard deterministic 90/10 hash split, find eval docs whose 3-token-
+    shingle Jaccard against ANY train doc reaches 0.5, and report the
+    per-source leak rate (an eval set that near-duplicates its own train
+    split inflates every metric measured on it; cf. Lee et al. 2022).
+
+    Scale shape is ``dedup_cross_corpus``'s: asymmetric shingle-blocked
+    join (eval shingles probe the train side — no train×train pairs ever
+    form), exact Jaccard on candidates only, then a tiny distinct + a
+    per-source aggregate over the ~10% eval slice."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    key = ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)) % F.lit(10)
+    d = d.withColumn("is_eval", key == 7)
+    ev = d.filter(F.col("is_eval"))
+    tr = d.filter(~F.col("is_eval"))
+    she = D.shingles_df(ev)
+    sht = D.shingles_df(tr).select(F.col("doc_id").alias("train_id"), "shingle")
+    sze = she.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_e"))
+    szt = sht.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_t"))
+    ov = (
+        she.join(sht, "shingle")
+        .groupBy("doc_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # sze is one row per EVAL doc (the 10% slice) — broadcast; the train
+    # sizes stay a shuffle join (the full corpus at real scale).
+    leaked = (
+        ov.join(F.broadcast(sze), "doc_id")
+        .join(szt, "train_id")
+        .filter(
+            F.round(
+                F.col("n_common")
+                / (F.col("n_e") + F.col("n_t") - F.col("n_common")),
+                6,
+            )
+            >= _LEAK_THR
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("leak", F.lit(1))
+    )
+    return (
+        ev.join(F.broadcast(leaked), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.count("leak").cast("long").alias("n_leaked"),
+            F.round(F.count("leak") / F.count(F.lit(1)), 6).alias("leak_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine gate: route failing docs with machine-readable reason codes
+# ---------------------------------------------------------------------------
+
+_MIN_CHARS = 100
+_MAX_NON_ALNUM = 0.25
+_MIN_STOPWORD = 0.03
+_MAX_AVG_TOKLEN = 12.0
+
+
+@register(
+    "quality_quarantine",
+    oracle=rf"""
+    WITH checks AS (
+      SELECT doc_id,
+             COALESCE(text IS NULL OR length(trim(text)) = 0, TRUE) AS no_text,
+             COALESCE(n_chars < {_MIN_CHARS}, FALSE) AS too_short,
+             COALESCE({_NON_ALNUM} > {_MAX_NON_ALNUM}, FALSE) AS low_alpha,
+             COALESCE(greatest({_SW_EN}, {_SW_DE}, {_SW_ES}, {_SW_FR})
+                      < {_MIN_STOPWORD}, FALSE) AS no_stopwords,
+             COALESCE(round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+                      / len({_TOKS}), 6) > {_MAX_AVG_TOKLEN}, FALSE) AS long_words
+      FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id,
+           len(reasons) = 0 AS passed,
+           reasons
+    FROM (
+      SELECT doc_id, list_sort(list_filter([
+               CASE WHEN no_text THEN 'no_text' END,
+               CASE WHEN too_short THEN 'too_short' END,
+               CASE WHEN NOT no_text AND low_alpha THEN 'low_alpha' END,
+               CASE WHEN NOT no_text AND no_stopwords THEN 'no_stopwords' END,
+               CASE WHEN NOT no_text AND long_words THEN 'long_words' END
+             ], x -> x IS NOT NULL)) AS reasons
+      FROM checks
+    )
+    """,
+)
+def quality_quarantine(spark, sf_dir):
+    """Quarantine gate — the production shape of quality filtering: every
+    document gets a pass/fail verdict PLUS the sorted list of machine-
+    readable reason codes that failed (so the quarantine table is
+    auditable and rules can be re-litigated without re-running the gate).
+    Rules reuse the engine's quality signals: empty text, sub-100
+    chars, punctuation ratio, stopword floor across the four language
+    profiles, and average token length (gibberish/URL farms). Map-only —
+    a single scan, no shuffle; at 100 TB this is the cheapest stage of
+    the pipeline and the reason array costs nothing extra."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    text = F.col("text")
+    no_text = F.coalesce(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(True)
+    )
+    too_short = F.coalesce(F.col("n_chars") < _MIN_CHARS, F.lit(False))
+    low_alpha = F.coalesce(
+        T.non_alnum_ratio(text) > _MAX_NON_ALNUM, F.lit(False)
+    )
+    no_stopwords = F.coalesce(
+        F.greatest(*[T.stopword_ratio(text, lang) for lang in T.STOPWORDS])
+        < _MIN_STOPWORD,
+        F.lit(False),
+    )
+    long_words = F.coalesce(
+        T.avg_token_len(text) > _MAX_AVG_TOKLEN, F.lit(False)
+    )
+    reasons = F.array_sort(
+        F.array_compact(
+            F.array(
+                F.when(no_text, F.lit("no_text")),
+                F.when(too_short, F.lit("too_short")),
+                F.when(~no_text & low_alpha, F.lit("low_alpha")),
+                F.when(~no_text & no_stopwords, F.lit("no_stopwords")),
+                F.when(~no_text & long_words, F.lit("long_words")),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("passed"),
+        reasons.alias("reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-ngram importance resampling)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_BUCKETS = 1024
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             COALESCE(source IN {_DSIR_TARGET}, FALSE) AS is_target,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    vocab AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr,
+             {D.portable_hash60_sql("w")} % {_DSIR_BUCKETS} AS b
+      FROM toks GROUP BY w
+    ),
+    buckets AS (
+      SELECT b, SUM(ct) AS ct, SUM(cr) AS cr FROM vocab GROUP BY b
+    ),
+    totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM vocab),
+    ratio AS (
+      SELECT b, ln((ct + 1.0) / (tt + {_DSIR_BUCKETS}))
+                - ln((cr + 1.0) / (tr + {_DSIR_BUCKETS})) AS lr
+      FROM buckets CROSS JOIN totals
+    ),
+    wmap AS (SELECT w, lr FROM vocab JOIN ratio USING (b))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(SUM(lr), 6) AS log_weight
+    FROM toks JOIN wmap USING (w)
+    WHERE NOT is_target
+    GROUP BY doc_id
+    """,
+)
+def curation_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every raw-pool
+    document by how target-like its hashed-unigram profile is, so the
+    corpus can be importance-resampled toward a high-quality target
+    domain (here sources ('src0', 'src1') stand in for the target set).
+    Feature space = 1024 hash buckets of the engine-portable
+    60-bit md5 fold; bucket LMs are Laplace-smoothed; a document's
+    log-weight is Σ_tokens ln(p_target(b)/p_raw(b)).
+
+    Scale shape: token hashing happens ONCE per distinct vocabulary word
+    (the md5 cost is vocab-sized, not corpus-sized — the BPE-encode
+    pattern); the bucket tables are 1024 rows and broadcast;
+    the word→log-ratio map is vocabulary-sized and broadcasts onto the
+    raw-side token stream, making the scoring pass map-only."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    is_target = F.coalesce(F.col("source").isin(*_DSIR_TARGET), F.lit(False))
+    toks = d.select(
+        "doc_id",
+        is_target.alias("is_target"),
+        F.explode(T.tokens(F.col("text"))).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("cr"),
+    ).withColumn("b", D.portable_hash60(F.col("w")) % _DSIR_BUCKETS)
+    buckets = vocab.groupBy("b").agg(
+        F.sum("ct").alias("bct"), F.sum("cr").alias("bcr")
+    )
+    totals = vocab.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    ratio = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("bct") + 1.0) / (F.col("tt") + F.lit(float(_DSIR_BUCKETS))))
+            - F.log((F.col("bcr") + 1.0) / (F.col("tr") + F.lit(float(_DSIR_BUCKETS))))
+        ).alias("lr"),
+    )
+    wmap = vocab.select("w", "b").join(F.broadcast(ratio), "b").select("w", "lr")
+    return (
+        toks.filter(~F.col("is_target"))
+        .join(F.broadcast(wmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event anomaly detection (rolling z-score)
+# ---------------------------------------------------------------------------
+
+_Z_WINDOW = 20
+_Z_MIN_PRIOR = 8
+_Z_THR = 3.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    SELECT user_id, event_id, ts, value, zscore FROM (
+      SELECT user_id, event_id, ts, value,
+             COUNT(value) OVER w AS c,
+             STDDEV_SAMP(value) OVER w AS s,
+             ROUND((value - AVG(value) OVER w)
+                   / STDDEV_SAMP(value) OVER w, 6) AS zscore
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING)
+    ) WHERE c >= {_Z_MIN_PRIOR} AND s > 0 AND ABS(zscore) > {_Z_THR}
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Streaming-telemetry outlier detection, batch form: each event's
+    value is z-scored against that user's OWN trailing window (previous
+    20 events, self excluded — no leakage of the candidate into
+    its own baseline), and events beyond ±3σ with at least
+    8 prior observations are flagged. One shuffle on
+    user_id; the frame is rows-based so state per key is O(20).
+    The filter compares the ROUNDED z on both engines so an ULP-level
+    stddev difference can't flip a boundary row in or out."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_WINDOW, -1)
+    )
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 6
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.count("value").over(w).alias("c"),
+            F.stddev_samp("value").over(w).alias("s"),
+            z.alias("zscore"),
+        )
+        .filter(
+            (F.col("c") >= _Z_MIN_PRIOR)
+            & (F.col("s") > 0)
+            & (F.abs(F.col("zscore")) > _Z_THR)
+        )
+        .drop("c", "s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ZCA embedding whitening (rows-only: eigendecomposition is not SQL)
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_whiten_zca")
+def embedding_whiten_zca(spark, sf_dir):
+    """ZCA whitening of the embedding table — decorrelate dimensions and
+    equalize variance before cosine/euclidean work (whitening measurably
+    improves retrieval on anisotropic embedding spaces; cf. Su et al.
+    2021, "Whitening Sentence Representations"). ZCA's W = U·Λ^{-1/2}·Uᵀ
+    is symmetric and UNIQUE, so the output is deterministic — no
+    eigenvector sign/order ambiguity (the reason this registers rows-only:
+    eigendecomposition itself is not SQL-expressible; the covariance≈I
+    invariant is asserted in tests/test_pipelineq.py).
+
+    Scale shape: one pass computes per-partition moment blocks (count,
+    Σx, XᵀX — d×d doubles each, d=64 ⇒ 32 KB/partition) via mapInPandas;
+    the driver reduces ≤ n_partitions tiny blocks, runs the d×d eigh, and
+    broadcasts W; the transform itself is a second map-only pass. The
+    corpus never shuffles."""
+    import numpy as np
+
+    from ..catalog import ensure_parallelism
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    spark_ = e.sparkSession
+
+    def moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        ensure_parallelism(e.select("embedding"))
+        .mapInPandas(moments, "n long, s array<double>, xtx array<double>")
+        .collect()
+    )
+    out_schema = "vec_id long, whitened array<double>"
+    if not rows:
+        return spark_.createDataFrame([], out_schema)
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    d_dim = s.shape[0]
+    xtx = np.sum([np.array(r["xtx"]).reshape(d_dim, d_dim) for r in rows], axis=0)
+    mu = s / n
+    cov = xtx / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    w_mat = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0.0) + 1e-6)) @ evecs.T
+    bc = spark_.sparkContext.broadcast((mu, w_mat))
+
+    def transform(batches):
+        import pandas as pd
+
+        mu_b, w_b = bc.value
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = np.round((x - mu_b) @ w_b, 6)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "whitened": list(map(list, out))}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(transform, out_schema)

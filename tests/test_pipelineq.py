@@ -1,0 +1,171 @@
+"""Targeted invariants for the pipeline-evaluation queries
+(queries/pipelineq.py) beyond the registry's oracle checks: whitening's
+covariance≈I contract (not SQL-expressible, hence rows-only), metric
+range sanity for the retrieval eval, and gate/report consistency."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_whitening_decorrelates(spark):
+    """ZCA output must have ~zero mean and ~identity covariance — the
+    whole point of the transform, and the invariant that substitutes for
+    a SQL oracle."""
+    from ingest_fast_spark.queries.pipelineq import embedding_whiten_zca
+
+    rows = embedding_whiten_zca(spark, SF).collect()
+    assert len(rows) == 500
+    x = np.array([r["whitened"] for r in rows])
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    assert np.abs(mu).max() < 1e-3  # rounded to 6 decimals upstream
+    off = cov - np.eye(cov.shape[0])
+    # eps=1e-6 regularization + round(...,6) leave small residuals
+    assert np.abs(off).max() < 0.05
+
+
+def test_whitening_deterministic(spark):
+    from ingest_fast_spark.queries.pipelineq import embedding_whiten_zca
+
+    a = {r["vec_id"]: r["whitened"] for r in embedding_whiten_zca(spark, SF).collect()}
+    b = {r["vec_id"]: r["whitened"] for r in embedding_whiten_zca(spark, SF).collect()}
+    assert a == b
+
+
+def test_ndcg_metrics_in_range(spark):
+    from ingest_fast_spark.queries.pipelineq import search_ndcg_eval
+
+    rows = search_ndcg_eval(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["p_at_k"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-9
+        assert r["n_rel_topk"] <= 10
+        # with 10 labels over 500 vectors every query has relevant docs
+        assert r["n_rel_total"] > 0
+
+
+def test_bigram_beats_unigram_on_fluent_docs(spark):
+    """The interpolated bigram LM must assign lower (better) mean NLL than
+    the unigram LM on average — bigram context is real signal, and losing
+    to unigram would mean the interpolation is wired wrong."""
+    from ingest_fast_spark.queries.llm import doc_unigram_logppl
+    from ingest_fast_spark.queries.pipelineq import doc_bigram_logppl
+
+    bi = {r["doc_id"]: r["logppl"] for r in doc_bigram_logppl(spark, SF).collect()}
+    un = {
+        r["doc_id"]: r["unigram_logppl"]
+        for r in doc_unigram_logppl(spark, SF).collect()
+    }
+    common = set(bi) & set(un)
+    assert len(common) > 400
+    mean_bi = sum(bi[d] for d in common) / len(common)
+    mean_un = sum(un[d] for d in common) / len(common)
+    assert mean_bi < mean_un
+
+
+def test_quarantine_reasons_imply_fail(spark):
+    from ingest_fast_spark.queries.pipelineq import quality_quarantine
+
+    rows = quality_quarantine(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["passed"] == (len(r["reasons"]) == 0)
+        assert r["reasons"] == sorted(r["reasons"])
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Score TARGET docs through the same bucket LMs (as if they were raw)
+    and compare TOKEN-weighted mean log-ratios: the target side estimates
+    +KL(target‖raw) and the raw side −KL(raw‖target), so target > raw is
+    guaranteed by KL ≥ 0 whenever the distributions differ at all — the
+    direction-of-classifier invariant, free of document-length
+    confounding (per-DOC sums scale with length, which is why the test
+    normalizes by token count)."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.queries.pipelineq import curation_dsir_weights
+
+    out = curation_dsir_weights(spark, SF)
+    agg = out.agg(F.sum("log_weight").alias("s"), F.sum("n_toks").alias("n")).collect()[0]
+    raw_mean = agg["s"] / agg["n"]
+    # independent DuckDB replica scoring the TARGET side with the same LMs
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    from ingest_fast_spark.operators.dedup import portable_hash60_sql
+
+    tgt_mean = con.execute(
+        rf"""
+        WITH toks AS (
+          SELECT doc_id, COALESCE(source IN ('src0','src1'), FALSE) AS is_target,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ),
+        vocab AS (
+          SELECT w, CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr,
+                 {portable_hash60_sql("w")} % 1024 AS b
+          FROM toks GROUP BY w
+        ),
+        buckets AS (SELECT b, SUM(ct) AS ct, SUM(cr) AS cr FROM vocab GROUP BY b),
+        totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM vocab),
+        ratio AS (
+          SELECT b, ln((ct + 1.0) / (tt + 1024)) - ln((cr + 1.0) / (tr + 1024)) AS lr
+          FROM buckets CROSS JOIN totals
+        ),
+        wmap AS (SELECT w, lr FROM vocab JOIN ratio USING (b)),
+        scored AS (
+          SELECT lr FROM toks JOIN wmap USING (w) WHERE is_target
+        )
+        SELECT SUM(lr) / COUNT(*) FROM scored
+        """
+    ).fetchone()[0]
+    con.close()
+    assert tgt_mean > raw_mean
+
+
+def test_leakage_report_counts_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.queries.pipelineq import split_leakage_report
+
+    rows = split_leakage_report(spark, SF).collect()
+    assert sum(r["n_eval"] for r in rows) > 0
+    for r in rows:
+        assert 0 <= r["n_leaked"] <= r["n_eval"]
+        assert abs(r["leak_rate"] - round(r["n_leaked"] / r["n_eval"], 6)) < 1e-9
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark):
+    """Plant a 100σ spike in an otherwise-calm synthetic user stream and
+    assert the operator flags exactly that event."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.queries import pipelineq as P
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "e", 10.0 + (i % 3) * 0.1, None)
+        for i in range(30)
+    ]
+    rows[25] = (25, base + dt.timedelta(minutes=25), 1, "e", 500.0, None)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = P.events_anomaly_zscore(spark, d).collect()
+    assert [r["event_id"] for r in out] == [25]
+    assert out[0]["zscore"] > 3
