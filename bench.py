@@ -97,6 +97,11 @@ HEADLINE = [
     "curation_dsir_weights",
     "events_anomaly_zscore",
     "embedding_whiten_zca",
+    "text_char_entropy",
+    "text_ngram_novelty",
+    "embedding_outlier_report",
+    "sketch_quantile_report",
+    "stream_anomaly_zscore",
 ]
 
 

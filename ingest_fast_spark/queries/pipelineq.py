@@ -700,3 +700,223 @@ def embedding_whiten_zca(spark, sf_dir):
             )
 
     return e.select("vec_id", "embedding").mapInPandas(transform, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_entropy",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c, length(text) AS n
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+    ),
+    counts AS (SELECT doc_id, c, n, COUNT(*) AS k FROM ch GROUP BY doc_id, c, n)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
+           ROUND(-SUM((k / n) * log2(k / n)), 6) AS char_entropy
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Shannon entropy of the per-document character distribution, in
+    bits/char — the zero-dependency stand-in for the gzip-compression-
+    ratio quality signal (Gopher's repetition heuristics catch token
+    loops; LOW char entropy catches sub-token degeneration — aaaaa…,
+    base64 walls score HIGH — both tails are quarantine candidates).
+    One explode + a combinable (doc, char) count: the shuffle key space
+    is |docs|×|alphabet|, and partial aggregation collapses each
+    partition's counts before the exchange."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    )
+    ch = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.split(F.col("text"), "")).alias("c"),
+    )
+    counts = ch.groupBy("doc_id", "c", "n").agg(F.count(F.lit(1)).alias("k"))
+    p = F.col("k") / F.col("n")
+    return counts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_chars"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (per-document dedup-health score)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_K = 5
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {_NOVELTY_K - 1}, 0)),
+               i -> array_to_string(t[i:i+{_NOVELTY_K - 1}], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE doc_id IS NOT NULL)
+    ),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(1.0 - SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS novelty
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — the document-granular dedup-health
+    metric: the share of a doc's distinct 5-token shingles that appear in
+    NO other document (df = 1; a doc's own repeats don't count against it
+    since shingles are per-doc distinct). Low novelty ⇒ boilerplate /
+    template / near-dup content even when no single pair crosses a
+    Jaccard threshold. Two combinable aggregates + one join keyed on the
+    shingle — the same shuffle the Jaccard family already pays, with no
+    pair enumeration at all."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    sh = D.shingles_df(d, k=_NOVELTY_K)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            shared.cast("long").alias("n_shared"),
+            F.round(F.lit(1.0) - shared / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers vs own-label centroid
+# ---------------------------------------------------------------------------
+
+_OUTLIER_Z = 2.0
+
+
+@register(
+    "embedding_outlier_report",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+    ),
+    ex AS (
+      SELECT vec_id, label, p.pos AS pos, p.val AS val FROM (
+        SELECT vec_id, label, unnest(list_transform(
+                 generate_series(1, len(v)),
+                 i -> {{'pos': i, 'val': v[i]}})) AS p
+        FROM e)
+    ),
+    cen AS (SELECT label, pos, AVG(val) AS c FROM ex GROUP BY label, pos),
+    dist AS (
+      SELECT vec_id, ex.label AS label,
+             sqrt(SUM((val - c) * (val - c))) AS dist
+      FROM ex JOIN cen ON cen.label = ex.label AND cen.pos = ex.pos
+      GROUP BY vec_id, ex.label
+    ),
+    stats AS (
+      SELECT label, AVG(dist) AS m, STDDEV_SAMP(dist) AS s
+      FROM dist GROUP BY label
+    )
+    SELECT vec_id, dist.label AS label,
+           ROUND(dist, 6) AS dist,
+           ROUND((dist - m) / s, 6) AS zscore
+    FROM dist JOIN stats ON stats.label = dist.label
+    WHERE s > 0 AND ROUND((dist - m) / s, 6) >= {_OUTLIER_Z}
+    """,
+)
+def embedding_outlier_report(spark, sf_dir):
+    """Embedding outlier audit — vectors far from their OWN label's
+    centroid (≥ +2σ of that label's distance distribution) are mislabel /
+    corrupted-encode / out-of-distribution candidates; the geometric
+    complement of the kNN label-noise audit (which asks who your
+    neighbors are, not how far your center is). Three combinable
+    aggregates: per-(label,dim) centroid, per-vector distance (shuffle
+    keyed on vec_id), per-label moments broadcast back onto the tiny
+    distance table. The filter compares the ROUNDED z so an ULP-level
+    stddev difference can't flip a boundary row."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("label").isNotNull()
+        & F.col("embedding").isNotNull()
+    )
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(S.as_double(F.col("embedding"))).alias("pos0", "val"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cen = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    dist = (
+        ex.join(cen, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))).alias("dist"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("m"), F.stddev_samp("dist").alias("s")
+    )
+    z = F.round((F.col("dist") - F.col("m")) / F.col("s"), 6)
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .filter((F.col("s") > 0) & (z >= _OUTLIER_Z))
+        .select("vec_id", "label", F.round("dist", 6).alias("dist"), z.alias("zscore"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch accuracy report (rows-only: the sketch is engine-specific)
+# ---------------------------------------------------------------------------
+
+_SKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+_SKETCH_ACCURACY = 10000
+
+
+@register("sketch_quantile_report")
+def sketch_quantile_report(spark, sf_dir):
+    """Approximate-quantile accuracy report: ``percentile_approx`` (the
+    mergeable KLL/GK-family sketch every 100 TB job would actually use —
+    exact percentiles require a full sort per group) vs the exact
+    percentile, with the absolute error per quantile. Rows-only by
+    design: the sketch's values are engine-specific (DuckDB has no twin);
+    the error-bound invariant is asserted in tests/test_pipelineq.py.
+    One single-pass aggregate over orders — both estimators are
+    partial-aggregable, so the scan never shuffles row data, only
+    per-partition sketches."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = list(_SKETCH_QS)
+    agg = o.agg(
+        F.percentile_approx(
+            "o_totalprice", qs, _SKETCH_ACCURACY
+        ).alias("approx"),
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias(
+            "exact"
+        ),
+    )
+    z = agg.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("quantile"),
+                F.col("approx"),
+                F.col("exact"),
+            )
+        ).alias("r")
+    )
+    return z.select(
+        F.col("r.quantile").alias("quantile"),
+        F.round(F.col("r.approx"), 6).alias("approx_value"),
+        F.round(F.col("r.exact"), 6).alias("exact_value"),
+        F.round(F.abs(F.col("r.approx") - F.col("r.exact")), 6).alias("abs_err"),
+    )

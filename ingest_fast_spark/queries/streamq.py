@@ -273,3 +273,24 @@ def stream_session_timeout(spark, sf_dir):
         "q_timer",
         output_mode="append",
     )
+
+
+def _anomaly_oracle() -> str:
+    # The streaming twin must converge to the BATCH window query —
+    # literally the same oracle SQL events_anomaly_zscore registered
+    # (queries/pipelineq.py), fetched from the registry so the two can
+    # never drift apart.
+    from . import ORACLES
+
+    return ORACLES["events_anomaly_zscore"]
+
+
+@register("stream_anomaly_zscore", oracle=_anomaly_oracle())
+def stream_anomaly_zscore(spark, sf_dir):
+    """Streaming per-user rolling z-score anomaly detection
+    (applyInPandasWithState ring-buffer state) == the batch window query."""
+    return _run(
+        ST.anomaly_zscore_stream(SE.stream_events(spark, sf_dir)),
+        "q_anomaly",
+        output_mode="append",
+    )

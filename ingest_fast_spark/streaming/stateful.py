@@ -226,3 +226,98 @@ def session_close_stream(events: DataFrame) -> DataFrame:
         F.timestamp_micros(F.col("end_us")).cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+# --- Rolling z-score anomaly detection (streaming twin) ---------------------
+
+_Z_WINDOW = 20
+_Z_MIN_PRIOR = 8
+_Z_THR = 3.0
+
+from pyspark.sql.types import ArrayType, TimestampNTZType  # noqa: E402
+
+ANOMALY_STATE = StructType(
+    [StructField("buf", ArrayType(DoubleType()))]
+)
+
+ANOMALY_RAW_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+
+def _update_anomaly_state(key, pdf_iter, state: GroupState):
+    """Walk this batch's events for one user in (ts, event_id) order,
+    z-scoring each value against the trailing ring buffer (carried in
+    state across micro-batches), and emit only the flagged rows."""
+    import math
+
+    import pandas as pd
+
+    buf = list(state.get[0]) if state.exists else []
+    out = []
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf[pdf["value"].notna() & pdf["ts"].notna()]
+        pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        for r in pdf.itertuples(index=False):
+            prior = buf[-_Z_WINDOW:]
+            c = len(prior)
+            if c >= _Z_MIN_PRIOR:
+                m = sum(prior) / c
+                s = math.sqrt(sum((x - m) ** 2 for x in prior) / (c - 1))
+                if s > 0:
+                    z = round((float(r.value) - m) / s, 6)
+                    if abs(z) > _Z_THR:
+                        out.append(
+                            (int(r.user_id), int(r.event_id), int(r.ts_us),
+                             float(r.value), z)
+                        )
+            buf.append(float(r.value))
+            if len(buf) > _Z_WINDOW:
+                buf = buf[-_Z_WINDOW:]
+    state.update((buf,))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "ts_us", "value", "zscore"]
+    )
+
+
+def anomaly_zscore_stream(events: DataFrame) -> DataFrame:
+    """Streaming rolling z-score anomaly detection — the push-based twin
+    of the batch ``events_anomaly_zscore`` window query: per-user state is
+    the trailing 20-value ring buffer (O(20) doubles per key in the state
+    store), each event is scored against its own user's history the
+    moment it arrives, and only ±3σ rows (≥8 prior observations) are
+    emitted downstream. Under AvailableNow over a static directory the
+    single micro-batch sees each user's full history in event order, so
+    the emitted set equals the batch window query exactly — which is the
+    registered oracle."""
+    from pyspark.sql import functions as F
+
+    flagged = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_anomaly_state,
+            outputStructType=ANOMALY_RAW_OUTPUT,
+            stateStructType=ANOMALY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
+        "value",
+        "zscore",
+    )

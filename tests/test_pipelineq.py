@@ -169,3 +169,104 @@ def test_anomaly_zscore_flags_planted_outlier(spark):
         out = P.events_anomaly_zscore(spark, d).collect()
     assert [r["event_id"] for r in out] == [25]
     assert out[0]["zscore"] > 3
+
+
+def test_sketch_quantile_error_bounded(spark):
+    """percentile_approx guarantees RANK error ≤ 1/accuracy (the value gap
+    can be anything in a sparse region) — so assert the principled bound:
+    the fraction of rows ≤ the approximate quantile must sit within
+    1.5/accuracy of the requested quantile."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.queries.pipelineq import sketch_quantile_report
+
+    rows = sketch_quantile_report(spark, SF).collect()
+    assert len(rows) == 5
+    o = load_table(spark, SF, "orders")
+    n = o.count()
+    for r in rows:
+        n_le = o.filter(F.col("o_totalprice") <= r["approx_value"]).count()
+        assert abs(n_le / n - r["quantile"]) <= 1.5 / 10000
+
+
+def test_novelty_zero_for_exact_duplicate(spark):
+    """A doc duplicated verbatim shares every shingle with its copy —
+    both must score novelty 0; a unique doc scores 1."""
+    import os
+    import tempfile
+
+    from ingest_fast_spark.queries.pipelineq import text_ngram_novelty
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [(1, dup, "en", "s", len(dup)),
+         (2, dup, "en", "s", len(dup)),
+         (3, uniq, "en", "s", len(uniq))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in text_ngram_novelty(spark, d).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+
+
+def test_stream_anomaly_state_carries_across_microbatches(spark):
+    """The flagged spike sits in the SECOND file; its entire baseline
+    history sits in the FIRST. With maxFilesPerTrigger=1 the spike's
+    micro-batch never sees the baseline rows — only the state carried
+    from batch 1 can supply them — so this test fails unless the ring
+    buffer truly persists across batches."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time
+
+    from ingest_fast_spark.streaming.events import normalize_ts, raw_events_schema
+    from ingest_fast_spark.streaming.stateful import anomaly_zscore_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(lo, hi, spike=None):
+        out = []
+        for i in range(lo, hi):
+            v = 500.0 if i == spike else 10.0 + (i % 3) * 0.1
+            out.append((i, base + dt.timedelta(minutes=i), 1, "e", v, None))
+        return out
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev_dir = os.path.join(d, "events.parquet")
+        spark.createDataFrame(rows(0, 20), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev_dir)
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+        spark.createDataFrame(rows(20, 25, spike=22), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev_dir)
+
+        src = (
+            spark.readStream.schema(raw_events_schema(spark, ev_dir))
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(ev_dir)
+        )
+        q = (
+            anomaly_zscore_stream(normalize_ts(src))
+            .writeStream.format("memory")
+            .queryName("t_anom_mb")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM t_anom_mb").collect()
+        assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+    assert [r["event_id"] for r in out] == [22]
+    assert out[0]["zscore"] > 3

@@ -260,3 +260,43 @@ def test_bpe_encode_word_lengths_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "bpe_encode_lengths")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quarantine_gate_is_map_only(spark, sf_dir):
+    """The quarantine gate is the cheapest pipeline stage by design: all
+    five rules are Column expressions over one scan — no shuffle, no
+    Python eval."""
+    plan = plan_of(spark, sf_dir, "quality_quarantine")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_char_entropy_aggregates_partially(spark, sf_dir):
+    """The (doc, char) count must be a partial+final HashAggregate pair so
+    the exchange carries per-partition char counts, not one row per
+    character of the corpus."""
+    plan = plan_of(spark, sf_dir, "text_char_entropy")
+    assert plan.count("HashAggregate") >= 4, plan  # two agg levels, each partial+final
+
+
+def test_dsir_scoring_joins_broadcast(spark, sf_dir):
+    """DSIR's bucket-ratio and word→ratio maps are vocabulary-sized: both
+    must broadcast onto the token stream (shuffling the raw corpus's
+    exploded tokens against them would move the corpus)."""
+    plan = plan_of(spark, sf_dir, "curation_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anomaly_zscore_single_shuffle(spark, sf_dir):
+    """The rolling z-score pays exactly one hash exchange (the per-user
+    window partition); mean/stddev/count share the same frame."""
+    plan = plan_of(spark, sf_dir, "events_anomaly_zscore")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bigram_unigram_side_broadcasts(spark, sf_dir):
+    """The interpolated bigram LM must broadcast the unigram table (the
+    bigram table legitimately shuffles — vocabulary², still far below
+    corpus scale)."""
+    plan = plan_of(spark, sf_dir, "doc_bigram_logppl")
+    assert "BroadcastHashJoin" in plan, plan

@@ -128,6 +128,32 @@ SHOWCASE = [
         "per-partition GEMM (mask applied inside the kernel), local top-k "
         "per partition, global window ranks only partitions×k candidates.",
     ),
+    (
+        "quality_quarantine",
+        "Quarantine gate: five reason rules as Column expressions over one "
+        "codegen'd scan — zero exchanges, zero Python; the cheapest stage "
+        "of the pipeline by construction.",
+    ),
+    (
+        "curation_dsir_weights",
+        "DSIR importance weights: the md5 bucket hash is computed once per "
+        "DISTINCT vocabulary word, the 1024-bucket LM ratio table and the "
+        "word→ratio map both broadcast, so the raw-corpus scoring pass is "
+        "map-only after one vocabulary-sized aggregate.",
+    ),
+    (
+        "events_anomaly_zscore",
+        "Rolling z-score anomaly scan: exactly one hash exchange (the "
+        "per-user sort for the 20-row trailing frame); count/avg/stddev "
+        "share the frame, and the flag filter compares the rounded z.",
+    ),
+    (
+        "search_ndcg_eval",
+        "Retrieval eval: corpus never shuffles (per-partition GEMM local "
+        "top-k); label lookups and per-query relevant totals ride "
+        "broadcast joins against the 5-row query table; metric math "
+        "touches ≤ k rows per query.",
+    ),
 ]
 
 
