@@ -102,6 +102,11 @@ HEADLINE = [
     "embedding_outlier_report",
     "sketch_quantile_report",
     "stream_anomaly_zscore",
+    "events_drift_psi",
+    "langid_confusion",
+    "minhash_scurve_report",
+    "curation_decision_ledger",
+    "table_skew_report",
 ]
 
 

@@ -1327,3 +1327,19 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def minhash_candidate_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Banded LSH candidate pairs WITHOUT verification — the raw recall
+    surface of the sketch, exposed so evaluation queries (the S-curve
+    report) can measure which true pairs the banding does/doesn't
+    surface."""
+    sigs = _portable_sig_frame(df, text_col, id_col, num_hashes, k)
+    return _portable_candidates(sigs, num_hashes, bands)

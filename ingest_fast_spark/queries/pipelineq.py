@@ -387,6 +387,61 @@ _MIN_STOPWORD = 0.03
 _MAX_AVG_TOKLEN = 12.0
 
 
+def quarantine_reasons(text, n_chars):
+    """Sorted array of failed gate-rule codes for one document — shared by
+    the standalone gate query and the curation decision ledger so the two
+    can never disagree about what 'failing the gate' means."""
+    no_text = F.coalesce(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(True)
+    )
+    too_short = F.coalesce(n_chars < _MIN_CHARS, F.lit(False))
+    low_alpha = F.coalesce(
+        T.non_alnum_ratio(text) > _MAX_NON_ALNUM, F.lit(False)
+    )
+    no_stopwords = F.coalesce(
+        F.greatest(*[T.stopword_ratio(text, lang) for lang in T.STOPWORDS])
+        < _MIN_STOPWORD,
+        F.lit(False),
+    )
+    long_words = F.coalesce(
+        T.avg_token_len(text) > _MAX_AVG_TOKLEN, F.lit(False)
+    )
+    return F.array_sort(
+        F.array_compact(
+            F.array(
+                F.when(no_text, F.lit("no_text")),
+                F.when(too_short, F.lit("too_short")),
+                F.when(~no_text & low_alpha, F.lit("low_alpha")),
+                F.when(~no_text & no_stopwords, F.lit("no_stopwords")),
+                F.when(~no_text & long_words, F.lit("long_words")),
+            )
+        )
+    )
+
+
+# DuckDB twin of ``quarantine_reasons`` (identical rule set + ordering).
+_QUARANTINE_REASONS_SQL = rf"""list_sort(list_filter([
+  CASE WHEN COALESCE(text IS NULL OR length(trim(text)) = 0, TRUE)
+    THEN 'no_text' END,
+  CASE WHEN COALESCE(n_chars < {_MIN_CHARS}, FALSE) THEN 'too_short' END,
+  CASE WHEN NOT COALESCE(text IS NULL OR length(trim(text)) = 0, TRUE)
+        AND COALESCE({{na}} > {_MAX_NON_ALNUM}, FALSE) THEN 'low_alpha' END,
+  CASE WHEN NOT COALESCE(text IS NULL OR length(trim(text)) = 0, TRUE)
+        AND COALESCE(greatest({{swe}}, {{swd}}, {{sws}}, {{swf}})
+                     < {_MIN_STOPWORD}, FALSE) THEN 'no_stopwords' END,
+  CASE WHEN NOT COALESCE(text IS NULL OR length(trim(text)) = 0, TRUE)
+        AND COALESCE(round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+                     / len({{toks}}), 6) > {_MAX_AVG_TOKLEN}, FALSE)
+    THEN 'long_words' END
+], x -> x IS NOT NULL))"""
+
+
+def quarantine_reasons_sql() -> str:
+    return _QUARANTINE_REASONS_SQL.format(
+        na=_NON_ALNUM, swe=_SW_EN, swd=_SW_DE, sws=_SW_ES, swf=_SW_FR, toks=_TOKS
+    )
+
+
 @register(
     "quality_quarantine",
     oracle=rf"""
@@ -416,6 +471,7 @@ _MAX_AVG_TOKLEN = 12.0
     )
     """,
 )
+
 def quality_quarantine(spark, sf_dir):
     """Quarantine gate — the production shape of quality filtering: every
     document gets a pass/fail verdict PLUS the sorted list of machine-
@@ -427,33 +483,7 @@ def quality_quarantine(spark, sf_dir):
     a single scan, no shuffle; at 100 TB this is the cheapest stage of
     the pipeline and the reason array costs nothing extra."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    text = F.col("text")
-    no_text = F.coalesce(
-        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(True)
-    )
-    too_short = F.coalesce(F.col("n_chars") < _MIN_CHARS, F.lit(False))
-    low_alpha = F.coalesce(
-        T.non_alnum_ratio(text) > _MAX_NON_ALNUM, F.lit(False)
-    )
-    no_stopwords = F.coalesce(
-        F.greatest(*[T.stopword_ratio(text, lang) for lang in T.STOPWORDS])
-        < _MIN_STOPWORD,
-        F.lit(False),
-    )
-    long_words = F.coalesce(
-        T.avg_token_len(text) > _MAX_AVG_TOKLEN, F.lit(False)
-    )
-    reasons = F.array_sort(
-        F.array_compact(
-            F.array(
-                F.when(no_text, F.lit("no_text")),
-                F.when(too_short, F.lit("too_short")),
-                F.when(~no_text & low_alpha, F.lit("low_alpha")),
-                F.when(~no_text & no_stopwords, F.lit("no_stopwords")),
-                F.when(~no_text & long_words, F.lit("long_words")),
-            )
-        )
-    )
+    reasons = quarantine_reasons(F.col("text"), F.col("n_chars"))
     return d.select(
         "doc_id",
         (F.size(reasons) == 0).alias("passed"),
@@ -919,4 +949,457 @@ def sketch_quantile_report(spark, sf_dir):
         F.round(F.col("r.approx"), 6).alias("approx_value"),
         F.round(F.col("r.exact"), 6).alias("exact_value"),
         F.round(F.abs(F.col("r.approx") - F.col("r.exact")), 6).alias("abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring (PSI) over the event stream
+# ---------------------------------------------------------------------------
+
+_PSI_CUTOFF = "2024-01-16 00:00:00"
+_PSI_BINS = 10
+
+
+@register(
+    "events_drift_psi",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value, ts < TIMESTAMP '{_PSI_CUTOFF}' AS is_ref
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    cuts AS (
+      SELECT event_type,
+             list_transform(
+               quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               c -> round(c, 6)) AS cuts
+      FROM e WHERE is_ref GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type, is_ref,
+             len(list_filter(cuts, c -> value > c)) AS b
+      FROM e JOIN cuts ON cuts.event_type = e.event_type
+    ),
+    spine AS (
+      SELECT event_type, i AS b FROM cuts, generate_series(0, {_PSI_BINS - 1}) t(i)
+    ),
+    counts AS (
+      SELECT spine.event_type, spine.b,
+             COALESCE(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END), 0) AS n_ref,
+             COALESCE(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END), 0) AS n_cur
+      FROM spine
+      LEFT JOIN binned ON binned.event_type = spine.event_type AND binned.b = spine.b
+      GROUP BY spine.event_type, spine.b
+    ),
+    tot AS (
+      SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+      GROUP BY event_type
+    )
+    SELECT counts.event_type,
+           CAST(tot.t_ref AS BIGINT) AS n_ref,
+           CAST(tot.t_cur AS BIGINT) AS n_cur,
+           ROUND(SUM(
+             ((n_cur + 0.5) / (t_cur + {_PSI_BINS * 0.5})
+              - (n_ref + 0.5) / (t_ref + {_PSI_BINS * 0.5}))
+             * ln(((n_cur + 0.5) / (t_cur + {_PSI_BINS * 0.5}))
+                  / ((n_ref + 0.5) / (t_ref + {_PSI_BINS * 0.5})))
+           ), 6) AS psi
+    FROM counts JOIN tot ON tot.event_type = counts.event_type
+    GROUP BY counts.event_type, tot.t_ref, tot.t_cur
+    """,
+)
+def events_drift_psi(spark, sf_dir):
+    """Population-stability-index drift monitor — the standard production
+    check that a feature's distribution has not shifted between a
+    reference window and the current one (PSI < 0.1 stable, > 0.25
+    actionable): per event type, decile bins are fit on the REFERENCE
+    slice (exact percentiles, cut points rounded to 6 on both engines so
+    binning is parity-stable), both slices are binned against those same
+    cuts, and PSI is summed over Laplace-smoothed bin shares (smoothing
+    makes empty bins finite — the spine join materializes them).
+
+    Scale shape: the cut table is |event_types|×9 doubles — broadcast;
+    binning is a map-only higher-order filter; the only corpus shuffle is
+    the (type, bin, slice) count, which partial-aggregates."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    e = e.select(
+        "event_type", "value", (F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp_ntz")).alias("is_ref")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = (
+        e.filter(F.col("is_ref"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.percentile("value", F.array(*[F.lit(q) for q in qs])),
+                lambda c: F.round(c, 6),
+            ).alias("cuts")
+        )
+    )
+    binned = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "is_ref",
+        F.size(F.filter(F.col("cuts"), lambda c: F.col("value") > c)).alias("b"),
+    )
+    spine = cuts.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("b")
+    )
+    counts = (
+        spine.join(binned, ["event_type", "b"], "left")
+        .groupBy("event_type", "b")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_ref"), 1).otherwise(0)), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.sum(F.when(F.col("is_ref"), 0).otherwise(1)), F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    sm = _PSI_BINS * 0.5
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + sm)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + sm)
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "t_ref", "t_cur")
+        .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("t_ref").cast("long").alias("n_ref"),
+            F.col("t_cur").cast("long").alias("n_cur"),
+            "psi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS actual,
+             CASE WHEN greatest({_SW_DE}, {_SW_EN}, {_SW_ES}, {_SW_FR}) <= 0
+                    THEN 'und'
+                  WHEN {_SW_DE} = greatest({_SW_DE}, {_SW_EN}, {_SW_ES}, {_SW_FR})
+                    THEN 'de'
+                  WHEN {_SW_EN} = greatest({_SW_DE}, {_SW_EN}, {_SW_ES}, {_SW_FR})
+                    THEN 'en'
+                  WHEN {_SW_ES} = greatest({_SW_DE}, {_SW_EN}, {_SW_ES}, {_SW_FR})
+                    THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT actual, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY actual), 6)
+             AS share_of_actual
+    FROM scored GROUP BY actual, predicted
+    """,
+)
+def langid_confusion(spark, sf_dir):
+    """Confusion matrix for the stopword-profile language classifier
+    against the labeled `lang` column — the evaluation loop for the
+    heuristic `text_langid` exposes per-row: each (actual, predicted)
+    cell with its count and its share within the actual language (row-
+    normalized recall; the diagonal is per-language accuracy). One
+    combinable aggregate + one tiny window over ≤ |langs|² rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        F.col("lang").alias("actual"),
+        T.predicted_lang(F.col("text")).alias("predicted"),
+    )
+    cells = scored.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share_of_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash S-curve: measured LSH detection rate vs theory, per Jaccard bin
+# ---------------------------------------------------------------------------
+
+_SC_HASHES = 16
+_SC_BANDS = 4
+_SC_ROWS = _SC_HASHES // _SC_BANDS
+
+
+def _scurve_oracle() -> str:
+    from ..operators.dedup import _minhash_sql_prefix
+
+    return f"""
+    WITH {_minhash_sql_prefix(_SC_HASHES, _SC_BANDS)},
+    sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sets),
+    ov AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    ex AS (
+      SELECT doc_a, doc_b, ROUND(nc / (sa.n + sb.n - nc), 6) AS j
+      FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE ROUND(nc / (sa.n + sb.n - nc), 6) >= 0.05
+    ),
+    tagged AS (
+      SELECT ex.doc_a, ex.doc_b, ex.j,
+             CASE WHEN cands.doc_a IS NOT NULL THEN 1 ELSE 0 END AS det
+      FROM ex LEFT JOIN cands
+        ON cands.doc_a = ex.doc_a AND cands.doc_b = ex.doc_b
+    ),
+    binned AS (
+      SELECT LEAST(CAST(floor(j * 10 + 1e-9) AS INT), 9) AS b, det FROM tagged
+    )
+    SELECT b / 10.0 AS j_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(det) AS BIGINT) AS n_detected,
+           ROUND(SUM(det) / COUNT(*), 6) AS measured_recall,
+           ROUND(1 - power(1 - power(b / 10.0 + 0.05, {_SC_ROWS}), {_SC_BANDS}), 6)
+             AS theoretical_recall
+    FROM binned GROUP BY b
+    """
+
+
+@register("minhash_scurve_report", oracle=_scurve_oracle())
+def minhash_scurve_report(spark, sf_dir):
+    """LSH S-curve validation — the tuning artifact you consult before
+    committing num_hashes/bands for a 100 TB dedup pass: ground-truth
+    near-dup pairs (exact shingle Jaccard ≥ 0.05, shingle-blocked — no
+    sketch involved) are bucketed by Jaccard decile, and each bucket
+    reports the MEASURED fraction the banded candidates surfaced next to
+    the THEORETICAL detection probability 1−(1−j^r)^b at the bucket
+    midpoint. Divergence between the two columns means the sketch's
+    independence assumptions don't hold on this corpus (e.g. skewed
+    shingle frequencies) and the band split needs revisiting.
+
+    Scale shape: rides the same shingle-blocked exact-pair join and
+    banded candidate join the dedup operators already pay; the report
+    itself aggregates over candidate pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(d, k=3, threshold=0.05)
+    cands = D.minhash_candidate_pairs_portable(
+        d, num_hashes=_SC_HASHES, bands=_SC_BANDS
+    ).withColumn("det", F.lit(1))
+    tagged = exact.join(cands, ["doc_a", "doc_b"], "left").select(
+        F.col("jaccard").alias("j"), F.coalesce(F.col("det"), F.lit(0)).alias("det")
+    )
+    b = F.least(F.floor(F.col("j") * 10 + 1e-9).cast("int"), F.lit(9))
+    mid = F.col("b") / 10.0 + 0.05
+    return (
+        tagged.select(b.alias("b"), "det")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("det").cast("long").alias("n_detected"),
+            F.round(F.sum("det") / F.count(F.lit(1)), 6).alias("measured_recall"),
+        )
+        .select(
+            (F.col("b") / 10.0).alias("j_lo"),
+            "n_pairs",
+            "n_detected",
+            "measured_recall",
+            F.round(
+                1 - F.pow(1 - F.pow(mid, F.lit(_SC_ROWS)), F.lit(_SC_BANDS)), 6
+            ).alias("theoretical_recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation decision ledger: WHY each document was kept or dropped
+# ---------------------------------------------------------------------------
+
+_LEDGER_QUOTA = 15  # survivors kept per source
+
+
+def _ledger_oracle() -> str:
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, source, text, n_chars,
+             {quarantine_reasons_sql()} AS gate_reasons
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    staged AS (
+      SELECT doc_id, source, n_chars, gate_reasons,
+             len(gate_reasons) > 0 AS gate_failed,
+             CASE WHEN len(gate_reasons) = 0 THEN
+               doc_id <> MIN(doc_id) OVER (
+                 PARTITION BY CASE WHEN len(gate_reasons) = 0
+                                   THEN md5(text) END)
+             ELSE FALSE END AS is_dup
+      FROM gated
+    ),
+    ranked AS (
+      SELECT *,
+             CASE WHEN NOT gate_failed AND NOT is_dup THEN
+               ROW_NUMBER() OVER (
+                 PARTITION BY CASE WHEN NOT gate_failed AND NOT is_dup
+                                   THEN source END,
+                              gate_failed, is_dup
+                 ORDER BY n_chars DESC NULLS LAST, doc_id)
+             END AS rk
+      FROM staged
+    )
+    SELECT doc_id, source,
+           CASE WHEN gate_failed THEN 'gate'
+                WHEN is_dup THEN 'duplicate'
+                WHEN rk > {_LEDGER_QUOTA} THEN 'quota'
+           END AS dropped_at,
+           (NOT gate_failed AND NOT is_dup AND rk <= {_LEDGER_QUOTA}) AS kept,
+           gate_reasons
+    FROM ranked
+    """
+
+
+@register("curation_decision_ledger", oracle=_ledger_oracle())
+def curation_decision_ledger(spark, sf_dir):
+    """Explainable curation — the audit ledger a production corpus
+    pipeline owes its users: every document gets its fate (kept, or the
+    FIRST stage that dropped it: quality gate → exact dedup → per-source
+    quota) plus the gate's machine-readable reason codes. Drop decisions
+    are otherwise silent row-filters; materializing them makes curation
+    rates monitorable per source and individual drops contestable.
+
+    Stage semantics: dedup runs among gate-passers (canonical = min
+    doc_id per md5(text)); the per-source quota (top {quota} by n_chars
+    desc, doc_id tiebreak) ranks only gate+dedup survivors. Scale shape:
+    one scan + two keyed windows (digest, source) — the same exchanges
+    the standalone dedup/quota operators pay, fused into one plan."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    gated = d.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        quarantine_reasons(F.col("text"), F.col("n_chars")).alias("gate_reasons"),
+    )
+    gate_failed = F.size("gate_reasons") > 0
+    # Digest partition is None for gate-failures so they don't perturb the
+    # canonical-min of real groups (mirrors the oracle's CASE partition).
+    dig = F.when(~gate_failed, F.md5("text"))
+    staged = gated.select(
+        "doc_id",
+        "source",
+        "gate_reasons",
+        gate_failed.alias("gate_failed"),
+        F.when(
+            ~gate_failed,
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy(dig)),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_dup"),
+        "n_chars",
+    )
+    survivor = ~F.col("gate_failed") & ~F.col("is_dup")
+    w = Window.partitionBy(
+        F.when(survivor, F.col("source")), "gate_failed", "is_dup"
+    ).orderBy(F.desc_nulls_last("n_chars"), F.asc("doc_id"))
+    ranked = staged.withColumn(
+        "rk", F.when(survivor, F.row_number().over(w))
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.when(F.col("gate_failed"), F.lit("gate"))
+        .when(F.col("is_dup"), F.lit("duplicate"))
+        .when(F.col("rk") > _LEDGER_QUOTA, F.lit("quota"))
+        .alias("dropped_at"),
+        (survivor & (F.col("rk") <= _LEDGER_QUOTA)).alias("kept"),
+        "gate_reasons",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("documents", "source"),
+)
+
+
+def _skew_oracle() -> str:
+    legs = "\n      UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS key_col, CAST({c} AS VARCHAR) AS k "
+        f"FROM {t} WHERE {c} IS NOT NULL"
+        for t, c in _SKEW_KEYS
+    )
+    return f"""
+    WITH k AS (
+      {legs}
+    ),
+    c AS (SELECT key_col, k, COUNT(*) AS n FROM k GROUP BY key_col, k),
+    agg AS (
+      SELECT key_col, SUM(n) AS n_rows, COUNT(*) AS n_distinct, MAX(n) AS top1
+      FROM c GROUP BY key_col
+    )
+    SELECT key_col,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(top1 AS BIGINT) AS top1_count,
+           ROUND(top1 / n_rows, 6) AS top1_share,
+           ROUND(top1 * n_distinct / n_rows, 6) AS skew_factor
+    FROM agg
+    """
+
+
+@register("table_skew_report", oracle=_skew_oracle())
+def table_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis — the measurement that decides WHEN the
+    engine's skew machinery (operators/skew.py salting, AQE skew-join
+    splits) is worth its overhead: for each join/aggregation key the
+    standing queries shuffle on, the hottest key's share of rows and its
+    skew factor (top-key count ÷ mean per-key count). skew_factor ≈ 1 ⇒
+    uniform, safe; ≫ 1 ⇒ the hottest reducer partition is that many
+    times the average and salting/AQE pays for itself. Per key this is
+    one combinable (key → count) aggregate plus a 1-row rollup — the
+    cheapest possible probe of a question usually answered by watching a
+    straggler task time out."""
+    frames = []
+    for t, c in _SKEW_KEYS:
+        frames.append(
+            load_table(spark, sf_dir, t)
+            .filter(F.col(c).isNotNull())
+            .select(
+                F.lit(f"{t}.{c}").alias("key_col"),
+                F.col(c).cast("string").alias("k"),
+            )
+        )
+    k = frames[0]
+    for f_ in frames[1:]:
+        k = k.unionByName(f_)
+    cnt = k.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("n"))
+    agg = cnt.groupBy("key_col").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top1"),
+    )
+    return agg.select(
+        "key_col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("top1").cast("long").alias("top1_count"),
+        F.round(F.col("top1") / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(F.col("top1") * F.col("n_distinct") / F.col("n_rows"), 6).alias(
+            "skew_factor"
+        ),
     )

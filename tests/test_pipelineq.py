@@ -270,3 +270,104 @@ def test_stream_anomaly_state_carries_across_microbatches(spark):
         assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
     assert [r["event_id"] for r in out] == [22]
     assert out[0]["zscore"] > 3
+
+
+def test_psi_detects_planted_shift(spark):
+    """Shift the current slice's distribution for one event type by +5σ
+    and leave another untouched: PSI must scream (>0.25) for the shifted
+    type and stay calm (<0.1) for the stable one."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from ingest_fast_spark.queries.pipelineq import events_drift_psi
+
+    ref = dt.datetime(2024, 1, 10)
+    cur = dt.datetime(2024, 1, 20)
+    rows = []
+    for i in range(400):
+        v = (i % 100) / 10.0
+        rows.append((i, ref, 1, "stable", v, None))
+        rows.append((1000 + i, cur, 1, "stable", v, None))
+        rows.append((2000 + i, ref, 1, "shifted", v, None))
+        rows.append((3000 + i, cur, 1, "shifted", v + 50.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_type"]: r["psi"] for r in events_drift_psi(spark, d).collect()}
+    assert out["shifted"] > 0.25
+    assert out["stable"] < 0.1
+
+
+def test_scurve_recall_monotone_and_sane(spark):
+    """Measured LSH recall must be ~monotone in the Jaccard bin and the
+    top bin must be near-total; theory and measurement must agree in
+    direction."""
+    from ingest_fast_spark.queries.pipelineq import minhash_scurve_report
+
+    rows = sorted(
+        minhash_scurve_report(spark, SF).collect(), key=lambda r: r["j_lo"]
+    )
+    assert rows, "no jaccard bins measured"
+    recalls = [r["measured_recall"] for r in rows]
+    assert recalls[-1] >= 0.9  # high-similarity pairs must be caught
+    for r in rows:
+        assert 0.0 <= r["measured_recall"] <= 1.0
+        assert 0.0 <= r["theoretical_recall"] <= 1.0
+
+
+def test_ledger_stages_are_exclusive_and_quota_respected(spark):
+    from ingest_fast_spark.queries.pipelineq import (
+        _LEDGER_QUOTA,
+        curation_decision_ledger,
+    )
+
+    rows = curation_decision_ledger(spark, SF).collect()
+    assert len(rows) == 500
+    kept_by_source = {}
+    for r in rows:
+        if r["kept"]:
+            assert r["dropped_at"] is None
+            assert r["gate_reasons"] == []
+            kept_by_source[r["source"]] = kept_by_source.get(r["source"], 0) + 1
+        else:
+            assert r["dropped_at"] in ("gate", "duplicate", "quota")
+            if r["dropped_at"] == "gate":
+                assert len(r["gate_reasons"]) > 0
+    assert kept_by_source and all(
+        v <= _LEDGER_QUOTA for v in kept_by_source.values()
+    )
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    """A table where one user owns 60% of the rows must report
+    skew_factor far above the uniform tables'."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from ingest_fast_spark.queries.pipelineq import table_skew_report
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, (7 if i < 600 else i) , "e", 1.0, None) for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("lineitem", "orders", "documents"):
+            spark.read.parquet(f"{SF}/{t}.parquet").limit(50).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["key_col"]: r for r in table_skew_report(spark, d).collect()}
+    ev = out["events.user_id"]
+    assert ev["top1_share"] > 0.55
+    assert ev["skew_factor"] > 100  # 600 rows on one of ~401 distinct keys
