@@ -39,6 +39,21 @@ SHUFFLE_BUDGET = {
     "dedup_paragraphs": 2,  # paragraph window + doc_id reassembly (by design)
     "text_heavy_hitters": 2,  # candidate recount + total (1-row)
     "bpe_encode_lengths": 12,  # word-freq agg + 8 checkpointed rounds
+    # pipeline-evaluation suite (queries/pipelineq.py)
+    "quality_quarantine": 0,  # the gate is map-only by contract
+    "sketch_quantile_report": 0,  # one partial-aggregable sketch pass
+    "text_char_entropy": 2,  # (doc,char) count + per-doc rollup
+    "text_ngram_novelty": 2,  # shingle df + per-doc rollup (join rides df key)
+    "events_anomaly_zscore": 1,  # the per-user window, nothing else
+    "langid_confusion": 2,  # cell counts + row-normalizing window
+    "curation_decision_ledger": 2,  # digest window + per-source quota window
+    "table_skew_report": 2,  # per-key counts + per-column rollup
+    "search_ndcg_eval": 3,  # candidate rank window + metric agg + totals
+    "doc_bigram_logppl": 4,  # bigram counts, prefix counts, join, doc rollup
+    "events_drift_psi": 4,  # ref cuts, bin counts, totals, psi rollup
+    "curation_dsir_weights": 5,  # vocab agg + buckets + doc rollup (maps broadcast)
+    "split_leakage_report": 5,  # two shingle sides + overlap + sizes + report
+    "embedding_outlier_report": 5,  # centroids, distances, label moments
 }
 
 
