@@ -107,6 +107,8 @@ HEADLINE = [
     "minhash_scurve_report",
     "curation_decision_ledger",
     "table_skew_report",
+    "stream_quality_gate",
+    "customer_entity_resolution",
 ]
 
 
@@ -127,6 +129,9 @@ SCALE_QUERIES = [
     "q18_large_orders",
     "window_running_agg",
     "dedup_exact",
+    "text_ngram_novelty",
+    "curation_dsir_weights",
+    "minhash_scurve_report",
 ]
 
 

@@ -1430,3 +1430,67 @@ def table_skew_report(spark, sf_dir):
             "skew_factor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy blocking -> verify -> connected components
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_entity_resolution",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    p AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM c a JOIN c b
+        ON a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (SELECT ka AS s, kb AS d FROM p UNION ALL SELECT kb, ka FROM p),
+    walk(id, comp) AS (
+      SELECT c_custkey, c_custkey FROM c
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+    ),
+    comp AS (SELECT id AS c_custkey, MIN(comp) AS entity_id FROM walk GROUP BY id)
+    SELECT c_custkey, entity_id,
+           (entity_id = c_custkey) AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+    FROM comp
+    """,
+)
+def customer_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution — the composite every master-data /
+    training-metadata pipeline runs: SymSpell deletion-neighborhood
+    blocking generates candidate name pairs (sub-quadratic; equality with
+    the brute-force edit-distance-1 scan is exactly what the
+    ``fuzzy_name_pairs`` oracle proves), levenshtein verifies candidates
+    only, and distributed connected components (large-star/small-star)
+    fuses transitive matches into entities with a deterministic canonical
+    (min key). One row per customer: its entity, whether it is the
+    canonical record, and the entity's size. The oracle recomputes the
+    same closure sequentially (brute-force pairs + recursive CTE), so the
+    whole composite — blocking, verification, clustering — is checked
+    end-to-end, not per stage."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+    from .llm import fuzzy_name_pairs
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+    pairs = fuzzy_name_pairs(spark, sf_dir).select("key_a", "key_b")
+    cc = connected_components(
+        pairs, "key_a", "key_b", nodes=c.select("c_custkey")
+    )
+    w = Window.partitionBy("entity_id")
+    return (
+        cc.select(
+            F.col("id").alias("c_custkey"),
+            F.col("component").alias("entity_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+    )

@@ -294,3 +294,47 @@ def stream_anomaly_zscore(spark, sf_dir):
         "q_anomaly",
         output_mode="append",
     )
+
+
+@register(
+    "stream_quality_gate",
+    oracle=None,  # replaced below — reuses the batch gate's oracle verbatim
+)
+def stream_quality_gate(spark, sf_dir):
+    """Streaming quarantine gate — the batch gate's Column expressions
+    applied unchanged to a document readStream (stateless map-only
+    operator: no watermark, no state store; every micro-batch is gated
+    independently, which is exactly how a crawl-ingest pipeline runs the
+    gate in practice). AvailableNow over the static table must therefore
+    equal the batch `quality_quarantine` output — the registered oracle
+    IS the batch gate's, fetched from the registry so the two can never
+    drift."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..session import apply_runtime_confs
+    from .pipelineq import quarantine_reasons
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents*.parquet")
+        .load(sf_dir)
+    )
+    reasons = quarantine_reasons(F.col("text"), F.col("n_chars"))
+    gated = raw.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("passed"),
+        reasons.alias("reasons"),
+    )
+    return _run(gated, "q_gate", output_mode="append")
+
+
+# Reuse the batch gate's oracle for the streaming twin (registered after
+# the function so the registry key exists either way).
+from . import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["stream_quality_gate"] = _ORACLES["quality_quarantine"]

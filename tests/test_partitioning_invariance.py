@@ -32,6 +32,14 @@ REPRESENTATIVE = [
     "bpe_train_merges",         # argmax tie-break must be partition-independent
     "dedup_bloom_prefilter",    # bit-set build across layouts
     "embed_hard_negatives",     # GEMM local top-k across partition boundaries
+    "search_ndcg_eval",         # metric math over GEMM top-k across layouts
+    "doc_bigram_logppl",        # avg over FP summation order
+    "curation_dsir_weights",    # partition-order-free log-weight sums
+    "events_anomaly_zscore",    # trailing frame over ts order, not file order
+    "events_drift_psi",         # reference-decile cuts across layouts
+    "curation_decision_ledger", # digest canonical-min + quota rank tie-breaks
+    "minhash_scurve_report",    # banded candidates + bin counts across layouts
+    "embedding_whiten_zca",     # driver-reduced moments across partitionings
 ]
 
 TABLES = (

@@ -371,3 +371,28 @@ def test_skew_report_flags_planted_hot_key(spark):
     ev = out["events.user_id"]
     assert ev["top1_share"] > 0.55
     assert ev["skew_factor"] > 100  # 600 rows on one of ~401 distinct keys
+
+
+def test_entity_resolution_fuses_transitive_chain(spark):
+    """a~b and b~c at edit distance 1 (but a-c at distance 2) must land in
+    ONE entity with the min key canonical — the transitivity CC provides
+    and pairwise verification alone cannot."""
+    import os
+    import tempfile
+
+    from ingest_fast_spark.queries.pipelineq import customer_entity_resolution
+
+    rows = [
+        (1, "Customer#AAA"),
+        (2, "Customer#AAB"),  # dist 1 from AAA
+        (3, "Customer#ABB"),  # dist 1 from AAB, dist 2 from AAA
+        (4, "Totally Different"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        out = {r["c_custkey"]: r for r in customer_entity_resolution(spark, d).collect()}
+    assert out[1]["entity_id"] == out[2]["entity_id"] == out[3]["entity_id"] == 1
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[1]["n_members"] == 3
+    assert out[4]["entity_id"] == 4 and out[4]["n_members"] == 1
