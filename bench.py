@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_pq_codes",
     "embed_topk_pq_adc",
     "embed_label_noise_audit",
+    "embed_label_noise_ivf",
     "search_ndcg_eval",
     "doc_bigram_logppl",
     "split_leakage_report",
@@ -132,6 +133,12 @@ SCALE_QUERIES = [
     "text_ngram_novelty",
     "curation_dsir_weights",
     "minhash_scurve_report",
+    # VERDICT r3 item 3: the slowest headliner and the bpe/bloom family had
+    # no measured growth factor — prove CC-iteration cost is ~flat in data.
+    "customer_entity_resolution",
+    "bpe_train_merges",
+    "bpe_encode_lengths",
+    "dedup_bloom_prefilter",
 ]
 
 

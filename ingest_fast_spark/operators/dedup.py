@@ -420,10 +420,12 @@ def _portable_sig_frame(
 ) -> DataFrame:
     """(doc_id, hv, signature) with engine-portable MinHash values,
     materialized (it always feeds several consumers). ``hv`` is the
-    per-shingle 60-bit hash array (mod P) — downstream exact-Jaccard
+    per-shingle UN-modded 60-bit hash array — downstream exact-Jaccard
     verification intersects THESE 8-byte longs, not shingle strings
     (~2.5× smaller verify shuffle, identical result modulo the
-    documented ~2⁻⁶⁰ collision trade shared with the prefix filter).
+    documented ~2⁻⁶⁰ collision trade shared with the prefix filter; the
+    mod-P reduction happens only inside the signature arithmetic, so
+    sketch collisions never leak into the exact side).
 
     Two materialization barriers keep the md5 work exactly once per
     shingle: hv is computed in its own checkpointed projection (inside
@@ -441,15 +443,20 @@ def _portable_sig_frame(
     sets = doc_shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
     hv_frame = sets.select(
         "doc_id",
-        F.transform("shingles", lambda s: portable_hash60(s) % _MINHASH_P).alias("hv"),
+        F.transform("shingles", lambda s: portable_hash60(s)).alias("hv"),
     ).localCheckpoint(eager=True)
     init = F.array(*[F.lit(_MINHASH_P).cast("long") for _ in fams])
+    # hv keeps the FULL 60-bit hash (collision ~2^-60 for the exact-Jaccard
+    # intersections downstream); the mod-P reduction happens only here inside
+    # the signature arithmetic, where a*h must stay under 2^62.
     sig = F.aggregate(
         "hv",
         init,
         lambda acc, h: F.zip_with(
             acc,
-            F.array(*[(F.lit(a) * h + F.lit(b)) % _MINHASH_P for a, b in fams]),
+            F.array(
+                *[(F.lit(a) * (h % _MINHASH_P) + F.lit(b)) % _MINHASH_P for a, b in fams]
+            ),
             lambda x, y: F.least(x, y),
         ),
     )
@@ -575,7 +582,7 @@ def _minhash_sql_prefix(num_hashes: int, bands: int) -> str:
     fams = minhash_families(num_hashes)
     rows_per_band = num_hashes // bands
     sig_elems = ", ".join(
-        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+        f"list_min(list_transform(hv, h -> ({a} * (h % {_MINHASH_P}) + {b}) % {_MINHASH_P}))"
         for a, b in fams
     )
     band_union = "\n      UNION ALL ".join(
@@ -594,7 +601,7 @@ def _minhash_sql_prefix(num_hashes: int, bands: int) -> str:
     ),
     hs AS (
       SELECT doc_id, shingles,
-             list_transform(shingles, s -> {portable_hash60_sql('s')} % {_MINHASH_P}) AS hv
+             list_transform(shingles, s -> {portable_hash60_sql('s')}) AS hv
       FROM sets WHERE len(shingles) > 0
     ),
     sigs AS (SELECT doc_id, shingles, [{sig_elems}] AS sig FROM hs),

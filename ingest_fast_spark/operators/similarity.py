@@ -936,3 +936,116 @@ def knn_label_agreement(
     return ensure_parallelism(
         emb.select(id_col, vec_col, label_col)
     ).mapInPandas(score, out_schema)
+
+
+def knn_label_agreement_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit, IVF-BUCKETED scale path: same report as
+    ``knn_label_agreement`` but the corpus NEVER reaches the driver — no
+    ``collect()``, no whole-corpus broadcast, so it survives corpora far
+    beyond the broadcast path's ~0.5 GB/M-vector bound.
+
+    Plan: (1) deterministic coarse centroids (the ``n_centroids``
+    lowest-id vectors — same convention as ``ivf_topk_deterministic``, so
+    the whole pipeline is oracle-exact in SQL); (2) one broadcast
+    cross-join assigns every vector its ranked centroid list (rounded
+    cosine, cid tiebreak): rank 1 is its HOME bucket (where it lives as a
+    candidate), ranks ≤ nprobe are the buckets it PROBES as a query;
+    (3) per bucket, one Arrow-batched GEMM (``applyInPandas``) scores the
+    bucket's probers against its home members and emits each prober's
+    local top-k; (4) a global window merges the ≤ nprobe·k survivors per
+    vector. Each candidate has exactly ONE home bucket, so a (query,
+    candidate) pair is scored at most once and the per-bucket local top-k
+    provably contains every global top-k member.
+
+    With ``nprobe == n_centroids`` every bucket is probed and the output
+    is IDENTICAL to the broadcast path (pinned in
+    tests/test_similarity.py); smaller nprobe trades recall for scan
+    fraction exactly like ``ivf_topk``. Shuffle cost: one hash exchange
+    on bucket (bounded by the centroid assignment's balance) plus the
+    per-vector merge window."""
+    e = emb.filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col))
+    cent = (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    )
+    probed = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= max(nprobe, 1))
+        .select(
+            F.col(id_col),
+            "v",
+            F.col(label_col),
+            F.col("cid").alias("bucket"),
+            (F.col("rn") == 1).alias("is_home"),
+        )
+    )
+
+    cand_schema = (
+        f"{id_col} long, {label_col} int, cand_id long, cand_label int, "
+        "cos_sim double"
+    )
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = [id_col, label_col, "cand_id", "cand_label", "cos_sim"]
+        home = pdf[pdf["is_home"]]
+        if len(home) == 0 or len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        cand_ids = home[id_col].to_numpy(dtype=np.int64)
+        cand_labels = home[label_col].to_numpy(dtype=np.int64)
+        cmat = np.array(list(home["v"]), dtype=np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+        q_labels = pdf[label_col].to_numpy(dtype=np.int64)
+        qmat = np.array(list(pdf["v"]), dtype=np.float64)
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        sims = np.round(qmat @ cmat.T, 6)
+        recs = []
+        for i in range(len(q_ids)):
+            row = sims[i].copy()
+            row[cand_ids == q_ids[i]] = -np.inf  # exclude self
+            order = np.lexsort((cand_ids, -row))
+            for j in order[: min(k, len(cand_ids))]:
+                if row[j] == -np.inf:
+                    break
+                recs.append(
+                    (q_ids[i], q_labels[i], cand_ids[j], cand_labels[j], float(row[j]))
+                )
+        return pd.DataFrame(recs, columns=cols)
+
+    local = probed.groupBy("bucket").applyInPandas(gemm, cand_schema)
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    topk = local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return topk.groupBy(id_col, label_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_neighbors"),
+        F.sum((F.col("cand_label") == F.col(label_col)).cast("int"))
+        .cast("int")
+        .alias("n_same_label"),
+        F.round(
+            F.sum((F.col("cand_label") == F.col(label_col)).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("knn_agreement"),
+    )

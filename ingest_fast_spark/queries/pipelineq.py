@@ -349,10 +349,12 @@ def split_leakage_report(spark, sf_dir):
         .groupBy("doc_id", "train_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # sze is one row per EVAL doc (the 10% slice) — broadcast; the train
-    # sizes stay a shuffle join (the full corpus at real scale).
+    # No broadcast hints: sze is one row per EVAL doc (~10% of the corpus)
+    # and leaked up to one row per eval doc — both grow with the data, so a
+    # forced broadcast is an unbounded driver-memory bet at 100 TB. Left as
+    # shuffle joins; AQE still converts them to broadcast when small enough.
     leaked = (
-        ov.join(F.broadcast(sze), "doc_id")
+        ov.join(sze, "doc_id")
         .join(szt, "train_id")
         .filter(
             F.round(
@@ -367,7 +369,7 @@ def split_leakage_report(spark, sf_dir):
         .withColumn("leak", F.lit(1))
     )
     return (
-        ev.join(F.broadcast(leaked), "doc_id", "left")
+        ev.join(leaked, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_eval"),
@@ -986,7 +988,7 @@ _PSI_BINS = 10
     counts AS (
       SELECT spine.event_type, spine.b,
              COALESCE(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END), 0) AS n_ref,
-             COALESCE(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END), 0) AS n_cur
+             COALESCE(SUM(CASE WHEN is_ref IS FALSE THEN 1 ELSE 0 END), 0) AS n_cur
       FROM spine
       LEFT JOIN binned ON binned.event_type = spine.event_type AND binned.b = spine.b
       GROUP BY spine.event_type, spine.b
@@ -1053,7 +1055,13 @@ def events_drift_psi(spark, sf_dir):
         .groupBy("event_type", "b")
         .agg(
             F.coalesce(F.sum(F.when(F.col("is_ref"), 1).otherwise(0)), F.lit(0)).alias("n_ref"),
-            F.coalesce(F.sum(F.when(F.col("is_ref"), 0).otherwise(1)), F.lit(0)).alias("n_cur"),
+            # `is_ref == False` (not `otherwise(1)`): a spine bin with no
+            # matched rows carries a NULL is_ref from the left join, and the
+            # old otherwise-branch counted that phantom row into n_cur,
+            # inflating every fully-empty bin's current count by 1.
+            F.coalesce(
+                F.sum(F.when(F.col("is_ref") == F.lit(False), 1).otherwise(0)), F.lit(0)
+            ).alias("n_cur"),
         )
     )
     tot = counts.groupBy("event_type").agg(
@@ -1266,7 +1274,8 @@ def _ledger_oracle() -> str:
              CASE WHEN len(gate_reasons) = 0 THEN
                doc_id <> MIN(doc_id) OVER (
                  PARTITION BY CASE WHEN len(gate_reasons) = 0
-                                   THEN md5(text) END)
+                                   THEN md5(text)
+                                   ELSE 'F' || CAST(doc_id AS VARCHAR) END)
              ELSE FALSE END AS is_dup
       FROM gated
     ),
@@ -1274,9 +1283,7 @@ def _ledger_oracle() -> str:
       SELECT *,
              CASE WHEN NOT gate_failed AND NOT is_dup THEN
                ROW_NUMBER() OVER (
-                 PARTITION BY CASE WHEN NOT gate_failed AND NOT is_dup
-                                   THEN source END,
-                              gate_failed, is_dup
+                 PARTITION BY source, gate_failed, is_dup
                  ORDER BY n_chars DESC NULLS LAST, doc_id)
              END AS rk
       FROM staged
@@ -1317,9 +1324,13 @@ def curation_decision_ledger(spark, sf_dir):
         quarantine_reasons(F.col("text"), F.col("n_chars")).alias("gate_reasons"),
     )
     gate_failed = F.size("gate_reasons") > 0
-    # Digest partition is None for gate-failures so they don't perturb the
-    # canonical-min of real groups (mirrors the oracle's CASE partition).
-    dig = F.when(~gate_failed, F.md5("text"))
+    # Gate-failures get a singleton partition key ('F'+doc_id, unique) instead
+    # of a shared NULL key: their windowed MIN is unused (guarded below), and a
+    # single partition holding every failed doc would be one straggler reducer
+    # at scale. Mirrors the oracle's CASE partition.
+    dig = F.when(~gate_failed, F.md5("text")).otherwise(
+        F.concat(F.lit("F"), F.col("doc_id").cast("string"))
+    )
     staged = gated.select(
         "doc_id",
         "source",
@@ -1334,9 +1345,13 @@ def curation_decision_ledger(spark, sf_dir):
         "n_chars",
     )
     survivor = ~F.col("gate_failed") & ~F.col("is_dup")
-    w = Window.partitionBy(
-        F.when(survivor, F.col("source")), "gate_failed", "is_dup"
-    ).orderBy(F.desc_nulls_last("n_chars"), F.asc("doc_id"))
+    # Partition by source UNCONDITIONALLY: survivors rank exactly as before
+    # (their partition is (source, false, false) either way), while failures
+    # and duplicates now spread across per-source partitions instead of one
+    # NULL-keyed partition per fate that a single reducer must fully sort.
+    w = Window.partitionBy("source", "gate_failed", "is_dup").orderBy(
+        F.desc_nulls_last("n_chars"), F.asc("doc_id")
+    )
     ranked = staged.withColumn(
         "rk", F.when(survivor, F.row_number().over(w))
     )

@@ -277,8 +277,12 @@ def _update_anomaly_state(key, pdf_iter, state: GroupState):
                 if s > 0:
                     z = round((float(r.value) - m) / s, 6)
                     if abs(z) > _Z_THR:
+                        # A NULL event_id arrives as NaN; int(NaN) raises and
+                        # would kill the stream. The batch twin emits such
+                        # rows with NULL event_id — do the same here.
+                        eid = None if pd.isna(r.event_id) else int(r.event_id)
                         out.append(
-                            (int(r.user_id), int(r.event_id), int(r.ts_us),
+                            (int(r.user_id), eid, int(r.ts_us),
                              float(r.value), z)
                         )
             buf.append(float(r.value))

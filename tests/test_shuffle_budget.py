@@ -52,7 +52,11 @@ SHUFFLE_BUDGET = {
     "doc_bigram_logppl": 4,  # bigram counts, prefix counts, join, doc rollup
     "events_drift_psi": 4,  # ref cuts, bin counts, totals, psi rollup
     "curation_dsir_weights": 5,  # vocab agg + buckets + doc rollup (maps broadcast)
-    "split_leakage_report": 5,  # two shingle sides + overlap + sizes + report
+    # two shingle sides + overlap + sizes + leak-join + report; the eval-size
+    # and leaked frames are deliberately NOT broadcast (both grow with the
+    # corpus — unbounded driver memory at 100 TB), so their joins show as
+    # static hash exchanges; AQE demotes them to broadcast when small.
+    "split_leakage_report": 6,
     "embedding_outlier_report": 5,  # centroids, distances, label moments
 }
 
