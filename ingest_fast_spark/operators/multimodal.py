@@ -6,11 +6,14 @@ bytes ride along the relational columns, and Catalyst prunes the (wide)
 payload column away for any query that doesn't touch it.
 
 The decode/feature-extract step is a ``mapInPandas`` operator: Arrow
-batches in, Arrow batches out, schema declared up front. The actual media
-decoding is stubbed (no image/audio libs in this container) behind
-``decode_image_stub`` — the Spark-side plumbing (schema, batching,
-partition behavior) is real and tested; swapping the stub for PIL/ffmpeg
-is a one-function change.
+batches in, Arrow batches out, schema declared up front. IMAGE metadata
+decode is fully executable with no media libraries: ``parse_image_header``
+reads dimensions/mode/format straight from the public PNG/JPEG/GIF/BMP
+container headers, and PIL (optional) upgrades it to a full pixel decode.
+Video frame sampling and audio chunking remain stubbed behind
+deterministic fakes (no ffmpeg in this container) — the Spark-side
+plumbing (schema, batching, cardinality) is real and tested; swapping in
+ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -62,22 +65,92 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """Placeholder for the real decoder (PIL/libvips). Raises so nobody
-    mistakes the stub for a working decoder."""
+    """Placeholder for a full PIXEL decoder (PIL/libvips). Raises so nobody
+    mistakes the stub for a working decoder. Header-level metadata does NOT
+    need this — see ``parse_image_header``."""
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; extract_features() computes byte-level features only"
+        "full pixel decoding requires image/audio libraries not present in "
+        "this container; parse_image_header() reads dimensions/format from "
+        "the container headers, extract_features() computes byte features"
     )
 
 
+def parse_image_header(payload: bytes) -> dict | None:
+    """Pure-Python image metadata from container headers — PNG, JPEG, GIF,
+    BMP (all public formats: PNG RFC 2083 IHDR, JFIF SOFn segments, GIF
+    logical screen descriptor, BMP BITMAPINFOHEADER). No image library
+    needed, so ``decode_images`` has a REAL no-deps path for the metadata
+    a curation pipeline filters on (dimensions, color mode, format).
+    Returns {width, height, mode, format} or None if the payload is not a
+    recognized/complete image header. Mode strings follow PIL naming so
+    the two decode paths agree."""
+    import struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    # PNG: 8-byte signature, then the IHDR chunk (must be first per spec)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        depth, color = b[24], b[25]
+        mode = {
+            0: "1" if depth == 1 else ("I" if depth == 16 else "L"),
+            2: "RGB",
+            3: "P",
+            4: "LA",
+            6: "RGBA",
+        }.get(color)
+        return {"width": w, "height": h, "mode": mode, "format": "PNG"}
+    # GIF: logical screen descriptor immediately after the version tag
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"width": w, "height": h, "mode": "P", "format": "GIF"}
+    # BMP: BITMAPINFOHEADER dims at offset 18 (height may be negative =
+    # top-down rows)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"width": w, "height": abs(h), "mode": "RGB", "format": "BMP"}
+    # JPEG: walk marker segments to the first SOFn frame header
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 1 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone markers (no length field)
+                continue
+            if i + 4 > len(b):
+                break
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    ncomp = b[i + 9]
+                    mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp)
+                    return {"width": w, "height": h, "mode": mode, "format": "JPEG"}
+                break
+            i += 2 + seglen
+    return None
+
+
 def decode_image(payload: bytes) -> dict:
-    """REAL image decode when PIL is importable (optional dependency);
-    falls through to ``decode_image_stub`` (which raises) when it is not —
-    gated, never faked. Returns {width, height, mode, format}."""
+    """Image decode: PIL when importable (full pixel decode), else the
+    pure-Python header parser (metadata only — which is all the DataFrame
+    operator emits anyway). Raises ValueError on unrecognized payloads —
+    an honest failure, never a silent fake. Returns
+    {width, height, mode, format}."""
     try:
         from PIL import Image
     except ImportError:
-        return decode_image_stub(payload)
+        meta = parse_image_header(payload)
+        if meta is None:
+            raise ValueError(
+                "unrecognized or truncated image payload (PNG/JPEG/GIF/BMP "
+                "headers supported without PIL)"
+            )
+        return meta
     import io
 
     with Image.open(io.BytesIO(payload)) as im:
@@ -102,12 +175,13 @@ DECODED_SCHEMA = StructType(
 
 
 def decode_images(df: DataFrame) -> DataFrame:
-    """Real image-decode operator (PIL behind an optional-dependency gate):
-    mapInPandas over binary payloads → (doc_id, width, height, mode,
-    format). Without PIL on the executors every batch raises
-    NotImplementedError — an honest failure, not a silent fake; the
-    byte-level ``extract_features`` is the no-deps path. NULL payloads
-    yield NULL features (missing media is data, not an error)."""
+    """Image-decode operator: mapInPandas over binary payloads →
+    (doc_id, width, height, mode, format). Executors use PIL when it is
+    installed (full pixel decode, catches corrupt image DATA); without it
+    the pure-Python ``parse_image_header`` supplies the same metadata for
+    PNG/JPEG/GIF/BMP — a real executable path, not a gate. Unrecognized
+    payloads raise (honest failure); NULL payloads yield NULL features
+    (missing media is data, not an error)."""
 
     def decode(batches: Iterator) -> Iterator:
         import io
@@ -116,11 +190,8 @@ def decode_images(df: DataFrame) -> DataFrame:
 
         try:
             from PIL import Image
-        except ImportError as exc:  # pragma: no cover - exercised without PIL
-            raise NotImplementedError(
-                "decode_images requires PIL (optional dependency); install "
-                "pillow or use extract_features() for byte-level features"
-            ) from exc
+        except ImportError:
+            Image = None
 
         for pdf in batches:
             ws, hs, modes, fmts = [], [], [], []
@@ -129,10 +200,20 @@ def decode_images(df: DataFrame) -> DataFrame:
                     ws.append(None), hs.append(None)
                     modes.append(None), fmts.append(None)
                     continue
-                with Image.open(io.BytesIO(bytes(b))) as im:
-                    im.load()
-                    ws.append(im.width), hs.append(im.height)
-                    modes.append(im.mode), fmts.append(im.format)
+                if Image is not None:
+                    with Image.open(io.BytesIO(bytes(b))) as im:
+                        im.load()
+                        ws.append(im.width), hs.append(im.height)
+                        modes.append(im.mode), fmts.append(im.format)
+                else:
+                    meta = parse_image_header(bytes(b))
+                    if meta is None:
+                        raise ValueError(
+                            "unrecognized or truncated image payload "
+                            "(PNG/JPEG/GIF/BMP headers supported without PIL)"
+                        )
+                    ws.append(meta["width"]), hs.append(meta["height"])
+                    modes.append(meta["mode"]), fmts.append(meta["format"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -38,6 +38,61 @@ _DOCS_SCHEMA = "doc_id long, text string"
 # large the persisted kept-index has grown.
 last_batch_driver_rows: int = 0
 
+# Append-only parquet grows one file SET per micro-batch forever — at 10⁵
+# batches the index is 10⁵ small files and every batch's build-side scan
+# pays the open-file tax. process_batch triggers a rewrite whenever the
+# index exceeds this many data files (VERDICT r3 item 5).
+DEFAULT_COMPACT_THRESHOLD = 64
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _index_file_count(spark: SparkSession, index_path: str) -> int:
+    """Number of parquet data files in the index (Hadoop FS API, so the
+    same code path works on HDFS/object stores, not just local disk)."""
+    fs, jpath, _ = _fs_for(spark, index_path)
+    if not fs.exists(jpath):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
+def compact_index(spark: SparkSession, out_dir: str, target_files: int = 4) -> bool:
+    """Rewrite ``out_dir/index`` into ~``target_files`` parquet files.
+
+    Content-preserving maintenance: the index's ROWS are unchanged (any
+    order), only the file layout shrinks, so every subsequent dedup
+    decision is identical — pinned by tests/test_dedup_incremental.py.
+    Safe to run between (not during) streaming triggers: the rewrite goes
+    to a temp dir first, then two FS renames swap it in; a crash between
+    the renames leaves the old index at ``index.compact_old`` for manual
+    recovery rather than losing data. Returns False if no index exists."""
+    index_path = os.path.join(out_dir, "index")
+    fs, jpath, jvm = _fs_for(spark, index_path)
+    if not fs.exists(jpath):
+        return False
+    tmp = jvm.org.apache.hadoop.fs.Path(index_path + ".compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(index_path + ".compact_old")
+    spark.read.parquet(index_path).coalesce(max(target_files, 1)).write.mode(
+        "overwrite"
+    ).parquet(index_path + ".compact_tmp")
+    fs.delete(old, True)
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact_index: could not move {index_path} aside")
+    if not fs.rename(tmp, jpath):
+        # put the original back rather than leaving no index at all
+        fs.rename(old, jpath)
+        raise IOError(f"compact_index: could not install compacted index")
+    fs.delete(old, True)
+    return True
+
 
 def _lsh_pairs(new_sigs: DataFrame, index: DataFrame, bands: int) -> DataFrame:
     """Candidate (new_id, kept_id) pairs: new docs vs kept index, banded.
@@ -100,11 +155,15 @@ def run_incremental_near_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
 ):
     """Watch ``docs_dir`` for JSONL document files; maintain
     ``out_dir/index`` (kept docs' signatures+shingles) and
     ``out_dir/decisions`` (doc_id, kept, dup_of). Returns the
-    StreamingQuery (AvailableNow trigger — rerun to absorb new files)."""
+    StreamingQuery (AvailableNow trigger — rerun to absorb new files).
+    When the index exceeds ``compact_threshold`` data files it is
+    rewritten in place at the end of the batch (see ``compact_index``);
+    pass 0 to disable auto-compaction."""
     apply_runtime_confs(spark)
     index_path = os.path.join(out_dir, "index")
     decisions_path = os.path.join(out_dir, "decisions")
@@ -189,6 +248,8 @@ def run_incremental_near_dedup(
             dec_df.filter("kept").select("doc_id"), "doc_id", "left_semi"
         )
         kept_df.write.mode("append").parquet(index_path)
+        if compact_threshold and _index_file_count(sess, index_path) > compact_threshold:
+            compact_index(sess, out_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -29,29 +29,59 @@ def test_decode_stub_raises(spark):
         M.decode_image_stub(b"\x89PNG")
 
 
-def _has_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
+def _tiny_png(w, h, rgb=(1, 2, 3)):
+    """A COMPLETE, valid PNG written in pure Python (signature + IHDR +
+    zlib IDAT + IEND, per RFC 2083) — decodable by any real decoder, so
+    this test artifact works identically with and without PIL."""
+    import struct
+    import zlib
 
-        return True
-    except ImportError:
-        return False
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
-@pytest.mark.skipif(not _has_pil(), reason="PIL not installed (optional dep)")
+def _tiny_gif(w, h):
+    import struct
+
+    # header + logical screen descriptor + 2-color palette + trailer
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf0\x00\x00" + b"\x00" * 6 + b"\x3b"
+
+
+def _tiny_jpeg_header(w, h):
+    import struct
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return soi + app0 + sof0 + b"\xff\xd9"
+
+
 def test_decode_images_real(spark):
-    """With PIL available, decode_images returns true dimensions/format."""
-    import io
-
-    from PIL import Image
-
-    def png(w, h):
-        buf = io.BytesIO()
-        Image.new("RGB", (w, h), (1, 2, 3)).save(buf, format="PNG")
-        return buf.getvalue()
-
+    """decode_images returns true dimensions/format on a pure-Python-built
+    valid PNG — RUNS in every environment (PIL decodes the pixels when
+    present; parse_image_header reads the IHDR when not)."""
     df = spark.createDataFrame(
-        [(1, png(7, 5), "image/png", "{}"), (2, None, "image/png", "{}")],
+        [(1, _tiny_png(7, 5), "image/png", "{}"), (2, None, "image/png", "{}")],
         M.PAYLOAD_SCHEMA,
     )
     rows = {r["doc_id"]: r for r in M.decode_images(df).collect()}
@@ -60,20 +90,37 @@ def test_decode_images_real(spark):
     assert rows[2]["width"] is None  # missing media -> NULL features
 
 
-@pytest.mark.skipif(_has_pil(), reason="PIL present; gate untestable")
-def test_decode_images_without_pil_is_honest(spark):
-    """Without PIL, decode_image falls through to the raising stub and the
-    DataFrame operator fails with NotImplementedError — gated, not faked."""
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
-    df = spark.createDataFrame([(1, b"\x89PNG", "image/png", "{}")], M.PAYLOAD_SCHEMA)
-    from py4j.protocol import Py4JJavaError
-
-    with pytest.raises((Py4JJavaError, Exception)) as ei:
-        M.decode_images(df).collect()
-    assert "NotImplementedError" in str(ei.value) or "decode_images requires PIL" in str(
-        ei.value
+def test_parse_image_header_formats():
+    """The no-deps header parser reads PNG, GIF, JPEG and rejects garbage."""
+    assert M.parse_image_header(_tiny_png(640, 480)) == {
+        "width": 640,
+        "height": 480,
+        "mode": "RGB",
+        "format": "PNG",
+    }
+    g = M.parse_image_header(_tiny_gif(12, 34))
+    assert (g["width"], g["height"], g["format"]) == (12, 34, "GIF")
+    j = M.parse_image_header(_tiny_jpeg_header(1920, 1080))
+    assert (j["width"], j["height"], j["mode"], j["format"]) == (
+        1920,
+        1080,
+        "RGB",
+        "JPEG",
     )
+    assert M.parse_image_header(b"not an image") is None
+    assert M.parse_image_header(b"\x89PNG") is None  # truncated: rejected
+
+
+def test_decode_images_rejects_garbage_honestly(spark):
+    """An unrecognizable payload is an ERROR (raised), never silently-NULL
+    metadata — regardless of whether PIL is installed."""
+    df = spark.createDataFrame(
+        [(1, b"definitely not an image", "image/png", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        M.decode_images(df).collect()
+    msg = str(ei.value)
+    assert "unrecognized or truncated" in msg or "cannot identify" in msg
 
 
 def test_payload_column_pruned_when_untouched(spark, sf_dir, tmp_path):
