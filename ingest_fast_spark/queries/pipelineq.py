@@ -1509,3 +1509,55 @@ def customer_entity_resolution(spark, sf_dir):
         )
         .withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
     )
+
+
+@register(
+    "customer_entity_resolution_d2",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    p AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM c a JOIN c b
+        ON a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 2
+    ),
+    edges AS (SELECT ka AS s, kb AS d FROM p UNION ALL SELECT kb, ka FROM p),
+    walk(id, comp) AS (
+      SELECT c_custkey, c_custkey FROM c
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+    ),
+    comp AS (SELECT id AS c_custkey, MIN(comp) AS entity_id FROM walk GROUP BY id)
+    SELECT c_custkey, entity_id,
+           (entity_id = c_custkey) AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+    FROM comp
+    """,
+)
+def customer_entity_resolution_d2(spark, sf_dir):
+    """Entity resolution at edit distance <= 2 — the same composite as
+    ``customer_entity_resolution`` (SymSpell blocking → levenshtein verify
+    → distributed connected components) with the wider d=2 deletion
+    neighborhood (``fuzzy_name_pairs_d2``): two stacked typos now fuse,
+    so entities are coarser and transitive chains longer — exactly the
+    regime where the CC stage earns its keep. End-to-end checked against
+    the brute-force + recursive-CTE oracle."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+    from .llm import fuzzy_name_pairs_d2
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+    pairs = fuzzy_name_pairs_d2(spark, sf_dir).select("key_a", "key_b")
+    cc = connected_components(pairs, "key_a", "key_b", nodes=c.select("c_custkey"))
+    w = Window.partitionBy("entity_id")
+    return (
+        cc.select(
+            F.col("id").alias("c_custkey"),
+            F.col("component").alias("entity_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+    )

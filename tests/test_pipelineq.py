@@ -396,3 +396,36 @@ def test_entity_resolution_fuses_transitive_chain(spark):
     assert out[1]["is_canonical"] and not out[2]["is_canonical"]
     assert out[1]["n_members"] == 3
     assert out[4]["entity_id"] == 4 and out[4]["n_members"] == 1
+
+
+def test_symspell_d2_catches_two_stacked_edits(spark):
+    """Planted pairs at each edit composition the d=2 neighborhood must
+    cover — two substitutions, two deletions, two insertions, and one of
+    each — all invisible to the d=1 blocking, all found at d=2; a
+    distance-3 pair stays excluded."""
+    import os
+    import tempfile
+
+    from ingest_fast_spark.queries.llm import fuzzy_name_pairs, fuzzy_name_pairs_d2
+
+    rows = [
+        (1, "marianne"),
+        (2, "marizmne"),  # two substitutions of #1
+        (3, "marian"),  # two deletions of #1
+        (4, "xmariannex"),  # two insertions of #1
+        (5, "amarianne"),  # insertion of #1 ... and one sub from #4? no: d(4,5)=2
+        (6, "zzzianne"),  # distance 3 from #1: must NOT pair with 1
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        d1 = {(r["key_a"], r["key_b"]) for r in fuzzy_name_pairs(spark, d).collect()}
+        d2 = {
+            (r["key_a"], r["key_b"]): r["dist"]
+            for r in fuzzy_name_pairs_d2(spark, d).collect()
+        }
+    assert (1, 2) not in d1 and (1, 3) not in d1 and (1, 4) not in d1
+    assert d2[(1, 2)] == 2 and d2[(1, 3)] == 2 and d2[(1, 4)] == 2
+    assert d2[(1, 5)] == 1  # d=1 pairs are a subset of d=2 results
+    assert (1, 6) not in d2
+    assert set(d1) <= set(d2)
