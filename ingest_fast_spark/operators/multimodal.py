@@ -341,6 +341,42 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(explode_frames, FRAME_SCHEMA)
 
 
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Pure-Python RIFF/WAVE metadata (public container format): walks the
+    chunk list to the ``fmt `` and ``data`` chunks and returns
+    {channels, sample_rate, bits_per_sample, byte_rate, data_offset,
+    data_len, duration_ms} — everything audio chunking needs, no audio
+    library required. Returns None if the payload is not a complete WAV."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        sz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt = {
+                "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(b[i + 12 : i + 16], "little"),
+                "byte_rate": int.from_bytes(b[i + 16 : i + 20], "little"),
+                "bits_per_sample": int.from_bytes(b[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data = (i + 8, min(sz, len(b) - i - 8))
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or fmt["byte_rate"] == 0:
+        return None
+    off, n = data
+    return {
+        **fmt,
+        "data_offset": off,
+        "data_len": n,
+        "duration_ms": int(n * 1000 / fmt["byte_rate"]),
+    }
+
+
 CHUNK_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -358,27 +394,38 @@ def chunk_audio(
     """Audio chunking: one recording row → fixed-duration chunk rows with
     time metadata — the segmentation pass before transcription/embedding.
 
-    DECODE IS STUBBED (no audio libs here): the payload is treated as raw
-    PCM at ``bytes_per_ms``; a real implementation derives it from the
-    container header. The Spark contract — cardinality explosion, typed
-    time bounds, binary out, Arrow batching — is the real thing."""
+    REAL for PCM WAV payloads: ``parse_wav_header`` (pure Python, public
+    RIFF format) supplies the true byte rate and data-section bounds, so
+    chunk time bounds are actual milliseconds of audio. Non-WAV payloads
+    fall back to the documented raw-PCM-at-``bytes_per_ms`` assumption
+    (compressed codecs would need ffmpeg — not in this container). The
+    Spark contract — cardinality explosion, typed time bounds, binary
+    out, Arrow batching — is identical either way."""
 
     def explode_chunks(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        chunk_bytes = chunk_ms * bytes_per_ms
         for pdf in batches:
             ids, idxs, chunks, starts, ends = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                n_chunks = max((len(raw) + chunk_bytes - 1) // chunk_bytes, 1)
+                wav = parse_wav_header(raw)
+                if wav is not None:
+                    bpm = max(wav["byte_rate"] // 1000, 1)
+                    lo = wav["data_offset"]
+                    body = raw[lo : lo + wav["data_len"]]
+                else:
+                    bpm = bytes_per_ms
+                    body = raw
+                chunk_bytes = chunk_ms * bpm
+                n_chunks = max((len(body) + chunk_bytes - 1) // chunk_bytes, 1)
                 for i in range(n_chunks):
-                    piece = raw[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    piece = body[i * chunk_bytes : (i + 1) * chunk_bytes]
                     ids.append(doc_id)
                     idxs.append(i)
                     chunks.append(piece)
                     starts.append(i * chunk_ms)
-                    ends.append(i * chunk_ms + len(piece) // bytes_per_ms)
+                    ends.append(i * chunk_ms + len(piece) // bpm)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

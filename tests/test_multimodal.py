@@ -159,6 +159,52 @@ def test_sample_frames_cardinality(spark, sf_dir):
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
 
 
+def _tiny_wav(seconds, sample_rate=8000, channels=1, bits=16):
+    """A complete PCM WAV built in pure Python (RIFF + fmt + data)."""
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    n = byte_rate * seconds
+    body = b"\x00" * n
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * bits // 8, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", n)
+        + body
+    )
+
+
+def test_parse_wav_header_and_real_chunking(spark):
+    """chunk_audio derives the TRUE byte rate from a real WAV header: a
+    25-second 8 kHz mono 16-bit file (16000 B/s) chunks into 3 pieces at
+    10 s regardless of the (wrong) bytes_per_ms fallback argument."""
+    wav = _tiny_wav(25)
+    meta = M.parse_wav_header(wav)
+    assert meta["sample_rate"] == 8000 and meta["byte_rate"] == 16000
+    assert meta["duration_ms"] == 25_000
+    assert M.parse_wav_header(b"RIFFxxxx") is None
+    assert M.parse_wav_header(b"not audio") is None
+
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    out = sorted(
+        M.chunk_audio(df, chunk_ms=10_000, bytes_per_ms=999).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert len(out) == 3
+    assert (out[-1]["start_ms"], out[-1]["end_ms"]) == (20_000, 25_000)
+    assert len(bytes(out[-1]["chunk"])) == 5_000 * 16  # 5s at 16000 B/s
+    # data section only — the 44-byte header is not chunked as audio
+    assert sum(len(bytes(r["chunk"])) for r in out) == 25 * 16000
+
+
 def test_chunk_audio_cardinality_and_bounds(spark):
     from ingest_fast_spark.operators.multimodal import chunk_audio
 
