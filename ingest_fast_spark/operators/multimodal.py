@@ -306,6 +306,83 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
     return df.mapInPandas(resize, RESIZED_SCHEMA)
 
 
+def parse_y4m_header(payload: bytes) -> dict | None:
+    """Pure-Python YUV4MPEG2 metadata (the public uncompressed video
+    container): parses the plain-text parameter line into {width, height,
+    fps_num, fps_den, chroma, frame_bytes, header_end, n_frames}.
+    frame_bytes is the raw plane size per frame (C420 family → w·h·3/2,
+    C422 → 2·w·h, C444 → 3·w·h, Cmono → w·h), so frames are directly
+    addressable without any video library. Returns None if the payload is
+    not Y4M or uses an unknown chroma mode."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if not b.startswith(b"YUV4MPEG2 "):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fn, fd = 25, 1
+    chroma = b"420"
+    for p in b[10:nl].split(b" "):
+        try:
+            if p.startswith(b"W"):
+                w = int(p[1:])
+            elif p.startswith(b"H"):
+                h = int(p[1:])
+            elif p.startswith(b"F") and b":" in p:
+                fn, fd = (int(x) for x in p[1:].split(b":"))
+            elif p.startswith(b"C"):
+                chroma = p[1:]
+        except ValueError:
+            return None
+    if not w or not h:
+        return None
+    if chroma.startswith(b"420"):
+        frame_bytes = w * h * 3 // 2
+    elif chroma.startswith(b"422"):
+        frame_bytes = w * h * 2
+    elif chroma.startswith(b"444"):
+        frame_bytes = w * h * 3
+    elif chroma.startswith(b"mono"):
+        frame_bytes = w * h
+    else:
+        return None
+    # count frames (each is a "FRAME[params]\n" line + raw planes)
+    i, n = nl + 1, 0
+    while i < len(b) and b[i : i + 5] == b"FRAME":
+        fnl = b.find(b"\n", i)
+        if fnl < 0 or fnl + 1 + frame_bytes > len(b):
+            break
+        n += 1
+        i = fnl + 1 + frame_bytes
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": fn,
+        "fps_den": fd,
+        "chroma": chroma.decode("ascii", "replace"),
+        "frame_bytes": frame_bytes,
+        "header_end": nl + 1,
+        "n_frames": n,
+    }
+
+
+def _y4m_frames(b: bytes, meta: dict, wanted: list[int]) -> list[bytes]:
+    """Raw plane bytes of the requested frame indices (sorted unique)."""
+    out, want = [], set(wanted)
+    i, idx = meta["header_end"], 0
+    while i < len(b) and b[i : i + 5] == b"FRAME" and idx <= max(want):
+        fnl = b.find(b"\n", i)
+        lo = fnl + 1
+        if idx in want:
+            out.append(b[lo : lo + meta["frame_bytes"]])
+        idx += 1
+        i = lo + meta["frame_bytes"]
+    return out
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -316,13 +393,17 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame-sampling operator: one input row → ``n_frames`` output
-    rows (the row-exploding UDTF shape, via mapInPandas).
+    """Video frame-sampling operator: one input row → up to ``n_frames``
+    output rows (the row-exploding UDTF shape, via mapInPandas).
 
-    DECODE IS STUBBED: "frames" are deterministic byte slices of the
-    payload; a real implementation seeks ffmpeg to evenly-spaced
-    timestamps. The Spark contract — cardinality change, per-frame rows,
-    binary column out — is exactly what a real decoder needs."""
+    REAL for Y4M payloads: ``parse_y4m_header`` (pure Python, public
+    YUV4MPEG2 format) gives the exact per-frame plane size, so the
+    operator extracts ACTUAL evenly-spaced raw frames — frame k of n
+    samples source frame k·T/n. Compressed containers (mp4/webm) would
+    need ffmpeg — not in this container — so non-Y4M payloads keep the
+    documented deterministic byte-slice fake. The Spark contract —
+    cardinality change, per-frame rows, binary column out — is identical
+    either way."""
 
     def explode_frames(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -331,6 +412,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                meta = parse_y4m_header(raw)
+                if meta is not None and meta["n_frames"] > 0:
+                    total = meta["n_frames"]
+                    k = min(n_frames, total)
+                    wanted = sorted({j * total // k for j in range(k)})
+                    got = _y4m_frames(raw, meta, wanted)
+                    for i, fr in enumerate(got):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(fr)
+                    continue
                 step = max(len(raw) // n_frames, 1)
                 for i in range(n_frames):
                     ids.append(doc_id)

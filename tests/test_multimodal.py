@@ -205,6 +205,37 @@ def test_parse_wav_header_and_real_chunking(spark):
     assert sum(len(bytes(r["chunk"])) for r in out) == 25 * 16000
 
 
+def _tiny_y4m(w, h, n):
+    """A complete YUV4MPEG2 clip in pure Python: frame f filled with byte
+    value f (C420 planes: w*h*3/2 bytes per frame)."""
+    fb = w * h * 3 // 2
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    return head + b"".join(b"FRAME\n" + bytes([f]) * fb for f in range(n))
+
+
+def test_sample_frames_real_y4m(spark):
+    """On a real Y4M payload, sample_frames extracts ACTUAL evenly-spaced
+    raw frames (frame k of 4 over 10 source frames = source frames
+    0,2,5,7 — identifiable by their fill bytes), not byte slices."""
+    clip = _tiny_y4m(4, 2, 10)
+    meta = M.parse_y4m_header(clip)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (4, 2, 10)
+    assert meta["frame_bytes"] == 12
+    assert M.parse_y4m_header(b"not video") is None
+
+    df = spark.createDataFrame([(1, bytearray(clip))], "doc_id long, payload binary")
+    out = sorted(M.sample_frames(df, n_frames=4).collect(), key=lambda r: r["frame_idx"])
+    assert len(out) == 4
+    fills = [bytes(r["frame"])[0] for r in out]
+    assert fills == [0, 2, 5, 7]
+    assert all(len(bytes(r["frame"])) == 12 for r in out)
+    # fewer source frames than requested: emit what exists, no padding
+    short = spark.createDataFrame(
+        [(2, bytearray(_tiny_y4m(4, 2, 2)))], "doc_id long, payload binary"
+    )
+    assert M.sample_frames(short, n_frames=4).count() == 2
+
+
 def test_chunk_audio_cardinality_and_bounds(spark):
     from ingest_fast_spark.operators.multimodal import chunk_audio
 
