@@ -73,7 +73,7 @@ def connected_components(
     dst: str = "dst",
     nodes: DataFrame | None = None,
     max_rounds: int = 25,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node; component = MIN node id in the
     component (deterministic canonical label).
@@ -85,12 +85,13 @@ def connected_components(
     much earlier on real graphs).
 
     Edge lists at or below ``small_graph_threshold`` run a driver-side
-    union-find instead of the iterative job — the same size-gated logic
-    as a broadcast join (≤100k edges ≈ 1.6 MB driver memory, vs 4+
-    distributed rounds of fixed scheduling cost; the sf0.1 cluster query
-    drops 6.4s → 3.5s warm on its 590-edge graph). Identical output by
-    construction; the distributed path is exercised in tests with
-    ``small_graph_threshold=0``.
+    vectorized union-find instead of the iterative job — the same
+    size-gated logic as a broadcast join (≤1M edges ≈ 16 MB via Arrow,
+    the order of a broadcast-side table, vs 4+ distributed rounds of
+    fixed scheduling cost; the sf0.1 entity-resolution graph — 262k
+    edges, one giant component — drops 4.6s → ~1s warm). Identical
+    output by construction; the distributed path is exercised in tests
+    with ``small_graph_threshold=0``.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
@@ -168,31 +169,49 @@ def near_dup_clusters(
 
 
 def _union_find_local(e: DataFrame, spark, nodes: DataFrame | None) -> DataFrame:
-    """Small-graph path: classic union-find over a collected edge list."""
-    parent: dict[int, int] = {}
+    """Small-graph path: vectorized min-label propagation over an
+    Arrow-collected edge array.
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    Per iteration: every edge pulls both endpoints' labels down to their
+    minimum (two ``np.minimum.at`` scatters, O(E) each), then labels are
+    pointer-jump compressed (``l = l[l]`` until fixpoint, O(V log V)
+    total). Converges in O(log V) outer iterations — same bound as the
+    distributed star rounds, but each round is a C-speed array pass, so a
+    million-edge graph resolves in well under a second where the old
+    per-edge Python dict loop took seconds. The final label is the min
+    node id reachable, i.e. the same canonical component id the
+    distributed path produces.
+    """
+    import numpy as np
+    import pandas as pd
 
-    for row in e.collect():
-        a, b = row["src"], row["dst"]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    comp_members: dict[int, list[int]] = {}
-    for v in parent:
-        comp_members.setdefault(find(v), []).append(v)
-    rows = [
-        (v, min(members)) for members in comp_members.values() for v in members
-    ]
-    out = spark.createDataFrame(rows or [(None, None)], "id long, component long").filter(
-        F.col("id").isNotNull()
-    )
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        out = spark.createDataFrame([], "id long, component long")
+    else:
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        node_ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        # node_ids is sorted, so index order == id order: the min label in
+        # index space maps back to the min node id in id space.
+        a, b = inv[: len(src)], inv[len(src) :]
+        label = np.arange(len(node_ids), dtype=np.int64)
+        while True:
+            la, lb = label[a], label[b]
+            mn = np.minimum(la, lb)
+            label_prev = label.copy()
+            np.minimum.at(label, a, mn)
+            np.minimum.at(label, b, mn)
+            while True:
+                nxt = label[label]
+                if np.array_equal(nxt, label):
+                    break
+                label = nxt
+            if np.array_equal(label, label_prev):
+                break
+        out = spark.createDataFrame(
+            pd.DataFrame({"id": node_ids, "component": node_ids[label]})
+        )
     if nodes is not None:
         node_ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
         singletons = node_ids.join(out.select("id"), "id", "left_anti").select(

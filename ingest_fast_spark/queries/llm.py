@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_parallelism, load_table
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -1163,24 +1163,37 @@ def _symspell_pairs(c, key_col: str, name_col: str, max_dist: int):
         )
     else:
         raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    # The verify stage is EXPRESSION-dominated (millions of levenshtein
+    # calls), and the whole candidate pipeline — variant explode,
+    # broadcast self-join, verify — pipelines onto the BASE TABLE SCAN.
+    # A single-row-group parquet file scans as ONE task, so without this
+    # the entire query runs on one core (measured: the d1 verify alone
+    # was 3.0s single-task at sf0.1; the d2 composite minutes). At real
+    # scale the scan has thousands of splits and this is a no-op.
+    c = ensure_parallelism(c)
     variants = c.select(
         F.col(key_col).alias("k"),
         F.col(name_col).alias("nm"),
         F.explode(F.expr(var_expr)).alias("v"),
     )
     a, b = variants.alias("a"), variants.alias("b")
-    cand = (
-        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k")))
-        .select(
-            F.col("a.k").alias("key_a"),
-            F.col("a.nm").alias("name_a"),
-            F.col("b.k").alias("key_b"),
-            F.col("b.nm").alias("name_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b, (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k"))
+    ).select(
+        F.col("a.k").alias("key_a"),
+        F.col("a.nm").alias("name_a"),
+        F.col("b.k").alias("key_b"),
+        F.col("b.nm").alias("name_b"),
     )
-    return cand.filter(F.levenshtein("name_a", "name_b") <= max_dist).select(
-        "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist")
+    # Bounded levenshtein (3-arg) short-circuits past max_dist (~2x per
+    # call; returns -1 above the bound). Verify BEFORE the pair-distinct
+    # so the distinct shuffles only surviving narrow (key_a, key_b, dist)
+    # rows, never wide name-carrying candidates.
+    dist = F.expr(f"levenshtein(name_a, name_b, {max_dist})")
+    return (
+        cand.select("key_a", "key_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .distinct()
     )
 
 
