@@ -81,6 +81,33 @@ def test_small_graph_fallback_matches_distributed(spark):
     )
 
 
+def test_vectorized_fallback_hard_shapes(spark):
+    """The numpy min-label-propagation fallback on the shapes that stress
+    it: a long chain (pointer-jump compression must converge, not just
+    one hop per round), duplicate + reversed edges, sparse non-contiguous
+    node ids, and a clique — each checked against sequential union-find
+    remapped through the id space."""
+    cases = [
+        # long chain in REVERSE edge orientation (max pulls toward min)
+        [(i + 1, i) for i in range(300)],
+        # duplicates and both orientations of the same edge
+        [(0, 1), (1, 0), (0, 1), (2, 3), (3, 2), (2, 3)],
+        # clique on sparse ids
+        [(a, b) for a in (10, 700, 5000, 90000) for b in (10, 700, 5000, 90000) if a < b],
+    ]
+    rng = random.Random(11)
+    cases.append([(rng.randrange(500) * 7, rng.randrange(500) * 7) for _ in range(400)])
+    for edges in cases:
+        ids = sorted({v for e in edges for v in e})
+        idx = {v: i for i, v in enumerate(ids)}
+        want_idx = union_find_components(len(ids), [(idx[a], idx[b]) for a, b in edges])
+        want = {v: ids[want_idx[idx[v]]] for v in ids}
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        out = connected_components(edf)  # default gate -> vectorized fallback
+        got = {r["id"]: r["component"] for r in out.collect()}
+        assert got == want
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
