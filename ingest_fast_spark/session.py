@@ -28,6 +28,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Keep AQE's parallelism-first coalescing at cluster parallelism even
+    # when post-shuffle bytes are tiny: the default 1 MB floor merges
+    # small-but-expression-heavy stages (interpreted HOF lambdas, pandas
+    # UDF batches) down to ONE task. With parallelismFirst (default true)
+    # the target stays max(bytes/parallelism, this floor), so at real
+    # scale bytes/parallelism dominates and this is a no-op.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1b",
     # Arrow for any pandas UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
