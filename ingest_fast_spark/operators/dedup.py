@@ -440,11 +440,22 @@ def _portable_sig_frame(
     calls and the Arrow string-array transfer is pure overhead. The JVM
     chain stays the default."""
     fams = minhash_families(num_hashes)
-    sets = doc_shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
-    hv_frame = sets.select(
-        "doc_id",
-        F.transform("shingles", lambda s: portable_hash60(s)).alias("hv"),
-    ).localCheckpoint(eager=True)
+    sets = doc_shingle_sets(df, text_col, id_col, k)
+    # Filter empty-shingle docs AFTER materialization, not before: a
+    # pre-exchange filter on size(shingles) inlines the WHOLE shingling
+    # expression and Catalyst pushes it below ensure_parallelism's
+    # round-robin exchange, re-computing the full tokenize+shingle chain
+    # serially on the single scan task (plan-verified; the md5 Project
+    # itself stays above the exchange). Post-checkpoint the test is a
+    # cheap size() over the materialized array.
+    hv_frame = (
+        sets.select(
+            "doc_id",
+            F.transform("shingles", lambda s: portable_hash60(s)).alias("hv"),
+        )
+        .localCheckpoint(eager=True)
+        .filter(F.size("hv") > 0)
+    )
     init = F.array(*[F.lit(_MINHASH_P).cast("long") for _ in fams])
     # hv keeps the FULL 60-bit hash (collision ~2^-60 for the exact-Jaccard
     # intersections downstream); the mod-P reduction happens only here inside
