@@ -673,9 +673,14 @@ def embedding_quantize_int8(spark, sf_dir):
     is codes*scale). Emits the per-vector L2 reconstruction error so the
     accuracy cost is measured, not assumed. Rounding is the
     engine-portable floor(x+0.5) (plain ROUND half-away differs between
-    engines at exact .5 code boundaries). One scan, no shuffle."""
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    engines at exact .5 code boundaries). One scan, no shuffle at scale
+    (ensure_parallelism widens the single-split bench file; the HOF
+    lambdas are interpreted, so a one-task scan serializes them —
+    measured 1.5s -> ~0.3s at sf0.1)."""
+    e = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
     )
     v = F.col("embedding").cast("array<double>")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
@@ -944,7 +949,7 @@ def text_repetition_signals(spark, sf_dir):
     Fractions use the engine-portable floor(x*1e6+0.5)/1e6 rounding
     (per-row ROUND of doubles diverges between engines at .xx5).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
     g2 = toks.filter(F.size("tk") >= 2).select(
         "doc_id",

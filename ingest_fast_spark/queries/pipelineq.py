@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_parallelism, load_table
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -1120,7 +1120,9 @@ def langid_confusion(spark, sf_dir):
     combinable aggregate + one tiny window over ≤ |langs|² rows."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     scored = d.select(
         F.col("lang").alias("actual"),
         T.predicted_lang(F.col("text")).alias("predicted"),
@@ -1315,7 +1317,9 @@ def curation_decision_ledger(spark, sf_dir):
     the standalone dedup/quota operators pay, fused into one plan."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    )
     gated = d.select(
         "doc_id",
         "source",
