@@ -104,6 +104,11 @@ def curate_documents(
     """(doc_id, quality, n_tokens, cluster_id) for every KEPT canonical
     doc. Survivor-only dedup: the O(pairs) stage runs on the post-filter
     corpus."""
+    from ..catalog import ensure_parallelism
+
+    # quality/token/langid scoring is regex-heavy and the kept-filter
+    # inlines it; widen a single-split scan so it doesn't run one-task.
+    docs = ensure_parallelism(docs)
     t = F.col("text")
     annotated = docs.select(
         "doc_id",

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..catalog import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -156,6 +158,9 @@ def assign_ivf_buckets(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (bucket). At scale
     the output is written partitioned by ``bucket`` so probes prune files."""
+    # The per-vector cosine-vs-every-centroid lambdas are interpreted;
+    # a single-split bench file would serialize them onto one scan task.
+    corpus = ensure_parallelism(corpus)
     c = corpus.select(id_col, as_double(F.col(vec_col)).alias("cvec"))
     cent = centroids.select(
         F.col("centroid_id"), as_double(F.col(vec_col)).alias("centvec")
@@ -211,6 +216,9 @@ def kmeans_centroids(
     cent = sample_centroids(corpus, n, id_col, vec_col).select(
         "centroid_id", as_double(F.col(vec_col)).alias("centvec")
     )
+    # Interpreted per-(vector, centroid) cosine lambdas every Lloyd round:
+    # widen a single-split scan or the whole iteration serializes.
+    corpus = ensure_parallelism(corpus)
     c = corpus.select(id_col, as_double(F.col(vec_col)).alias("cvec"))
     for _ in range(iterations):
         assigned = (
@@ -351,6 +359,9 @@ def cosine_near_dup_lsh(
     ``ivf_topk_deterministic`` uses for its assignment ties.
     """
     planes = _hyperplanes(dim, nbits)
+    # nbits interpreted dot-product lambdas per row: widen a single-split
+    # scan before sketching (no-op at scale).
+    emb = ensure_parallelism(emb)
     v = as_double(F.col(vec_col))
     bits_per_band = nbits // bands
     band_keys = []
