@@ -376,7 +376,7 @@ def text_quality_score(spark, sf_dir):
     """,
 )
 def text_langid(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     scores = T.lang_scores(t)
     return d.select(
@@ -888,7 +888,7 @@ def text_pii_redact(spark, sf_dir):
     tests/test_redact.py."""
     from ..functions import redact as R
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     counts = R.pii_counts(t)
     return d.select(
