@@ -96,10 +96,11 @@ def ngram_jaccard_pairs(
     # per branch.
     sh = sh.localCheckpoint(eager=True)
     if max_doc_freq is not None:
+        # No broadcast hint: distinct k-shingles grow ~linearly with the
+        # corpus (unlike unigram vocab), so a forced broadcast is a driver
+        # OOM at scale. AQE converts to broadcast when actually small.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle"
-        ).drop("df_")
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -112,9 +113,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    # sa/sb are one row PER DOC — linear in the corpus, so no broadcast
+    # hint (AQE demotes to broadcast at small scale on its own); the
+    # overlap side is already pair-sized, far smaller than the corpus.
     return (
-        overlap.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -992,10 +996,10 @@ def substring_span_pairs(
         "doc_id", "pos", F.xxhash64("gram").alias("g")
     )
     if max_doc_freq is not None:
+        # Hint-free: distinct positional k-grams grow ~linearly with the
+        # corpus; AQE broadcasts when the filtered side is actually small.
         freq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
-        g = g.join(
-            F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "g"
-        ).drop("df_")
+        g = g.join(freq.filter(F.col("df_") <= max_doc_freq), "g").drop("df_")
     g = g.localCheckpoint(eager=True)  # feeds both join sides
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
@@ -1313,10 +1317,10 @@ def containment_pairs(
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sh = sh.localCheckpoint(eager=True)  # feeds sizes + both join sides
     if max_doc_freq is not None:
+        # Hint-free for the same reason as ngram_jaccard_pairs: the
+        # distinct-shingle table is ~linear in the corpus.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle"
-        ).drop("df_")
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh
     b = sh.select(F.col("doc_id").alias("ref_id"), "shingle")

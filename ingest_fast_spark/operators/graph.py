@@ -265,7 +265,10 @@ def pagerank(
         "n", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
     for _ in range(iterations):
-        rd = ranks.join(F.broadcast(deg), ranks["n"] == deg["src"], "left")
+        # deg is one row per node — linear in the graph, so no broadcast
+        # hint; ranks and deg co-partition on the node key, and AQE
+        # broadcasts the build side when the graph is actually small.
+        rd = ranks.join(deg, ranks["n"] == deg["src"], "left")
         dangling = rd.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
         )  # 1 row

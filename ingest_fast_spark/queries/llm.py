@@ -2748,8 +2748,10 @@ def dedup_health_by_source(spark, sf_dir):
     This is the report a curation run reads BEFORE choosing per-domain
     quotas — a domain whose near-dup rate is 60% contributes far less
     unique signal than its raw row count suggests. Scale shape: digest
-    counts are one hash agg; the near-dup doc-id set is tiny (pairs
-    only) and broadcasts back onto the corpus scan."""
+    counts are one hash agg; the near-dup doc-id set is pair-derived but
+    grows with the corpus's dup rate (linear worst case), so its join
+    back onto the corpus scan is hint-free — AQE broadcasts it while it
+    fits and shuffles when it doesn't."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     dig = d.select("source", "doc_id", F.md5("text").alias("digest"))
     digc = dig.groupBy("digest").agg(F.count(F.lit(1)).alias("n_copies"))
@@ -2765,7 +2767,7 @@ def dedup_health_by_source(spark, sf_dir):
     n_near = F.sum(F.coalesce(F.col("is_near"), F.lit(0)))
     return (
         dig.join(digc, "digest")
-        .join(F.broadcast(near), "doc_id", "left")
+        .join(near, "doc_id", "left")
         .groupBy("source")
         .agg(
             n.alias("n_docs"),

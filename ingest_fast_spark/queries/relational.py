@@ -405,7 +405,11 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        # Only the customer DIM broadcasts; the filtered orders⋈customer
+        # result is fact-scale (a constant fraction of orders), so its
+        # join to lineitem is hint-free — AQE broadcasts it at small SFs
+        # and shuffles at scale.
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                l.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -1295,7 +1299,10 @@ def q18_large_orders(spark, sf_dir):
         .filter(F.col("_sq") > 300)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        # `big` is a filtered fact aggregate (orderkeys with qty > 300) —
+        # selective but linear in orders, so hint-free; AQE converts its
+        # join to broadcast when the survivor set is actually tiny.
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
@@ -1787,9 +1794,10 @@ def funnel_stages(spark, sf_dir):
     """Ordered-funnel analysis (view → click → purchase): each stage's
     earliest qualifying event must FOLLOW the previous stage's — the
     event-sequence pattern behind conversion funnels. Three conditional
-    min-aggregates chained by broadcast joins (per-stage user sets are
-    tiny vs the event log); no window over the full log, no self-join
-    explosion."""
+    min-aggregates chained by hint-free equi-joins: per-stage user sets
+    shrink monotonically but are still one row PER USER (linear in the
+    log), so AQE picks broadcast only when a stage is actually small; no
+    window over the full log, no self-join explosion."""
     e = _t(spark, sf_dir, "events")
     v = (
         e.filter(F.col("event_type") == "view")
@@ -1798,14 +1806,14 @@ def funnel_stages(spark, sf_dir):
     )
     c = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
