@@ -1452,16 +1452,21 @@ def curation_winsorize_lengths(spark, sf_dir):
 def curation_length_deciles(spark, sf_dir):
     """Equal-frequency binning (NTILE deciles over length, doc_id
     tiebreak for determinism) — the feature-prep step behind
-    length-stratified sampling and curriculum ordering. A global NTILE is
-    a single-partition sort of (n_chars, doc_id) PAIRS only — at 100 TB
-    switch to percentile-boundary bucketing (the approxQuantile pattern
-    in sources/layout.py) and this query is the exactness oracle for it."""
-    from pyspark.sql import Window
+    length-stratified sampling and curriculum ordering. NOT the naive
+    global NTILE window (one reducer sorting the corpus): the decile is
+    derived arithmetically from an exact distributed global rank
+    (``operators/rank.global_ntile`` — range-partition on (n_chars,
+    doc_id), rank each partition in parallel, shift by bounded partition
+    offsets), so the result matches the window-function oracle row for
+    row with no single-partition sort anywhere in the plan."""
+    from ..operators.rank import global_ntile
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return d.select(
-        "doc_id", "source", "n_chars", F.ntile(10).over(w).alias("length_decile")
+    return global_ntile(
+        d.select("doc_id", "source", "n_chars"),
+        ["n_chars", "doc_id"],
+        10,
+        out="length_decile",
     )
 
 
@@ -1986,8 +1991,11 @@ def search_bm25_topk(spark, sf_dir):
     explode), so corpus-scale work is one scan + tiny per-term frames:
     df and the doc-length table join broadcast-side onto the ~|Q|·|hits|
     tf rows. idf = ln(1+(N-df+.5)/(df+.5)) (the Robertson-Sparck Jones
-    smooth form)."""
-    from pyspark.sql import Window
+    smooth form). The top-20 is a distributed TakeOrderedAndProject over
+    the scored posting union (per-partition 20-row heaps), NOT a global
+    row_number window — the matched-doc set grows with the corpus, and a
+    single-reducer sort of it would be the query's scale ceiling."""
+    from ..operators.rank import topk_ranked
 
     d = load_table(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
@@ -2014,12 +2022,10 @@ def search_bm25_topk(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(idf * F.col("tf") * F.lit(_BM25_K1 + 1) / denom).alias("s"))
     )
-    return (
-        scored.select("doc_id", F.round("s", 6).alias("bm25"))
-        .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-        ))
-        .filter(F.col("rank") <= 20)
+    return topk_ranked(
+        scored.select("doc_id", F.round("s", 6).alias("bm25")),
+        [F.desc("bm25"), F.asc("doc_id")],
+        20,
     )
 
 
@@ -2096,13 +2102,14 @@ def search_hybrid_rrf(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * F.col("tf") * F.lit(_BM25_K1 + 1) / denom), 6).alias("s"))
     )
-    lex = (
-        scored.withColumn(
-            "lex_rank", F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
-        )
-        .filter(F.col("lex_rank") <= 50)
-        .select("doc_id", "lex_rank")
-    )
+    # Each leg's top-50 is a distributed TakeOrderedAndProject (the scored
+    # candidate sets grow with the corpus); only the ≤100-row fused frame
+    # ever sees a single-partition ranking window.
+    from ..operators.rank import topk_ranked
+
+    lex = topk_ranked(
+        scored, [F.desc("s"), F.asc("doc_id")], 50, rank_col="lex_rank"
+    ).select("doc_id", "lex_rank")
 
     from ..operators.similarity import as_double, cosine
 
@@ -2110,20 +2117,17 @@ def search_hybrid_rrf(spark, sf_dir):
         F.col("embedding").isNotNull()
     ).select("vec_id", as_double(F.col("embedding")).alias("v"))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    vec = (
+    vec = topk_ranked(
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id"))),
-        )
-        .filter(F.col("vec_rank") <= 50)
-        .select("doc_id", "vec_rank")
-    )
+        ),
+        [F.desc("cos"), F.asc("doc_id")],
+        50,
+        rank_col="vec_rank",
+    ).select("doc_id", "vec_rank")
     fused = (
         lex.join(vec, "doc_id", "full_outer")
         .select(

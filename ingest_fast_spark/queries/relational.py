@@ -2480,11 +2480,12 @@ def sessions_max_concurrency(spark, sf_dir):
     same instant, so a session starting exactly when another ends counts
     as overlapping — both engines use the identical tie rule).
 
-    The final sweep is a GLOBAL-order window (single-partition sort) over
-    2×|sessions| boundary points — orders of magnitude smaller than the
-    event table; at 100 TB the same sweep runs per coarse time-bucket
-    (boundaries crossing buckets carried as open-count offsets) before a
-    tiny global combine."""
+    The sweep itself is distributed: boundary points bucket by hour, each
+    bucket computes its running sum in parallel, and a per-bucket delta
+    total (one row per hour of data — bounded by the time span, not by
+    event volume) supplies the open-count offset each bucket inherits
+    from its past. No task ever sorts more than one bucket's boundary
+    points; the only global-order window runs over the hour table."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2504,13 +2505,41 @@ def sessions_max_concurrency(spark, sf_dir):
     sess = numbered.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    pts = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
-        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
-    )
-    wrun = Window.orderBy(F.asc("t"), F.desc("d")).rowsBetween(
+    # explode, not unionAll: a union of two selects over `sess` evaluates
+    # the whole sessionize DAG twice (two full event scans); one exploded
+    # struct array emits both boundary points from a single evaluation.
+    pts = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p")
+    ).select("p.t", "p.d")
+    # The sweep reads pts twice (running-sum leg + bucket-offset leg):
+    # materialize once so the event scan and sessionize window run once.
+    pts = pts.localCheckpoint(eager=True)
+    # Distributed prefix sum: hour buckets are monotone in t, so the global
+    # running sum decomposes into a per-bucket running sum (parallel across
+    # buckets; same-t ties share a bucket, preserving the tie rule) plus the
+    # summed deltas of all earlier buckets. The offset table has one row per
+    # hour of data — bounded by the time span, never by event volume — so
+    # its global-order window and broadcast join stay tiny at any scale.
+    bkt = pts.withColumn("bk", F.date_trunc("hour", F.col("t")))
+    wrun = Window.partitionBy("bk").orderBy(F.asc("t"), F.desc("d")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    run = pts.select("t", F.sum("d").over(wrun).alias("r"))
+    woff = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        bkt.groupBy("bk")
+        .agg(F.sum("d").alias("bd"))
+        .select("bk", F.coalesce(F.sum("bd").over(woff), F.lit(0)).alias("off"))
+    )
+    run = (
+        bkt.withColumn("rin", F.sum("d").over(wrun))
+        .join(F.broadcast(boff), "bk")
+        .select("t", (F.col("rin") + F.col("off")).alias("r"))
+    )
     mx = run.agg(F.max("r").alias("mx"))
     return (
         run.crossJoin(F.broadcast(mx))

@@ -58,6 +58,12 @@ SHUFFLE_BUDGET = {
     # static hash exchanges; AQE demotes them to broadcast when small.
     "split_leakage_report": 6,
     "embedding_outlier_report": 5,  # centroids, distances, label moments
+    # distributed-ranking family (operators/rank.py): the top-k/NTILE is a
+    # TakeOrderedAndProject or bounded-offset join — never a global sort.
+    "search_bm25_topk": 4,  # tf agg, df agg, length join, doc rollup
+    "search_hybrid_rrf": 5,  # bm25 legs + fused join (vec leg broadcasts)
+    "sessions_max_concurrency": 6,  # sessionize window+agg, bucket window+agg
+    "curation_length_deciles": 3,  # range part., pid window, offset join
 }
 
 
