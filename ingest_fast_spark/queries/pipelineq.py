@@ -1349,24 +1349,29 @@ def curation_decision_ledger(spark, sf_dir):
         "n_chars",
     )
     survivor = ~F.col("gate_failed") & ~F.col("is_dup")
-    # Partition by source UNCONDITIONALLY: survivors rank exactly as before
-    # (their partition is (source, false, false) either way), while failures
-    # and duplicates now spread across per-source partitions instead of one
-    # NULL-keyed partition per fate that a single reducer must fully sort.
-    w = Window.partitionBy("source", "gate_failed", "is_dup").orderBy(
+    # The rank is only ever COMPARED to the static quota, so rank the
+    # survivor frame alone with a rank <= quota prefilter — that compiles
+    # to a map-side WindowGroupLimit (each input partition ships at most
+    # `quota` rows per source into the window shuffle) instead of one
+    # reducer fully sorting every survivor of a mega-source — and join the
+    # within-quota ids back on the unique doc_id (a balanced shuffle; the
+    # digest-window exchange feeding both branches is reused, not re-run).
+    wq = Window.partitionBy("source").orderBy(
         F.desc_nulls_last("n_chars"), F.asc("doc_id")
     )
-    ranked = staged.withColumn(
-        "rk", F.when(survivor, F.row_number().over(w))
+    in_quota = (
+        staged.filter(survivor)
+        .select("doc_id", F.row_number().over(wq).alias("rk"))
+        .filter(F.col("rk") <= _LEDGER_QUOTA)
     )
-    return ranked.select(
+    return staged.join(in_quota, "doc_id", "left").select(
         "doc_id",
         "source",
         F.when(F.col("gate_failed"), F.lit("gate"))
         .when(F.col("is_dup"), F.lit("duplicate"))
-        .when(F.col("rk") > _LEDGER_QUOTA, F.lit("quota"))
+        .when(F.col("rk").isNull(), F.lit("quota"))
         .alias("dropped_at"),
-        (survivor & (F.col("rk") <= _LEDGER_QUOTA)).alias("kept"),
+        (survivor & F.col("rk").isNotNull()).alias("kept"),
         "gate_reasons",
     )
 

@@ -46,7 +46,10 @@ SHUFFLE_BUDGET = {
     "text_ngram_novelty": 2,  # shingle df + per-doc rollup (join rides df key)
     "events_anomaly_zscore": 1,  # the per-user window, nothing else
     "langid_confusion": 2,  # cell counts + row-normalizing window
-    "curation_decision_ledger": 2,  # digest window + per-source quota window
+    # digest window + group-limited quota window + doc_id join-back (the
+    # extra exchange buys a map-side WindowGroupLimit instead of one
+    # reducer fully sorting a mega-source's survivors)
+    "curation_decision_ledger": 3,
     "table_skew_report": 2,  # per-key counts + per-column rollup
     "search_ndcg_eval": 3,  # candidate rank window + metric agg + totals
     "doc_bigram_logppl": 4,  # bigram counts, prefix counts, join, doc rollup
