@@ -8,12 +8,16 @@ a stable key, take the running token total, and cut a new sequence every
 sequence where it starts (downstream writers split or pad — the
 assignment stays a pure function of the data).
 
-This is a window computation, so its scale behavior is the window's:
-partitioned by a grouping column (source/shard) it distributes — one
-shuffle, then per-group running sums. A single GLOBAL pack would funnel
-the corpus through one partition; at scale always pack within shards
-(training shuffles shard order anyway, so per-shard packing loses
-nothing).
+The naive form is a per-group running-sum window — which funnels each
+group (or, unpartitioned, the whole corpus) through ONE reducer task: a
+grouping column like `source` has ~dozens of values, so "partitioned"
+still means corpus/20 rows sorted by a single task at 100 TB. Instead the
+prefix sum is computed distributed and EXACT, the same decomposition as
+``operators/rank.global_row_number``: range-partition on (group, order)
+so each group spans a contiguous run of partitions, take running sums
+within each (partition, group) slice in parallel, and shift each slice by
+the summed totals of the earlier partitions' slices of the same group —
+an offset table bounded by partitions + groups, never by rows.
 """
 
 from __future__ import annotations
@@ -31,13 +35,40 @@ def pack_sequences(
 ) -> DataFrame:
     """Add (seq_id, seq_offset): which fixed-``target``-token sequence the
     doc starts in (numbered per ``part_col`` group) and its token offset
-    inside it. Deterministic for any input partitioning."""
-    w = (
-        (Window.partitionBy(part_col) if part_col else Window.partitionBy())
+    inside it. Deterministic for any input partitioning; equals the
+    per-group running-sum window row for row (pinned in
+    tests/test_pack_decontam.py) without any group-sized sort task."""
+    keys = [part_col] if part_col else []
+    ranged = df.repartitionByRange(*keys, order_col).withColumn(
+        "_pk_pid", F.spark_partition_id()
+    )
+    wrun = (
+        Window.partitionBy("_pk_pid", *keys)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum(len_col).over(w) - F.col(len_col)
-    return df.withColumn("seq_id", F.floor(start / F.lit(target))).withColumn(
-        "seq_offset", start - F.col("seq_id") * target
+    local = ranged.withColumn("_pk_run", F.sum(len_col).over(wrun))
+    # One materialization: the offset aggregate and the final join must
+    # see the SAME sampled range boundaries (see rank.global_row_number).
+    local = local.localCheckpoint(eager=True)
+    # Totals: one row per (partition, group) slice; contiguous ranges make
+    # that at most #partitions + #groups rows. The running sum over them
+    # is per group across partition ids — a bounded window.
+    totals = local.groupBy("_pk_pid", *keys).agg(F.max("_pk_run").alias("_pk_n"))
+    woff = (
+        (Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .orderBy("_pk_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "_pk_pid",
+        *keys,
+        F.coalesce(F.sum("_pk_n").over(woff), F.lit(0)).alias("_pk_off"),
+    )
+    start = F.col("_pk_run") - F.col(len_col) + F.col("_pk_off")
+    return (
+        local.join(F.broadcast(offs), ["_pk_pid", *keys])
+        .withColumn("seq_id", F.floor(start / F.lit(target)))
+        .withColumn("seq_offset", start - F.col("seq_id") * target)
+        .drop("_pk_pid", "_pk_run", "_pk_off")
     )

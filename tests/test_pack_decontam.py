@@ -40,6 +40,29 @@ def test_pack_partitioned_and_invariant(spark):
     assert all(r["m"] == 0 for r in firsts)
 
 
+def test_pack_matches_naive_window(spark):
+    """The distributed prefix-sum assignment equals the single-reducer
+    running-sum window row for row — grouped and global."""
+    from pyspark.sql import Window
+
+    rows = [(i, "s%d" % (i % 4), (i * 13) % 29 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    for part_col in ("source", None):
+        got = pack_sequences(df, "n_tokens", "doc_id", target=32, part_col=part_col)
+        w = (
+            (Window.partitionBy(part_col) if part_col else Window.partitionBy())
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        want = df.withColumn("seq_id", F.floor(start / F.lit(32))).withColumn(
+            "seq_offset", start - F.col("seq_id") * 32
+        )
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 def test_contamination_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "the quick brown fox jumps over the lazy dog")],

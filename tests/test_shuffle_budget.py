@@ -31,7 +31,9 @@ SHUFFLE_BUDGET = {
     "text_token_stats": 0,
     "text_quality_score": 0,
     "quality_model_score": 0,
-    "pack_training_sequences": 1,  # the single window pass
+    # (pid, source) slice window + offset join-back — the distributed
+    # prefix sum that replaced the one-reducer-per-source running window
+    "pack_training_sequences": 2,
     "shard_training_data": 1,
     "curation_domain_cap": 2,  # group limit + totals agg
     # dedup family: shingle agg + pair join + sizes
