@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
+    "split_cluster_safe",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_exact_substring",

@@ -130,7 +130,8 @@ _SHOWCASE_ORDER = [
 # join_cross, join_full_outer, join_null_safe, json_extract,
 # json_struct_agg, map_ops, pivot_event_counts, scalar_subquery,
 # scalar_try_funcs, set_ops, sort_limit_topn, unpivot_metrics,
-# variant_props_stats.
+# variant_props_stats — plus split_cluster_safe (added mid-r4, never
+# driver-sampled).
 
 
 def _reorder() -> None:

@@ -638,6 +638,52 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+_SPLIT_CLUSTER_ORACLE = (
+    _CLUSTER_PREFIX
+    + r""",
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
+SELECT id AS doc_id, cluster_id,
+       CASE WHEN cluster_id % 10 < 8 THEN 'train'
+            WHEN cluster_id % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+)
+
+
+@register("split_cluster_safe", oracle=_SPLIT_CLUSTER_ORACLE)
+def split_cluster_safe(spark, sf_dir):
+    """Leakage-safe train/val/test assignment — the constructive
+    counterpart to ``split_leakage_report``'s audit: a random per-doc
+    split leaks whenever two near-duplicates straddle the boundary (the
+    eval set then contains paraphrases of training docs), so the split
+    key is the near-dup CLUSTER, not the document. Every member of a
+    connected component inherits its cluster's split, making cross-split
+    near-dup pairs zero by construction (pinned in tests/test_sample.py).
+
+    The oracle uses the SQL-portable modulo bucket on the canonical id
+    (the ``sample_stratified`` convention); production splits on the
+    seedable content hash (``operators/sample.hash_bucket(cluster_id,
+    seed)``) — min-doc-id canonicals are not uniformly distributed, a
+    content hash is. Scale shape: rides the same CC the dedup pass
+    already pays (``operators/graph.py`` large-star/small-star); the
+    split itself is one map-side expression."""
+    from ..operators.graph import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    clusters = near_dup_clusters(docs, pairs)
+    bucket = F.pmod(F.col("cluster_id"), F.lit(10))
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 @register(
     "embedding_quantize_int8",
     oracle="""

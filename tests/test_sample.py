@@ -73,3 +73,27 @@ def test_temperature_mix_rebalances_skewed_domains(spark):
     # Deterministic: same input -> same quota split.
     again = temperature_mix(docs, target_rows=100).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_split_cluster_safe_no_cross_split_pairs(spark, sf_dir):
+    """The leakage guarantee itself: no near-dup pair straddles a split
+    boundary, and the three splits partition the corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.operators import dedup as D
+    from ingest_fast_spark.queries import QUERIES
+
+    out = QUERIES["split_cluster_safe"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert out.count() == docs.count()  # exhaustive, one row per doc
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    sa = out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    straddlers = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0
