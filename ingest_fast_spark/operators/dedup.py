@@ -1349,42 +1349,80 @@ def containment_pairs(
     ref_id's (overlap / |shingles(doc)|). This is the quote/boilerplate/
     subset case symmetric Jaccard systematically misses: a 100-word doc
     fully embedded in a 10,000-word doc has containment 1.0 but Jaccard
-    ≈ 0.01. Same shingle-blocked join shape (and skew guard) as
-    ``ngram_jaccard_pairs``; the Jaccard value rides along so the output
-    separates true subsets from symmetric copies."""
+    ≈ 0.01.
+
+    Candidates come from an ASYMMETRIC prefix filter (the containment
+    analogue of ``jaccard_prefix_filter_pairs``): if |A∩B| ≥ ⌈t·|A|⌉
+    then A's ``|A| − ⌈t·|A|⌉ + 1`` globally-rarest shingles must hit B
+    (pigeonhole — A has fewer non-common elements than the prefix is
+    long), so the candidate join is A's ~(1−t) prefix against the full
+    reference stream instead of full×full: the frequent-shingle fan-out
+    only ever pays on the short prefix side. Candidates verify exactly
+    from the df-sorted arrays, so the output equals the plain blocked
+    join (the oracle checks against brute force)."""
     sh = shingles_df(df, text_col, id_col, k)
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    sh = sh.localCheckpoint(eager=True)  # feeds sizes + both join sides
+    sh = sh.localCheckpoint(eager=True)  # feeds df + the per-doc arrays
+    # Hint-free joins throughout: the distinct-shingle df table is
+    # ~linear in the corpus; AQE broadcasts it while it is small.
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     if max_doc_freq is not None:
-        # Hint-free for the same reason as ngram_jaccard_pairs: the
-        # distinct-shingle table is ~linear in the corpus.
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh
-    b = sh.select(F.col("doc_id").alias("ref_id"), "shingle")
-    ov = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id") != F.col("ref_id"))
-        .groupBy("doc_id", "ref_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    cont = F.round(F.col("n_common") / F.col("n_doc"), 6)
-    jac = F.round(
-        F.col("n_common") / (F.col("n_doc") + F.col("n_ref") - F.col("n_common")), 6
-    )
-    return (
-        ov.join(sizes.select("doc_id", F.col("n").alias("n_doc")), "doc_id")
-        .join(
-            sizes.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("n_ref")),
-            "ref_id",
+        freq = freq.filter(F.col("df_") <= max_doc_freq)
+        sh = sh.join(freq, "shingle").drop("df_")
+    byd = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_", "shingle"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.transform("ranked", lambda x: x["shingle"]).alias("hs"),
+            F.size("ranked").alias("sz"),
         )
+        .withColumn(
+            "prefix",
+            F.slice(
+                "hs",
+                1,
+                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds candidates + both verify sides
+    )
+    pre = byd.select("doc_id", F.col("sz").alias("n_doc"), F.explode("prefix").alias("shingle"))
+    full = byd.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("sz").alias("n_ref"),
+        F.explode("hs").alias("shingle"),
+    )
+    cands = (
+        pre.join(full, "shingle")
+        .filter(
+            (F.col("doc_id") != F.col("ref_id"))
+            # |A∩B| ≤ |B|, so t·|A| ≤ |B| is necessary — prunes the
+            # big-doc-contained-in-small-doc direction before the dedup.
+            & (F.col("n_ref") >= F.lit(threshold) * F.col("n_doc"))
+        )
+        .select("doc_id", "ref_id")
+        .dropDuplicates(["doc_id", "ref_id"])
+    )
+    sa = byd.select("doc_id", F.col("hs").alias("hs_a"), F.col("sz").alias("n_doc"))
+    sb = byd.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("hs").alias("hs_b"),
+        F.col("sz").alias("n_ref"),
+    )
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cands.join(sa, "doc_id")
+        .join(sb, "ref_id")
         .select(
             "doc_id",
             "ref_id",
-            cont.alias("containment"),
-            jac.alias("jaccard"),
-            "n_common",
+            F.round(n_common / F.col("n_doc"), 6).alias("containment"),
+            F.round(
+                n_common / (F.col("n_doc") + F.col("n_ref") - n_common), 6
+            ).alias("jaccard"),
+            n_common.alias("n_common"),
         )
         .filter(F.col("containment") >= threshold)
     )
