@@ -140,6 +140,10 @@ SCALE_QUERIES = [
     "bpe_train_merges",
     "bpe_encode_lengths",
     "dedup_bloom_prefilter",
+    # round-4 additions: the asymmetric-prefix containment join and the
+    # cluster-safe split (rides CC — growth should track cluster_canonical)
+    "dedup_containment",
+    "split_cluster_safe",
 ]
 
 
