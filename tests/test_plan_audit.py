@@ -124,12 +124,18 @@ def test_q17_avg_subquery_broadcasts(spark, sf_dir):
 
 
 def test_pack_is_single_window_pass(spark, sf_dir):
-    # Sequential-fill packing = exactly one Window over one shuffle
-    # (partitionBy source); a second Exchange would mean the running sum
-    # recomputes the partitioning.
+    # Distributed sequential-fill (operators/pack.py): the corpus-side
+    # running sum happens inside the (partition, source) slices BEFORE the
+    # checkpoint, so the visible plan's exchanges all sit on the bounded
+    # offsets leg (one row per slice: partial/final agg + the per-source
+    # offset window) and the corpus re-enters only as a checkpoint scan
+    # feeding a broadcast join — no corpus-sized exchange, no per-source
+    # straggler sort.
     plan = plan_of(spark, sf_dir, "pack_training_sequences")
     assert plan.count("Window") >= 1, plan
-    assert plan.count("Exchange") <= 2, plan  # hashpartition + AQE read
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # offsets leg only
+    assert "BroadcastHashJoin" in plan, plan  # bounded offsets broadcast back
+    assert "Scan ExistingRDD" in plan, plan  # corpus from the pinned checkpoint
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
