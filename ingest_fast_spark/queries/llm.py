@@ -2805,6 +2805,12 @@ def dedup_health_by_source(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     dig = d.select("source", "doc_id", F.md5("text").alias("digest"))
     digc = dig.groupBy("digest").agg(F.count(F.lit(1)).alias("n_copies"))
+    # Plain blocked join, NOT jaccard_prefix_filter_pairs: measured at
+    # sf5 the prefix variant LOSES here (16.0 -> 30.5 s) — at t=0.3 the
+    # prefix is 70% of each set, so the candidate join sheds little while
+    # the df-sorted arrays and per-pair array_intersect verification cost
+    # more than the plain join's free overlap count. Prefix filtering
+    # pays from roughly t >= 0.5 (see BENCHNOTES round-4).
     pairs = D.ngram_jaccard_pairs(d, k=3, threshold=0.3)
     near = (
         pairs.select(F.col("doc_a").alias("doc_id"))
