@@ -66,9 +66,17 @@ def pack_sequences(
         F.coalesce(F.sum("_pk_n").over(woff), F.lit(0)).alias("_pk_off"),
     )
     start = F.col("_pk_run") - F.col(len_col) + F.col("_pk_off")
+    # Null-safe on the group key: a NULL part_col value is a legitimate
+    # group (the window form packs it); a plain equi-join would silently
+    # drop its rows.
+    offs = offs.withColumnRenamed("_pk_pid", "_po_pid")
+    cond = local["_pk_pid"] == offs["_po_pid"]
+    for k in keys:
+        offs = offs.withColumnRenamed(k, f"_po_{k}")
+        cond = cond & local[k].eqNullSafe(offs[f"_po_{k}"])
     return (
-        local.join(F.broadcast(offs), ["_pk_pid", *keys])
+        local.join(F.broadcast(offs), cond)
         .withColumn("seq_id", F.floor(start / F.lit(target)))
         .withColumn("seq_offset", start - F.col("seq_id") * target)
-        .drop("_pk_pid", "_pk_run", "_pk_off")
+        .drop("_pk_pid", "_pk_run", "_pk_off", "_po_pid", *[f"_po_{k}" for k in keys])
     )

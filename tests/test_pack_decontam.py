@@ -63,6 +63,20 @@ def test_pack_matches_naive_window(spark):
         )
 
 
+def test_pack_null_group_not_dropped(spark):
+    """A NULL part_col value is a legitimate group: the offset join-back
+    must be null-safe or those rows silently vanish."""
+    rows = [(1, None, 6), (2, None, 6), (3, "s1", 4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(
+            df, "n_tokens", "doc_id", target=10, part_col="source"
+        ).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 6), 3: (0, 0)}
+
+
 def test_contamination_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "the quick brown fox jumps over the lazy dog")],
