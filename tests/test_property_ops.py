@@ -210,6 +210,42 @@ def test_prefix_filter_jaccard_is_exact(spark, texts, threshold):
     assert got == _py_jaccard_pairs(texts, 3, threshold)
 
 
+def _py_containment_pairs(texts, k, threshold):
+    sh = {i: _py_shingles(t, k) for i, t in enumerate(texts)}
+    out = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b or not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            c = round(inter / len(sh[a]), 6)
+            if c >= threshold:
+                out[(a, b)] = c
+    return out
+
+
+@given(_docs, st.sampled_from([0.5, 0.8, 0.9, 1.0]))
+@_settings
+def test_containment_prefix_filter_is_exact(spark, texts, threshold):
+    """The asymmetric prefix filter (contained side's rarest shingles vs
+    the full reference stream + the t·|A| ≤ |B| size prune) must lose NO
+    recall: ordered-pair output equals brute-force containment for any
+    corpus and threshold, including exact-duplicate docs (containment 1.0
+    both directions) and sub-k/empty docs."""
+    from ingest_fast_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["ref_id"]): r["containment"]
+        for r in containment_pairs(df, k=3, threshold=threshold).collect()
+    }
+    assert got == _py_containment_pairs(texts, 3, threshold)
+
+
 # --- int8 quantization: bounded reconstruction error ------------------------
 
 _vecs = st.lists(
