@@ -187,23 +187,32 @@ def jaccard_prefix_filter_pairs(
         sh.join(dfreq, "h")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df_", "h"))).alias("ranked"))
-        .select(
-            "doc_id",
-            F.transform("ranked", lambda x: x["h"]).alias("hs"),
-            F.size("ranked").alias("sz"),
-        )
+        .withColumn("sz", F.size("ranked"))
         .withColumn(
-            "prefix",
+            "pre_ranked",
             F.slice(
-                "hs",
-                1,
+                "ranked",
+                F.lit(1),
                 (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
             ),
         )
-        # suffix size + last prefix element feed the PPJoin-style
-        # overlap-bound prune below.
+        .select(
+            "doc_id",
+            F.transform("ranked", lambda x: x["h"]).alias("hs"),
+            "sz",
+            F.transform("pre_ranked", lambda x: x["h"]).alias("prefix"),
+            # suffix size + last prefix POSITION feed the PPJoin-style
+            # overlap-bound prune below. The boundary is carried as the
+            # FULL (df_, h) struct: the prune compares positions in the
+            # global (df, hash) total order, and the raw hash alone
+            # inverts that order whenever the two boundary shingles have
+            # different document frequencies — which silently dropped
+            # true pairs (the prune would pick the wrong, smaller suffix
+            # bound). Struct comparison is lexicographic (df_, then h),
+            # i.e. exactly the array_sort order above.
+            F.element_at("pre_ranked", -1).alias("bnd"),
+        )
         .withColumn("suf", F.col("sz") - F.size("prefix"))
-        .withColumn("bnd", F.element_at("prefix", -1))
         .localCheckpoint(eager=True)  # feeds candidate explode + both verify sides
     )
     pre = byd.select("doc_id", "sz", "suf", "bnd", F.explode("prefix").alias("h"))

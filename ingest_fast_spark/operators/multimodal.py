@@ -105,11 +105,19 @@ def parse_image_header(payload: bytes) -> dict | None:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return {"width": w, "height": h, "mode": "P", "format": "GIF"}
-    # BMP: BITMAPINFOHEADER dims at offset 18 (height may be negative =
-    # top-down rows)
-    if b[:2] == b"BM" and len(b) >= 26:
-        w, h = struct.unpack("<ii", b[18:26])
-        return {"width": w, "height": abs(h), "mode": "RGB", "format": "BMP"}
+    # BMP: the 4-byte DIB header size at offset 14 selects the layout —
+    # legacy BITMAPCOREHEADER (size 12) stores unsigned 16-bit dims at
+    # offset 18; BITMAPINFOHEADER and successors (size >= 40) store
+    # signed 32-bit dims there (height may be negative = top-down rows).
+    if b[:2] == b"BM" and len(b) >= 22:
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib == 12:
+            w, h = struct.unpack("<HH", b[18:22])
+            return {"width": w, "height": h, "mode": "RGB", "format": "BMP"}
+        if dib >= 40 and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return {"width": w, "height": abs(h), "mode": "RGB", "format": "BMP"}
+        return None
     # JPEG: walk marker segments to the first SOFn frame header
     if b[:2] == b"\xff\xd8":
         i = 2

@@ -111,6 +111,25 @@ def test_parse_image_header_formats():
     assert M.parse_image_header(b"\x89PNG") is None  # truncated: rejected
 
 
+def test_parse_image_header_bmp_variants():
+    """BMP dims come from the DIB-header-size-selected layout: legacy
+    BITMAPCOREHEADER (size 12) has unsigned 16-bit dims at offset 18,
+    BITMAPINFOHEADER (size 40) signed 32-bit — unpacking '<ii' on a core
+    header returns garbage, so the size byte must be consulted first."""
+    import struct
+
+    def bmp(dib_size, dims):
+        file_hdr = b"BM" + struct.pack("<IHHI", 64, 0, 0, 26)
+        return file_hdr + struct.pack("<I", dib_size) + dims + b"\x00" * 24
+
+    info = M.parse_image_header(bmp(40, struct.pack("<ii", 800, -600)))
+    assert (info["width"], info["height"], info["format"]) == (800, 600, "BMP")
+    core = M.parse_image_header(bmp(12, struct.pack("<HH", 320, 200)))
+    assert (core["width"], core["height"], core["format"]) == (320, 200, "BMP")
+    # Unknown DIB size: refuse rather than guess a layout.
+    assert M.parse_image_header(bmp(16, struct.pack("<HH", 1, 1))) is None
+
+
 def test_decode_images_rejects_garbage_honestly(spark):
     """An unrecognizable payload is an ERROR (raised), never silently-NULL
     metadata — regardless of whether PIL is installed."""

@@ -210,6 +210,67 @@ def test_prefix_filter_jaccard_is_exact(spark, texts, threshold):
     assert got == _py_jaccard_pairs(texts, 3, threshold)
 
 
+# Overlapping windows of one shared token sequence: docs = base[i:j].
+# This creates strong document-frequency variation (middle tokens appear
+# in many windows, edge tokens in few) plus long shared runs — exactly
+# the df-skew + prefix-boundary regime where an unsound overlap-bound
+# prune loses true pairs. The uniform-_words corpora above rarely reach
+# that regime (round-5 advisor finding).
+_window_docs = st.builds(
+    lambda starts_lens: [
+        " ".join(f"w{i}" for i in range(s, s + ln)) for s, ln in starts_lens
+    ],
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(3, 14)),
+        min_size=2,
+        max_size=10,
+    ),
+)
+
+
+@given(_window_docs, st.sampled_from([0.3, 0.5, 0.7, 0.9]))
+@_settings
+def test_prefix_filter_jaccard_exact_on_window_corpora(spark, texts, threshold):
+    """Prefix filter exactness under df skew: sliding-window corpora where
+    boundary shingles of different documents have very different global
+    frequencies. Regression guard for the round-4 overlap-bound prune bug
+    (boundary compared by raw hash instead of (df, hash) order, silently
+    dropping pairs with J >= threshold)."""
+    from ingest_fast_spark.operators.dedup import jaccard_prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_filter_pairs(df, k=3, threshold=threshold).collect()
+    }
+    assert got == _py_jaccard_pairs(texts, 3, threshold)
+
+
+def test_prefix_filter_prune_boundary_regression(spark):
+    """Pinned reproduction of the round-4 prune bug (advisor finding):
+    at t=0.5 this 4-doc corpus must include pair (2,3) with J=0.5 — the
+    hash-ordered boundary picked the wrong suffix bound and pruned it."""
+    from ingest_fast_spark.operators.dedup import jaccard_prefix_filter_pairs
+
+    texts = [
+        "tok1 tok2 tok3 tok4",
+        "tok5 tok6 tok7 tok8 tok9 tok10 tok11 tok12 tok13",
+        "tok2 tok3 tok4 tok5 tok6 tok7 tok8",
+        "tok4 tok5 tok6 tok7 tok8 tok9",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_filter_pairs(df, k=3, threshold=0.5).collect()
+    }
+    assert got == _py_jaccard_pairs(texts, 3, 0.5)
+    assert (2, 3) in got and got[(2, 3)] == 0.5
+
+
 def _py_containment_pairs(texts, k, threshold):
     sh = {i: _py_shingles(t, k) for i, t in enumerate(texts)}
     out = {}
