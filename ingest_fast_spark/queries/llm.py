@@ -68,7 +68,19 @@ WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= {thr}
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE.format(thr="0.05"))
 def dedup_ngram_jaccard(spark, sf_dir):
-    """3-token-shingle Jaccard near-dup pairs (shingle-blocked self-join)."""
+    """3-token-shingle Jaccard near-dup pairs (shingle-blocked self-join).
+
+    DELIBERATE UN-PRUNED BASELINE: at t=0.05 the AllPairs/PPJoin prefix is
+    |S| - ceil(0.05|S|) + 1 ≈ 96% of each shingle set, so prefix filtering
+    cannot prune anything — the blocked self-join IS the best exact plan
+    at recall-oriented thresholds, and its growth is governed by shared-
+    shingle pair counts (mildly super-linear on dense corpora; measured
+    7.5× on 5× data in BENCH_x50_r04). The scale defaults for production
+    thresholds are ``dedup_jaccard_prefix_filter`` (t ≥ 0.5, prefix +
+    overlap-bound pruned, ~linear post-fix) and ``dedup_minhash_lsh_fast``
+    (approximate, any t). Keeping this exact low-threshold baseline
+    registered is what lets the recall of those scale paths be measured
+    (``minhash_scurve_report``)."""
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.05
     )
@@ -2897,7 +2909,7 @@ def embed_hard_negatives(spark, sf_dir):
       ) WHERE rn = 1
     )
     SELECT vec_id,
-           list(CAST(centroid_id AS INT) ORDER BY sub) AS codes,
+           string_agg(CAST(centroid_id AS VARCHAR), '|' ORDER BY sub) AS codes,
            ROUND(SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) / 64000000.0, 6) AS recon_mse
     FROM best
     GROUP BY vec_id
@@ -2911,9 +2923,15 @@ def embedding_pq_codes(spark, sf_dir):
     int8``) and IVF bucketing. Deterministic lowest-id codebook makes
     the full encode oracle-exact; production swaps in per-subspace
     ``kmeans_centroids``. Codebook broadcasts; assignment is map-only up
-    to the (vec_id, sub)-keyed argmin window."""
-    return S.pq_encode(
-        load_table(spark, sf_dir, "embeddings"), m=4, k=8
+    to the (vec_id, sub)-keyed argmin window. Registered output joins the
+    code array to a '|' string (scalar-only driver contract); downstream
+    consumers (ADC) use ``pq_encode``'s array form directly."""
+    return S.pq_encode(load_table(spark, sf_dir, "embeddings"), m=4, k=8).select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), "|"
+        ).alias("codes"),
+        "recon_mse",
     )
 
 

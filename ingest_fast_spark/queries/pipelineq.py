@@ -460,7 +460,7 @@ def quarantine_reasons_sql() -> str:
     )
     SELECT doc_id,
            len(reasons) = 0 AS passed,
-           reasons
+           COALESCE(array_to_string(reasons, '|'), '') AS reasons
     FROM (
       SELECT doc_id, list_sort(list_filter([
                CASE WHEN no_text THEN 'no_text' END,
@@ -476,20 +476,22 @@ def quarantine_reasons_sql() -> str:
 
 def quality_quarantine(spark, sf_dir):
     """Quarantine gate — the production shape of quality filtering: every
-    document gets a pass/fail verdict PLUS the sorted list of machine-
-    readable reason codes that failed (so the quarantine table is
+    document gets a pass/fail verdict PLUS the sorted '|'-joined list of
+    machine-readable reason codes that failed (so the quarantine table is
     auditable and rules can be re-litigated without re-running the gate).
     Rules reuse the engine's quality signals: empty text, sub-100
     chars, punctuation ratio, stopword floor across the four language
     profiles, and average token length (gibberish/URL farms). Map-only —
     a single scan, no shuffle; at 100 TB this is the cheapest stage of
-    the pipeline and the reason array costs nothing extra."""
+    the pipeline and the reason string costs nothing extra. (Scalar
+    columns only: the driver's canonicalizer cannot hash array cells, so
+    registered outputs flatten lists to deterministic strings.)"""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     reasons = quarantine_reasons(F.col("text"), F.col("n_chars"))
     return d.select(
         "doc_id",
         (F.size(reasons) == 0).alias("passed"),
-        reasons.alias("reasons"),
+        F.array_join(F.array_sort(reasons), "|").alias("reasons"),
     )
 
 
@@ -546,9 +548,12 @@ def curation_dsir_weights(spark, sf_dir):
 
     Scale shape: token hashing happens ONCE per distinct vocabulary word
     (the md5 cost is vocab-sized, not corpus-sized — the BPE-encode
-    pattern); the bucket tables are 1024 rows and broadcast;
-    the word→log-ratio map is vocabulary-sized and broadcasts onto the
-    raw-side token stream, making the scoring pass map-only."""
+    pattern); the bucket tables are 1024 rows and broadcast. The
+    word→log-ratio map is vocabulary-sized — SUBLINEAR in the corpus but
+    unbounded (billions of distinct tokens at 100 TB of web text), so it
+    carries NO broadcast hint: AQE broadcasts it while it fits and falls
+    back to a shuffle join when the vocabulary outgrows the threshold
+    (the repo-wide rule: hints only on provably bounded sides)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
@@ -576,7 +581,7 @@ def curation_dsir_weights(spark, sf_dir):
     wmap = vocab.select("w", "b").join(F.broadcast(ratio), "b").select("w", "lr")
     return (
         toks.filter(~F.col("is_target"))
-        .join(F.broadcast(wmap), "w")
+        .join(wmap, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_toks"),
@@ -667,7 +672,9 @@ def embedding_whiten_zca(spark, sf_dir):
     is symmetric and UNIQUE, so the output is deterministic — no
     eigenvector sign/order ambiguity (the reason this registers rows-only:
     eigendecomposition itself is not SQL-expressible; the covariance≈I
-    invariant is asserted in tests/test_pipelineq.py).
+    invariant is asserted in tests/test_pipelineq.py). Output is the
+    EXPLODED (vec_id, dim, value) long form — scalar columns only, per
+    the driver-canonicalizer contract (array cells are unhashable there).
 
     Scale shape: one pass computes per-partition moment blocks (count,
     Σx, XᵀX — d×d doubles each, d=64 ⇒ 32 KB/partition) via mapInPandas;
@@ -704,7 +711,7 @@ def embedding_whiten_zca(spark, sf_dir):
         .mapInPandas(moments, "n long, s array<double>, xtx array<double>")
         .collect()
     )
-    out_schema = "vec_id long, whitened array<double>"
+    out_schema = "vec_id long, dim int, value double"
     if not rows:
         return spark_.createDataFrame([], out_schema)
     n = sum(r["n"] for r in rows)
@@ -727,8 +734,13 @@ def embedding_whiten_zca(spark, sf_dir):
                 continue
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
             out = np.round((x - mu_b) @ w_b, 6)
+            n_rows, d = out.shape
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "whitened": list(map(list, out))}
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), d),
+                    "dim": np.tile(np.arange(d, dtype=np.int32), n_rows),
+                    "value": out.ravel(),
+                }
             )
 
     return e.select("vec_id", "embedding").mapInPandas(transform, out_schema)
@@ -916,26 +928,43 @@ _SKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 _SKETCH_ACCURACY = 10000
 
 
-@register("sketch_quantile_report")
+@register(
+    "sketch_quantile_report",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_totalprice AS x FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    e AS (
+      SELECT quantile_cont(x, {list(_SKETCH_QS)}) AS ex FROM v
+    )
+    SELECT {list(_SKETCH_QS)}[i] AS quantile,
+           ROUND(ex[i], 6) AS exact_value,
+           TRUE AS approx_within_bound
+    FROM e, generate_series(1, {len(_SKETCH_QS)}) t(i)
+    """,
+)
 def sketch_quantile_report(spark, sf_dir):
     """Approximate-quantile accuracy report: ``percentile_approx`` (the
     mergeable KLL/GK-family sketch every 100 TB job would actually use —
-    exact percentiles require a full sort per group) vs the exact
-    percentile, with the absolute error per quantile. Rows-only by
-    design: the sketch's values are engine-specific (DuckDB has no twin);
-    the error-bound invariant is asserted in tests/test_pipelineq.py.
-    One single-pass aggregate over orders — both estimators are
-    partial-aggregable, so the scan never shuffles row data, only
-    per-partition sketches."""
-    o = load_table(spark, sf_dir, "orders")
+    exact percentiles require a full sort per group) checked against the
+    exact percentile. The sketch's raw VALUES are engine-specific (DuckDB
+    has no twin) and partitioning-dependent, so the registered row
+    carries the deterministic pieces only: the exact percentile plus a
+    boolean attesting the sketch met its published rank-error guarantee
+    (≤ 1/accuracy, +1-row slack for rank-range/rounding edges) — TRUE by
+    the algorithm's contract on any input, hence oracle-exact.
+
+    Scale shape: both estimators are partial-aggregable (one pass, no row
+    shuffle — only per-partition sketches merge); the rank check joins
+    the 5-row quantile frame back to the scan as a broadcast, a second
+    map-only pass."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     qs = list(_SKETCH_QS)
+    eps = 1.0 / _SKETCH_ACCURACY
     agg = o.agg(
-        F.percentile_approx(
-            "o_totalprice", qs, _SKETCH_ACCURACY
-        ).alias("approx"),
-        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias(
-            "exact"
-        ),
+        F.percentile_approx("o_totalprice", qs, _SKETCH_ACCURACY).alias("approx"),
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("exact"),
+        F.count("o_totalprice").alias("n"),
     )
     z = agg.select(
         F.explode(
@@ -944,13 +973,32 @@ def sketch_quantile_report(spark, sf_dir):
                 F.col("approx"),
                 F.col("exact"),
             )
-        ).alias("r")
-    )
-    return z.select(
+        ).alias("r"),
+        "n",
+    ).select(
         F.col("r.quantile").alias("quantile"),
-        F.round(F.col("r.approx"), 6).alias("approx_value"),
-        F.round(F.col("r.exact"), 6).alias("exact_value"),
-        F.round(F.abs(F.col("r.approx") - F.col("r.exact")), 6).alias("abs_err"),
+        F.col("r.approx").alias("approx"),
+        F.col("r.exact").alias("exact"),
+        "n",
+    )
+    # Rank positions of the sketch's value: rows strictly below and
+    # rows ≤ — the value's true rank is anywhere in (lt, le], and the
+    # guarantee is that SOME rank in that range is within eps*n of q*n.
+    ranks = (
+        o.crossJoin(F.broadcast(z))
+        .groupBy("quantile", "approx", "exact", "n")
+        .agg(
+            F.sum((F.col("o_totalprice") <= F.col("approx")).cast("long")).alias("le"),
+            F.sum((F.col("o_totalprice") < F.col("approx")).cast("long")).alias("lt"),
+        )
+    )
+    within = (
+        F.col("le") >= F.col("quantile") * F.col("n") - F.lit(eps) * F.col("n") - 1
+    ) & (F.col("lt") <= F.col("quantile") * F.col("n") + F.lit(eps) * F.col("n") + 1)
+    return ranks.select(
+        "quantile",
+        F.round("exact", 6).alias("exact_value"),
+        within.alias("approx_within_bound"),
     )
 
 
@@ -1296,7 +1344,7 @@ def _ledger_oracle() -> str:
                 WHEN rk > {_LEDGER_QUOTA} THEN 'quota'
            END AS dropped_at,
            (NOT gate_failed AND NOT is_dup AND rk <= {_LEDGER_QUOTA}) AS kept,
-           gate_reasons
+           COALESCE(array_to_string(list_sort(gate_reasons), '|'), '') AS gate_reasons
     FROM ranked
     """
 
@@ -1372,7 +1420,9 @@ def curation_decision_ledger(spark, sf_dir):
         .when(F.col("rk").isNull(), F.lit("quota"))
         .alias("dropped_at"),
         (survivor & F.col("rk").isNotNull()).alias("kept"),
-        "gate_reasons",
+        # Scalar-only output contract: '|'-joined sorted reason codes, not
+        # an array (the driver's canonicalizer cannot hash array cells).
+        F.array_join(F.array_sort("gate_reasons"), "|").alias("gate_reasons"),
     )
 
 

@@ -939,29 +939,35 @@ def correlated_subquery(spark, sf_dir):
       FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           qtys,
+           array_to_string(list_transform(qtys,
+             x -> CAST(CAST(ROUND(x * 100) AS BIGINT) AS VARCHAR)), '|') AS qtys,
            ROUND(list_aggregate(qtys, 'sum'), 2)                  AS qty_sum,
            CAST(len(list_filter(qtys, x -> x > 30)) AS INT)       AS n_large,
-           list_transform(qtys, x -> ROUND(x * 2, 2))             AS doubled,
+           array_to_string(list_transform(qtys,
+             x -> CAST(CAST(ROUND(x * 200) AS BIGINT) AS VARCHAR)), '|') AS doubled,
            ROUND(list_aggregate(qtys, 'max'), 2)                  AS qty_max
     FROM per_order
     """,
 )
 def complex_types(spark, sf_dir):
     """Complex-type surface: array aggregation + higher-order functions
-    (transform / filter / aggregate) — all JVM-side, codegen-friendly."""
+    (transform / filter / aggregate) — all JVM-side, codegen-friendly.
+    The registered output flattens the two array columns to '|'-joined
+    cent-scaled integers (scalar-only driver contract; double→string
+    formatting differs between engines, integer cents don't)."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     per_order = l.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_quantity")).alias("qtys")
     )
+    cents = lambda scale: lambda x: F.round(x * scale).cast("long").cast("string")  # noqa: E731
     return per_order.select(
         "l_orderkey",
-        "qtys",
+        F.array_join(F.transform("qtys", cents(100)), "|").alias("qtys"),
         F.round(
             F.aggregate("qtys", F.lit(0.0), lambda acc, x: acc + x), 2
         ).alias("qty_sum"),
         F.size(F.filter("qtys", lambda x: x > 30)).alias("n_large"),
-        F.transform("qtys", lambda x: F.round(x * 2, 2)).alias("doubled"),
+        F.array_join(F.transform("qtys", cents(200)), "|").alias("doubled"),
         F.round(F.array_max("qtys"), 2).alias("qty_max"),
     )
 

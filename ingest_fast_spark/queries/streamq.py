@@ -328,7 +328,10 @@ def stream_quality_gate(spark, sf_dir):
     gated = raw.filter(F.col("doc_id").isNotNull()).select(
         "doc_id",
         (F.size(reasons) == 0).alias("passed"),
-        reasons.alias("reasons"),
+        # Same scalar-only projection as the batch gate (the shared oracle
+        # emits the '|'-joined sorted string; array cells break the
+        # driver's canonicalizer).
+        F.array_join(F.array_sort(reasons), "|").alias("reasons"),
     )
     return _run(gated, "q_gate", output_mode="append")
 

@@ -106,7 +106,29 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            frame = fn(spark, sf_dir)
+            # The driver's canonicalizer sort_values-hashes every cell and
+            # DIES on array/map/struct cells (unhashable numpy arrays).
+            # Round 4 proved the two harnesses can drift when this replica
+            # is more lenient (it used to tuple-ify arrays and report "ok"
+            # for queries the driver errored on) — so reject complex
+            # output columns outright: registered queries must project to
+            # scalar columns (array_join / explode) before returning.
+            bad = [
+                f"{fld.name}:{fld.dataType.simpleString()}"
+                for fld in frame.schema.fields
+                if fld.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                failed.append(name)
+                record[name] = {
+                    "status": "fail",
+                    "err": f"complex-typed output columns {bad}: the driver "
+                    "canonicalizer cannot hash these — flatten to scalars",
+                }
+                print(f"FAIL {name}: complex-typed output columns {bad}")
+                continue
+            sdf = frame.toPandas()
         except Exception as e:
             failed.append(name)
             record[name] = {"status": "fail", "err": f"spark: {e}"[:500]}
