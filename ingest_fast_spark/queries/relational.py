@@ -207,14 +207,35 @@ def agg_distinct_collect(spark, sf_dir):
     )
 
 
-@register("agg_approx_count_distinct")  # no oracle: HLL estimates are engine-specific
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark, sf_dir):
     """approx_count_distinct — the 100 TB path for distinct cardinality
-    (single pass, bounded memory, no exact-distinct shuffle explosion)."""
+    (single pass, bounded memory, no exact-distinct shuffle explosion).
+    The HLL++ ESTIMATE is engine-specific (DuckDB has no twin) but
+    deterministic for a given input (no RNG — fixed hash family), so the
+    registered row carries the exact count plus a boolean attesting the
+    estimate landed within 3× the requested relative standard deviation —
+    TRUE with overwhelming margin by the sketch's contract, hence
+    oracle-exact. (Converted from rows-only: VERDICT r4 task-5 pattern.)"""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * 0.02 * F.col("exact_parts")
+        ).alias("approx_within_bound"),
     )
 
 
