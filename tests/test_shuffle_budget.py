@@ -43,7 +43,10 @@ SHUFFLE_BUDGET = {
     "bpe_encode_lengths": 12,  # word-freq agg + 8 checkpointed rounds
     # pipeline-evaluation suite (queries/pipelineq.py)
     "quality_quarantine": 0,  # the gate is map-only by contract
-    "sketch_quantile_report": 0,  # one partial-aggregable sketch pass
+    # one partial-aggregable sketch pass + the r5 rank-bound check's 5-key
+    # aggregate (map-side partials over the broadcast-fanned scan; the
+    # exchange ships <= 5 rows per map task, bounded by len(_SKETCH_QS))
+    "sketch_quantile_report": 1,
     "text_char_entropy": 2,  # (doc,char) count + per-doc rollup
     "text_ngram_novelty": 2,  # shingle df + per-doc rollup (join rides df key)
     "events_anomaly_zscore": 1,  # the per-user window, nothing else
