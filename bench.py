@@ -47,6 +47,8 @@ HEADLINE = [
     "dedup_paragraphs",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
+    "dedup_soft_weights",
+    "dedup_cluster_keep_best",
     "split_cluster_safe",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
@@ -86,6 +88,7 @@ HEADLINE = [
     "dedup_containment",
     "bpe_train_merges",
     "bpe_encode_lengths",
+    "bpe_fertility_by_source",
     "dedup_health_by_source",
     "embed_hard_negatives",
     "embedding_pq_codes",

@@ -201,17 +201,14 @@ def bpe_oracle_sql(n_merges: int = 8) -> str:
     """
 
 
-def bpe_encode_lengths(
+def bpe_word_lengths(
     docs: DataFrame, merges: DataFrame, n_merges: int = 8, text_col: str = "text"
 ) -> DataFrame:
-    """Apply a learned merge table to the corpus and report per-document
-    BPE token counts next to whitespace token counts (the number packing
-    and token-budget planning actually need). Each DISTINCT word is
-    encoded once (vocabulary-sized work), then the per-doc counts come
-    from a broadcast join of the word→length map onto the exploded token
-    stream — the corpus never carries symbol strings through a shuffle.
-    Merge application is the same portable string replace as training,
-    chained in rank order."""
+    """(word, n_bpe_word) for every DISTINCT corpus word under a learned
+    merge table — the vocabulary-sized encode pass shared by
+    ``bpe_encode_lengths`` and the fertility report. Merge application is
+    the same portable string replace as training, chained in rank
+    order."""
     wf = word_freq_table(docs, text_col).localCheckpoint(eager=True)
     enc = wf.select("word", _initial_repr(F.col("word")).alias("repr"))
     expr = F.col("repr")
@@ -225,9 +222,19 @@ def bpe_encode_lengths(
         )
         repl = F.concat(F.lit(SEP), F.col(f"a{r}"), F.col(f"b{r}"), F.lit(SEP))
         expr = F.replace(expr, search, repl)
-    word_lens = enc.select(
-        "word", F.size(_symbols(expr)).alias("n_bpe_word")
-    )
+    return enc.select("word", F.size(_symbols(expr)).alias("n_bpe_word"))
+
+
+def bpe_encode_lengths(
+    docs: DataFrame, merges: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Apply a learned merge table to the corpus and report per-document
+    BPE token counts next to whitespace token counts (the number packing
+    and token-budget planning actually need). Each DISTINCT word is
+    encoded once (vocabulary-sized work), then the per-doc counts come
+    from a broadcast join of the word→length map onto the exploded token
+    stream — the corpus never carries symbol strings through a shuffle."""
+    word_lens = bpe_word_lengths(docs, merges, n_merges, text_col)
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"),
@@ -289,4 +296,30 @@ def bpe_encode_oracle_sql(n_merges: int = 8) -> str:
     FROM dw JOIN enc USING (word)
     WHERE length(word) > 0
     GROUP BY doc_id
+    """
+
+
+def bpe_fertility_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of the per-source fertility report: trains the same
+    merges (unrolled CTEs), encodes the vocabulary once, then rolls the
+    exploded token stream up by source with tokens-per-word and
+    chars-per-token."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    base = bpe_encode_oracle_sql(n_merges)
+    # reuse everything up to the per-doc rollup; swap stream + final SELECT
+    with_block = base.split("dw AS (")[0].rstrip().rstrip(",")
+    return f"""{with_block},
+    dw AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_bpe_word) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(length(word)) / CAST(SUM(n_bpe_word) AS DOUBLE), 6) AS chars_per_token,
+           ROUND(SUM(n_bpe_word) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+    FROM dw JOIN enc USING (word)
+    WHERE length(word) > 0
+    GROUP BY source
     """

@@ -650,6 +650,97 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+_SOFT_WEIGHTS_ORACLE = (
+    _CLUSTER_PREFIX
+    + r""",
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.id AS doc_id,
+       CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+       ROUND(1.0 / cs.cluster_size, 6) AS soft_weight
+FROM comp JOIN cs USING (cluster_id)
+"""
+)
+
+
+@register("dedup_soft_weights", oracle=_SOFT_WEIGHTS_ORACLE)
+def dedup_soft_weights(spark, sf_dir):
+    """Soft dedup (SoftDeDup, He et al. ACL 2024): instead of DROPPING
+    near-duplicates, every document gets sampling weight 1/cluster_size —
+    a cluster of 7 near-copies contributes ~one document's worth of
+    gradient in expectation while keeping its internal diversity. The
+    production middle ground between no-dedup (over-trains boilerplate)
+    and hard keep-one (discards paraphrase variety), and the input a
+    weighted-sampling data loader consumes directly.
+
+    Scale shape: reuses the near-dup connected components
+    (``operators/graph.py`` large-star/small-star) + one cluster-keyed
+    count + a join back on cluster_id — the same exchanges
+    ``dedup_cluster_sizes`` pays, nothing new at 100 TB."""
+    from ..operators.graph import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    comp = near_dup_clusters(docs, pairs)
+    cs = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(cs, "cluster_id").select(
+        "doc_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("soft_weight"),
+    )
+
+
+_KEEP_BEST_ORACLE = (
+    _CLUSTER_PREFIX
+    + r""",
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+q AS (
+  SELECT comp.id AS doc_id, comp.cluster_id, COALESCE(d.n_chars, -1) AS q
+  FROM comp JOIN documents d ON d.doc_id = comp.id
+),
+r AS (
+  SELECT doc_id, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, cluster_id, (rn = 1) AS keep FROM r
+"""
+)
+
+
+@register("dedup_cluster_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Quality-priority survivor selection: per near-dup cluster keep the
+    LONGEST document (n_chars desc, doc_id asc tiebreak; NULL length
+    ranks last) instead of ``dedup_cluster_canonical``'s min-id rule —
+    what a production pipeline actually wants, since near-dup families
+    usually contain one full article plus truncated/paginated copies.
+
+    Scale shape: the winner per cluster is a ``max_by`` over the
+    (quality, -doc_id) struct — a partial-aggregable hash aggregate, NOT
+    a per-cluster sort window, so a million-doc boilerplate family costs
+    one combiner row per map task instead of a straggler sort; the keep
+    flag is a join back on the unique doc_id."""
+    from ..operators.graph import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    comp = near_dup_clusters(docs, pairs)
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("n_chars", F.lit(-1)).alias("q"),
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("best_id")
+    )
+    return scored.join(best, "cluster_id").select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("best_id")).alias("keep")
+    )
+
+
 _SPLIT_CLUSTER_ORACLE = (
     _CLUSTER_PREFIX
     + r""",
@@ -2714,6 +2805,58 @@ def bpe_encode_lengths(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return enc(d, bpe_train(d, n_merges=8), n_merges=8)
+
+
+def _bpe_fertility_oracle() -> str:
+    from ..operators.bpe import bpe_fertility_oracle_sql
+
+    return bpe_fertility_oracle_sql(8)
+
+
+@register("bpe_fertility_by_source", oracle=_bpe_fertility_oracle())
+def bpe_fertility_by_source(spark, sf_dir):
+    """Tokenizer fertility report: per source, BPE tokens per word
+    (fertility) and characters per BPE token (compression) under the
+    corpus-trained merges — the diagnostic that decides whether a
+    tokenizer under-serves a domain/language slice (high fertility =
+    more sequence length per unit of text = that slice trains slower and
+    costs more context). Cf. the fertility metric in multilingual
+    tokenizer evaluations (e.g. Rust et al. 2021, "How Good is Your
+    Tokenizer?").
+
+    Scale shape: same as ``bpe_encode_lengths`` — the encode pass is
+    vocabulary-sized, then a word→length join onto the exploded token
+    stream (hint-free: the vocabulary is unbounded at 100 TB, AQE
+    broadcasts while it fits) feeding a per-source partial-aggregable
+    rollup. Oracle-exact end-to-end via the unrolled-CTE training twin."""
+    from ..operators.bpe import bpe_train, bpe_word_lengths
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wl = bpe_word_lengths(d, bpe_train(d, n_merges=8), n_merges=8)
+    words = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(wl, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe_word").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("nc"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("nc") / F.col("n_bpe_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )
 
 
 @register(

@@ -89,3 +89,59 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
     # big is NOT contained in small
     assert (2, 1) not in got
+
+
+def test_soft_weights_sum_to_one_per_cluster(spark):
+    """SoftDeDup invariant: each near-dup cluster contributes exactly one
+    document's worth of expected sampling mass (sum of 1/size over the
+    cluster == 1), and singletons keep full weight 1.0."""
+    from ingest_fast_spark.queries.llm import dedup_soft_weights
+
+    rows = dedup_soft_weights(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_size"], []).append(r["soft_weight"])
+        # round-6 of 1/size
+        assert abs(r["soft_weight"] - round(1.0 / r["cluster_size"], 6)) < 1e-9
+    for size, ws in by_cluster.items():
+        # every member of an n-cluster reports the same weight
+        assert len(set(ws)) == 1
+
+
+def test_keep_best_exactly_one_longest_survivor(spark):
+    """Keep-best invariant: exactly one keeper per cluster, and no
+    non-keeper in the cluster is strictly longer than the keeper."""
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.queries.llm import dedup_cluster_keep_best
+
+    sf = "/root/testdata/sf0.01"
+    rows = dedup_cluster_keep_best(spark, sf).collect()
+    assert len(rows) == 500
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "n_chars").collect()
+    }
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, f"cluster {cid}: {len(keepers)} keepers"
+        kq = n_chars.get(keepers[0]["doc_id"]) or -1
+        for m in members:
+            assert (n_chars.get(m["doc_id"]) or -1) <= kq
+
+
+def test_bpe_fertility_bounds(spark):
+    """Fertility sanity: every word is at least one BPE token and at most
+    its character count, so 1 <= fertility and chars_per_token >= 1
+    (merges only ever shrink the symbol count from chars)."""
+    from ingest_fast_spark.queries.llm import bpe_fertility_by_source
+
+    rows = bpe_fertility_by_source(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] >= 1.0
+        assert r["n_bpe_tokens"] >= r["n_words"]

@@ -307,6 +307,27 @@ def test_containment_prefix_filter_is_exact(spark, texts, threshold):
     assert got == _py_containment_pairs(texts, 3, threshold)
 
 
+@given(_window_docs, st.sampled_from([0.5, 0.8, 1.0]))
+@_settings
+def test_containment_prefix_filter_exact_on_window_corpora(
+    spark, texts, threshold
+):
+    """Containment exactness under the same df-skew regime that exposed
+    the Jaccard prune bug: sliding-window corpora where sub-documents are
+    literally contained in longer windows and boundary shingles have very
+    different global frequencies."""
+    from ingest_fast_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["ref_id"]): r["containment"]
+        for r in containment_pairs(df, k=3, threshold=threshold).collect()
+    }
+    assert got == _py_containment_pairs(texts, 3, threshold)
+
+
 # --- int8 quantization: bounded reconstruction error ------------------------
 
 _vecs = st.lists(
