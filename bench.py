@@ -99,6 +99,7 @@ HEADLINE = [
     "doc_bigram_logppl",
     "split_leakage_report",
     "quality_quarantine",
+    "quality_gopher_rules",
     "curation_dsir_weights",
     "events_anomaly_zscore",
     "embedding_whiten_zca",

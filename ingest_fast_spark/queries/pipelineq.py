@@ -1620,3 +1620,155 @@ def customer_entity_resolution_d2(spark, sf_dir):
         )
         .withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return rf"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, w -> length(w) > 0)) AS n_words,
+             COALESCE(list_sum(list_transform(
+               list_filter({_TOKS}, w -> length(w) > 0),
+               w -> length(w))), 0) AS sum_wlen,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> length(trim(l)) > 0)) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> length(trim(l)) > 0 AND (starts_with(trim(l), '-')
+                      OR starts_with(trim(l), '*')))) AS n_bullet,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> length(trim(l)) > 0 AND ends_with(trim(l), '...'))) AS n_ellend,
+             len(list_filter({_TOKS},
+                 w -> length(w) > 0 AND regexp_matches(w, '[a-z]'))) AS n_alpha,
+             len(list_filter([{stops}],
+                 s -> list_contains({_TOKS}, s))) AS n_stop
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+           (n_words > 0 AND round(sum_wlen / CAST(n_words AS DOUBLE), 6)
+              BETWEEN 3 AND 10) AS pass_mean_word_len,
+           (n_words > 0 AND round((n_hash + n_ell) / CAST(n_words AS DOUBLE), 6)
+              <= 0.1) AS pass_symbol_ratio,
+           (n_lines = 0 OR round(n_bullet / CAST(n_lines AS DOUBLE), 6)
+              <= 0.9) AS pass_bullet_lines,
+           (n_lines = 0 OR round(n_ellend / CAST(n_lines AS DOUBLE), 6)
+              <= 0.3) AS pass_ellipsis_lines,
+           (n_words > 0 AND round(n_alpha / CAST(n_words AS DOUBLE), 6)
+              >= 0.8) AS pass_alpha_words,
+           (n_stop >= 2) AS pass_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (n_words > 0 AND round(sum_wlen / CAST(n_words AS DOUBLE), 6)
+                   BETWEEN 3 AND 10)
+            AND (n_words > 0 AND round((n_hash + n_ell) / CAST(n_words AS DOUBLE), 6)
+                   <= 0.1)
+            AND (n_lines = 0 OR round(n_bullet / CAST(n_lines AS DOUBLE), 6) <= 0.9)
+            AND (n_lines = 0 OR round(n_ellend / CAST(n_lines AS DOUBLE), 6) <= 0.3)
+            AND (n_words > 0 AND round(n_alpha / CAST(n_words AS DOUBLE), 6) >= 0.8)
+            AND (n_stop >= 2)) AS pass_all
+    FROM stats
+    """
+
+
+@register("quality_gopher_rules", oracle=_gopher_oracle())
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1): the widely
+    reused heuristic bundle for web-text filtering, each rule a separate
+    auditable boolean — word count in [50, 100k], mean word length in
+    [3, 10], '#'/'...'-to-word ratio <= 0.1, bullet-started lines <= 90%,
+    ellipsis-ended lines <= 30%, >= 80% of words containing a letter, and
+    >= 2 of the 8 canonical English stop words present. Complements the
+    engine's own gate (``quality_quarantine``): these are the published
+    thresholds pipelines cite, so drops are defensible by reference.
+
+    Scale shape: map-only — one scan, all Column expressions (split /
+    higher-order filters / length arithmetic), no shuffle, no UDFs;
+    ratio comparisons are made on ROUND(x, 6) so an ULP difference
+    between engines cannot flip a boundary rule."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    t = F.col("text")
+    words = F.filter(
+        F.split(F.trim(F.lower(t)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    stats = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)),
+            F.lit(0).cast("long"),
+        ).alias("sum_wlen"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).alias("n_hash"),
+        F.floor(
+            (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        ).alias("n_ell"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.startswith(F.trim(l), F.lit("-"))
+                | F.startswith(F.trim(l), F.lit("*")),
+            )
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(lines, lambda l: F.endswith(F.trim(l), F.lit("...")))
+        ).alias("n_ellend"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            )
+        ).alias("n_stop"),
+    )
+    nw = F.col("n_words")
+    nl = F.col("n_lines")
+    pass_word_count = (nw >= 50) & (nw <= 100000)
+    pass_mean_wl = (nw > 0) & F.round(
+        F.col("sum_wlen") / nw.cast("double"), 6
+    ).between(3, 10)
+    pass_symbol = (nw > 0) & (
+        F.round((F.col("n_hash") + F.col("n_ell")) / nw.cast("double"), 6) <= 0.1
+    )
+    pass_bullet = (nl == 0) | (
+        F.round(F.col("n_bullet") / nl.cast("double"), 6) <= 0.9
+    )
+    pass_ellipsis = (nl == 0) | (
+        F.round(F.col("n_ellend") / nl.cast("double"), 6) <= 0.3
+    )
+    pass_alpha = (nw > 0) & (
+        F.round(F.col("n_alpha") / nw.cast("double"), 6) >= 0.8
+    )
+    pass_stop = F.col("n_stop") >= 2
+    return stats.select(
+        "doc_id",
+        "n_words",
+        pass_word_count.alias("pass_word_count"),
+        pass_mean_wl.alias("pass_mean_word_len"),
+        pass_symbol.alias("pass_symbol_ratio"),
+        pass_bullet.alias("pass_bullet_lines"),
+        pass_ellipsis.alias("pass_ellipsis_lines"),
+        pass_alpha.alias("pass_alpha_words"),
+        pass_stop.alias("pass_stopwords"),
+        (
+            pass_word_count
+            & pass_mean_wl
+            & pass_symbol
+            & pass_bullet
+            & pass_ellipsis
+            & pass_alpha
+            & pass_stop
+        ).alias("pass_all"),
+    )

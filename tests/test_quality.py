@@ -53,3 +53,46 @@ def test_all_clean_reports_zeros(spark):
         unique=[["id"]],
     )
     assert all(r["violations"] == 0 for r in report.collect())
+
+
+def test_gopher_rules_flag_planted_pathologies(spark, tmp_path):
+    """Each Gopher rule must fire on a document built to violate exactly
+    that rule, and a clean 60-word English doc must pass all rules."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.queries.pipelineq import quality_gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs away with great speed to be seen near the old barn "
+            "that have stood there for years of quiet service and it "
+            "keeps going through fields and woods and streams and hills "
+            "until the evening light fades out over the long horizon "
+            "while birds settle down calmly") # 58+ words, stopwords, clean
+    docs = [
+        (1, good, "en", "src0", len(good)),
+        # word-count violation only fires pass_word_count
+        (2, "too short to count", "en", "src0", 18),
+        # bullet-heavy: >90% of lines start with '-'
+        (3, "\n".join(f"- item {i} listed here" for i in range(20)), "en", "src0", 100),
+        # ellipsis-heavy: every line ends with ...
+        (4, "\n".join(f"line {i} trails off..." for i in range(10)), "en", "src0", 100),
+        # symbol spam: hashtags outnumber a tenth of the words
+        (5, "#a #b #c #d #e word " * 10, "en", "src0", 100),
+        # numeric gibberish: <80% alpha words
+        (6, " ".join(str(i) for i in range(80)), "en", "src0", 100),
+    ]
+    d = str(tmp_path / "gopher")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in quality_gopher_rules(spark, d).collect()}
+    assert rows[1]["pass_all"], rows[1]
+    assert not rows[2]["pass_word_count"]
+    assert not rows[3]["pass_bullet_lines"]
+    assert not rows[4]["pass_ellipsis_lines"]
+    assert not rows[5]["pass_symbol_ratio"]
+    assert not rows[6]["pass_alpha_words"] and not rows[6]["pass_stopwords"]
+    for i in (2, 3, 4, 5, 6):
+        assert not rows[i]["pass_all"]
