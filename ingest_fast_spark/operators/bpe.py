@@ -239,8 +239,12 @@ def bpe_encode_lengths(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"),
     ).filter(F.length("word") > 0)
+    # Hint-free: the word->length map is VOCABULARY-sized — sublinear in
+    # the corpus but unbounded at 100 TB of web text, so a forced
+    # broadcast is a driver OOM there. AQE broadcasts while it fits
+    # (repo rule: hints only on provably bounded sides, commit c2b4492).
     return (
-        words.join(F.broadcast(word_lens), "word")
+        words.join(word_lens, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ws_tokens"),

@@ -2796,8 +2796,9 @@ def bpe_encode_lengths(spark, sf_dir):
     (see ``bpe_train_merges``) and apply them to every document,
     reporting BPE token counts next to whitespace counts — the numbers a
     packing/token-budget stage actually consumes. Each DISTINCT word is
-    encoded once (vocabulary-sized), then a broadcast word→length map
-    joins onto the exploded token stream; the corpus never shuffles
+    encoded once (vocabulary-sized), then the word→length map joins onto
+    the exploded token stream (hint-free: the vocabulary is unbounded at
+    100 TB, AQE broadcasts while it fits); the corpus never shuffles
     symbol strings. Oracle-exact end-to-end: the DuckDB twin re-trains
     the same merges in unrolled CTEs and re-applies them."""
     from ..operators.bpe import bpe_encode_lengths as enc
