@@ -43,6 +43,15 @@ SHUFFLE_BUDGET = {
     "bpe_encode_lengths": 12,  # word-freq agg + 8 checkpointed rounds
     # pipeline-evaluation suite (queries/pipelineq.py)
     "quality_quarantine": 0,  # the gate is map-only by contract
+    "quality_gopher_rules": 0,  # published-threshold gate, map-only too
+    # shingle-pair blocking (2, shared with cluster_canonical's finder) +
+    # cluster-size count riding the component key
+    "dedup_soft_weights": 3,
+    # same blocking + the max_by winner aggregate + doc_id join-back
+    "dedup_cluster_keep_best": 4,
+    # word-freq agg feeding the encode; the per-source rollup and the
+    # hint-free word join ride AQE-planned sides at this scale
+    "bpe_fertility_by_source": 1,
     # one partial-aggregable sketch pass + the r5 rank-bound check's 5-key
     # aggregate (map-side partials over the broadcast-fanned scan; the
     # exchange ships <= 5 rows per map task, bounded by len(_SKETCH_QS))
