@@ -40,6 +40,9 @@ REPRESENTATIVE = [
     "curation_decision_ledger", # digest canonical-min + quota rank tie-breaks
     "minhash_scurve_report",    # banded candidates + bin counts across layouts
     "embedding_whiten_zca",     # driver-reduced moments across partitionings
+    "dedup_cluster_keep_best",  # max_by (quality,-id) winner across layouts
+    "dedup_soft_weights",       # cluster sizes across layouts
+    "bpe_fertility_by_source",  # per-source sums over partition order
 ]
 
 TABLES = (
