@@ -10,10 +10,12 @@ batches in, Arrow batches out, schema declared up front. IMAGE metadata
 decode is fully executable with no media libraries: ``parse_image_header``
 reads dimensions/mode/format straight from the public PNG/JPEG/GIF/BMP
 container headers, and PIL (optional) upgrades it to a full pixel decode.
-Video frame sampling and audio chunking remain stubbed behind
-deterministic fakes (no ffmpeg in this container) — the Spark-side
-plumbing (schema, batching, cardinality) is real and tested; swapping in
-ffmpeg is a one-function change.
+AUDIO is real for PCM WAV (``parse_wav_header`` + ``chunk_audio`` +
+``audio_features`` — RMS/peak/ZCR/silence DSP in numpy) and VIDEO is real
+for Y4M (``parse_y4m_header`` + ``sample_frames``); compressed codecs
+(MP3/MP4/JPEG pixels) would need ffmpeg/PIL, absent in this container —
+those paths fall back to documented byte-level behavior or an honest
+raise, never a silent fake.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -537,3 +540,73 @@ def chunk_audio(
             )
 
     return df.mapInPandas(explode_chunks, CHUNK_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+        StructField("silence_ratio", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, silence_db: float = -40.0) -> DataFrame:
+    """REAL audio feature extraction from 16-bit PCM WAV payloads — the
+    signal statistics an audio-curation pipeline gates on before paying
+    for transcription: RMS level and peak (normalized to [0, 1] full
+    scale), zero-crossing rate (crossings per sample — a crude
+    voiced/noise discriminator), and the fraction of samples below the
+    ``silence_db`` dBFS threshold (dead-air detector). Pure
+    numpy-over-int16 DSP on the ``parse_wav_header``-located data
+    section; no audio library. Non-WAV or non-16-bit payloads yield a
+    NULL-featured row (honest: the byte stream is not interpretable as
+    samples without a codec).
+
+    Scale shape: mapInPandas over the binary payload column — map-only,
+    Arrow-batched, one output row per recording; at 100 TB the scan
+    parallelism is the file layout's and nothing shuffles."""
+    import math
+
+    silence_amp = 10.0 ** (silence_db / 20.0)
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = parse_wav_header(bytes(payload)) if payload is not None else None
+                if wav is None or wav["bits_per_sample"] != 16:
+                    rows.append((doc_id, None, None, None, None, None, None, None))
+                    continue
+                lo, n = wav["data_offset"], wav["data_len"]
+                body = bytes(payload)[lo : lo + (n & ~1)]
+                x = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32768.0
+                if x.size == 0:
+                    rows.append((doc_id, wav["duration_ms"], wav["sample_rate"],
+                                 0, None, None, None, None))
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                peak = float(np.abs(x).max())
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+                silence = float(np.mean(np.abs(x) < silence_amp))
+                rows.append(
+                    (doc_id, wav["duration_ms"], wav["sample_rate"], int(x.size),
+                     round(rms, 6), round(peak, 6), round(zcr, 6), round(silence, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "duration_ms", "sample_rate", "n_samples",
+                    "rms", "peak", "zero_crossing_rate", "silence_ratio",
+                ],
+            )
+
+    return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)

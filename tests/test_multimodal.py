@@ -273,3 +273,51 @@ def test_chunk_audio_cardinality_and_bounds(spark):
     assert len(bytes(last["chunk"])) == 5_000
     short = by_doc[2][0]
     assert (short["start_ms"], short["end_ms"]) == (0, 100)
+
+
+def _sine_wav(freq=1000, seconds=1, sample_rate=8000, amp=0.5):
+    """16-bit mono PCM WAV: first half a sine at `freq`, second half
+    digital silence — features are analytically known."""
+    import math
+    import struct
+
+    n = sample_rate * seconds
+    samples = []
+    for i in range(n):
+        if i < n // 2:
+            samples.append(int(amp * 32767 * math.sin(2 * math.pi * freq * i / sample_rate)))
+        else:
+            samples.append(0)
+    body = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def test_audio_features_real_dsp(spark):
+    """audio_features computes true signal statistics: a half-sine /
+    half-silence recording has RMS ~ amp/2 (sine RMS amp/sqrt(2) over half
+    the samples), silence_ratio ~ 0.5, and ZCR ~ 2*freq/sample_rate over
+    the sine half; a non-WAV payload yields NULL features (honest)."""
+    wav = _sine_wav(freq=1000, seconds=1, sample_rate=8000, amp=0.5)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in M.audio_features(df).collect()}
+    r = rows[1]
+    assert r["sample_rate"] == 8000 and r["n_samples"] == 8000
+    assert r["duration_ms"] == 1000
+    # sine RMS over whole file = amp/sqrt(2) * sqrt(1/2) = amp/2
+    assert abs(r["rms"] - 0.25) < 0.01
+    assert abs(r["peak"] - 0.5) < 0.01
+    # half the file is digital silence, PLUS the sine's exact-zero grid
+    # samples: 1 kHz at 8 kHz = 8 samples/period of which 2 are exactly 0,
+    # so silence = 0.5 + 0.5 * 2/8 = 0.625 analytically
+    assert abs(r["silence_ratio"] - 0.625) < 0.01
+    # 1 kHz sine at 8 kHz: 2000 crossings/s over half the file -> ~0.125
+    assert 0.10 <= r["zero_crossing_rate"] <= 0.15
+    assert rows[2]["rms"] is None and rows[2]["duration_ms"] is None
