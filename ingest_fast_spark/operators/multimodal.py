@@ -6,10 +6,12 @@ bytes ride along the relational columns, and Catalyst prunes the (wide)
 payload column away for any query that doesn't touch it.
 
 The decode/feature-extract step is a ``mapInPandas`` operator: Arrow
-batches in, Arrow batches out, schema declared up front. IMAGE metadata
-decode is fully executable with no media libraries: ``parse_image_header``
-reads dimensions/mode/format straight from the public PNG/JPEG/GIF/BMP
-container headers, and PIL (optional) upgrades it to a full pixel decode.
+batches in, Arrow batches out, schema declared up front. IMAGE decode is
+executable with no media libraries: ``parse_image_header`` reads
+dimensions/mode/format from the public PNG/JPEG/GIF/BMP container
+headers, ``decode_png_pixels`` is a REAL pixel decoder for 8-bit PNG
+(stdlib zlib + numpy unfiltering of all five RFC-2083 scanline filters),
+and PIL (optional) extends pixel decode to the compressed formats.
 AUDIO is real for PCM WAV (``parse_wav_header`` + ``chunk_audio`` +
 ``audio_features`` — RMS/peak/ZCR/silence DSP in numpy) and VIDEO is real
 for Y4M (``parse_y4m_header`` + ``sample_frames``); compressed codecs
@@ -223,6 +225,17 @@ def decode_images(df: DataFrame) -> DataFrame:
                             "unrecognized or truncated image payload "
                             "(PNG/JPEG/GIF/BMP headers supported without PIL)"
                         )
+                    if meta["format"] == "PNG":
+                        # Real pixel decode (stdlib zlib + numpy unfilter):
+                        # corrupt IDAT data is caught even without PIL.
+                        try:
+                            meta = {
+                                k: v
+                                for k, v in decode_png_pixels(bytes(b)).items()
+                                if k != "pixels"
+                            }
+                        except NotImplementedError:
+                            pass  # 16-bit/palette/Adam7: header metadata only
                     ws.append(meta["width"]), hs.append(meta["height"])
                     modes.append(meta["mode"]), fmts.append(meta["format"])
             yield pd.DataFrame(
@@ -610,3 +623,100 @@ def audio_features(df: DataFrame, silence_db: float = -40.0) -> DataFrame:
             )
 
     return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_PNG_MODES = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode with ZERO image libraries: zlib (stdlib)
+    inflates the IDAT stream and the five RFC-2083 scanline filters
+    (None/Sub/Up/Average/Paeth) are reversed in numpy — returning an
+    (h, w, channels) uint8 array plus metadata. Supports the dominant
+    web shape: 8-bit depth, non-interlaced, color types L/RGB/LA/RGBA.
+    Palette, 16-bit, and Adam7 raise NotImplementedError (honest gate —
+    a decoder that guessed would corrupt downstream features); non-PNG
+    and corrupt streams raise ValueError.
+
+    This upgrades the no-PIL path of ``decode_images``/``resize_images``
+    from header-metadata-only to actual pixel validation + access for
+    PNG payloads — corrupt IDAT data is now CAUGHT without PIL."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    i, w = 8, None
+    idat = []
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color} (palette?)")
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlaced PNG")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel payload is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for row in range(h):
+        ft = raw[row * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row * (stride + 1) + 1
+        ).copy()
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256, per spec
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                bb = int(prev[x])
+                if ft == 1:
+                    cur[x] = (int(cur[x]) + a) & 0xFF
+                elif ft == 3:
+                    cur[x] = (int(cur[x]) + ((a + bb) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[row] = cur
+        prev = out[row]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mode": _PNG_MODES[color],
+        "format": "PNG",
+        "pixels": out.reshape(h, w, ch),
+    }
