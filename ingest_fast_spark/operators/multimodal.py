@@ -300,27 +300,53 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
     """Image-resize operator: mapInPandas, batch in / batch out, declared
     output schema — the production shape for PIL/libvips work.
 
-    DECODE IS STUBBED (no media libs in this container): the "resized
-    payload" is a deterministic fake (sha256-seeded bytes of width*height
-    length) so the plumbing — Arrow batching, binary columns both ways,
-    schema, partition preservation — is real and testable; swapping in a
-    real decoder changes only the inner function."""
+    REAL for 8-bit PNG payloads: ``decode_png_pixels`` supplies the true
+    pixel array and the resample is nearest-neighbor via numpy index
+    grids (the standard thumbnail pass before a vision encoder); output
+    payload is the raw resized pixel buffer (width·height·channels
+    bytes, row-major). Non-PNG payloads (compressed formats needing
+    PIL/ffmpeg, absent here) keep the DOCUMENTED deterministic fallback
+    (sha256-seeded bytes of width·height length) so the plumbing — Arrow
+    batching, binary columns both ways, schema — stays exercised for
+    every media type."""
 
     def resize(batches: Iterator) -> Iterator:
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         n = width * height
         for pdf in batches:
-            fakes = [
-                hashlib.sha256(bytes(b)).digest() * (n // 32 + 1)
-                for b in pdf["payload"]
-            ]
+            payloads = []
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                real = None
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        img = decode_png_pixels(raw)
+                        px = img["pixels"]
+                        ys = np.minimum(
+                            (np.arange(height) * img["height"]) // height,
+                            img["height"] - 1,
+                        )
+                        xs = np.minimum(
+                            (np.arange(width) * img["width"]) // width,
+                            img["width"] - 1,
+                        )
+                        real = px[ys][:, xs].tobytes()
+                    except (NotImplementedError, ValueError):
+                        real = None  # fall through to the byte fallback
+                if real is not None:
+                    payloads.append(real)
+                else:
+                    payloads.append(
+                        (hashlib.sha256(raw).digest() * (n // 32 + 1))[:n]
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [f[:n] for f in fakes],
+                    "payload": payloads,
                     "width": width,
                     "height": height,
                     "media_type": pdf["media_type"],

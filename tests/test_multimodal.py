@@ -442,3 +442,46 @@ def test_decode_images_catches_corrupt_png_data_without_pil(spark):
     with pytest.raises(Exception) as ei:
         M.decode_images(df).collect()
     assert "corrupt PNG" in str(ei.value) or "expected" in str(ei.value)
+
+
+def test_resize_png_real_nearest_neighbor(spark):
+    """PNG payloads resize through the REAL decoder: a 4x4 quadrant image
+    (distinct solid color per 2x2 quadrant) downsampled to 2x2 must yield
+    exactly the four quadrant colors; upsampled 2x2->4x4 must replicate
+    each source pixel into a 2x2 block."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def rgb_png(rows):  # rows: list of list of (r,g,b)
+        h, w = len(rows), len(rows[0])
+        raw = b"".join(
+            b"\x00" + b"".join(bytes(p) for p in r) for r in rows
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    A, B, C, D = (10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40)
+    quad = rgb_png([[A, A, B, B], [A, A, B, B], [C, C, D, D], [C, C, D, D]])
+    df = spark.createDataFrame(
+        [(1, quad, "image/png", "{}")], M.PAYLOAD_SCHEMA
+    )
+    out = M.resize_images(df, width=2, height=2).collect()[0]
+    assert bytes(out["payload"]) == bytes(A) + bytes(B) + bytes(C) + bytes(D)
+
+    tiny = rgb_png([[A, B], [C, D]])
+    df2 = spark.createDataFrame([(2, tiny, "image/png", "{}")], M.PAYLOAD_SCHEMA)
+    up = M.resize_images(df2, width=4, height=4).collect()[0]
+    got = bytes(up["payload"])
+    expect = (
+        (bytes(A) * 2 + bytes(B) * 2) * 2 + (bytes(C) * 2 + bytes(D) * 2) * 2
+    )
+    assert got == expect
