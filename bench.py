@@ -148,6 +148,13 @@ SCALE_QUERIES = [
     # cluster-safe split (rides CC — growth should track cluster_canonical)
     "dedup_containment",
     "split_cluster_safe",
+    # round-5 additions: soft weights + keep-best ride the CC machinery
+    # (growth should track cluster_canonical), fertility rides the BPE
+    # encode, the Gopher gate is the map-only floor
+    "dedup_soft_weights",
+    "dedup_cluster_keep_best",
+    "bpe_fertility_by_source",
+    "quality_gopher_rules",
 ]
 
 

@@ -163,6 +163,16 @@ def decode_image(payload: bytes) -> dict:
                 "unrecognized or truncated image payload (PNG/JPEG/GIF/BMP "
                 "headers supported without PIL)"
             )
+        if meta["format"] == "PNG":
+            # Real pixel validation (same path as decode_images).
+            try:
+                meta = {
+                    k: v
+                    for k, v in decode_png_pixels(payload).items()
+                    if k != "pixels"
+                }
+            except NotImplementedError:
+                pass
         return meta
     import io
 
