@@ -100,6 +100,7 @@ HEADLINE = [
     "split_leakage_report",
     "quality_quarantine",
     "quality_gopher_rules",
+    "multimodal_png_roundtrip",
     "curation_dsir_weights",
     "events_anomaly_zscore",
     "embedding_whiten_zca",

@@ -756,3 +756,29 @@ def decode_png_pixels(payload: bytes):
         "format": "PNG",
         "pixels": out.reshape(h, w, ch),
     }
+
+
+def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """A complete, valid 8-bit RGB PNG built with the stdlib (signature +
+    IHDR + zlib IDAT + IEND per RFC 2083) — solid ``rgb`` fill. Used to
+    synthesize deterministic image payloads for round-trip attestation
+    (and decodable by ANY conformant decoder, PIL included)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

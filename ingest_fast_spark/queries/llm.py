@@ -461,6 +461,57 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(3 + doc_id % 7 AS BIGINT) AS height,
+           'RGB' AS mode,
+           'PNG' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """End-to-end IMAGE DECODE attestation through the driver's oracle:
+    synthesize a deterministic real PNG per document (doc_id-derived
+    dimensions, stdlib encoder ``make_png``), push the binary payloads
+    through the production ``decode_images`` operator (pure-Python pixel
+    decoder here; PIL where installed), and emit the recovered metadata.
+    The oracle states the dimensions the generator EMBEDDED — so an
+    exact match proves the decoder recovers ground truth through the
+    full Arrow/mapInPandas path, not merely that it runs.
+
+    Scale shape: two chained map-only mapInPandas passes (encode,
+    decode) — no shuffle; payload bytes never leave the executor that
+    made them."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        M.make_png(
+                            4 + i % 13, 3 + i % 7, (i % 256, (i >> 8) % 256, 7)
+                        )
+                        for i in ids
+                    ],
+                    "media_type": "image/png",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (
