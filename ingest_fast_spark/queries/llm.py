@@ -504,9 +504,11 @@ def multimodal_png_roundtrip(spark, sf_dir):
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull()
-    ).select("doc_id")
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
     payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
     return M.decode_images(payloads)
 

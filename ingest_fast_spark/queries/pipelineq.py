@@ -485,8 +485,12 @@ def quality_quarantine(spark, sf_dir):
     a single scan, no shuffle; at 100 TB this is the cheapest stage of
     the pipeline and the reason string costs nothing extra. (Scalar
     columns only: the driver's canonicalizer cannot hash array cells, so
-    registered outputs flatten lists to deterministic strings.)"""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    registered outputs flatten lists to deterministic strings.
+    ensure_parallelism is the local-mode guard only — at 100 TB the scan
+    itself is thousands of splits and the guard is a no-op.)"""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    )
     reasons = quarantine_reasons(F.col("text"), F.col("n_chars"))
     return d.select(
         "doc_id",
@@ -1695,8 +1699,10 @@ def quality_gopher_rules(spark, sf_dir):
     higher-order filters / length arithmetic), no shuffle, no UDFs;
     ratio comparisons are made on ROUND(x, 6) so an ULP difference
     between engines cannot flip a boundary rule."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
     )
     t = F.col("text")
     words = F.filter(
