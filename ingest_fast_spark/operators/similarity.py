@@ -198,20 +198,33 @@ def kmeans_centroids(
     iterations: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over array<double>, pure DataFrame ops: assign each
     vector to its nearest centroid (broadcast), recompute centroids as the
     element-wise mean of their members, repeat. Deterministic lowest-id
     seeding; empty clusters keep their previous centroid.
 
-    Scale shape per iteration: one broadcast crossJoin (corpus × n
-    centroids, n is small) + window argmin, then the element-wise mean as
-    a posexplode → groupBy(centroid, dim_index) SUM. The exploded
-    aggregate is fully map-side combinable — each partition emits at most
-    n × dim partial sums, so the shuffle never carries vectors (a
-    collect_list-of-arrays formulation would materialize every member
-    vector per group instead). The centroid table (n × dim) is the only
-    iteration state.
+    Scale shape per iteration: the n×dim centroid table (bounded — the
+    only iteration state) folds into the plan as a LITERAL ARRAY, so
+    assignment is a map-side argmax expression with zero shuffle; the new
+    means are a posexplode → groupBy(centroid, dim_index) SUM, fully
+    map-side combinable — each partition emits at most n × dim partial
+    sums, so the per-round shuffle never carries vectors or corpus rows
+    (a collect_list-of-arrays formulation would materialize every member
+    vector per group; the crossJoin + window-argmin formulation shuffled
+    corpus×n rows per round).
+
+    ``round_decimals`` enables CROSS-ENGINE DETERMINISM (the registered
+    ``embedding_kmeans`` query's oracle replays the identical recurrence
+    in DuckDB): assignment similarities AND the recomputed centroid
+    components are rounded to that many decimals each iteration. Without
+    it, Spark's aggregation-order nondeterminism in the per-cluster mean
+    leaves ULP-level differences that can flip a later argmin and cascade
+    into discretely different clusterings. Rounding both the decision
+    input (sim) and the iteration state (centroid) pins every engine to
+    the same trajectory — the same convention ``cosine_near_dup_lsh``
+    uses for its sign bits.
     """
     cent = sample_centroids(corpus, n, id_col, vec_col).select(
         "centroid_id", as_double(F.col(vec_col)).alias("centvec")
@@ -220,33 +233,64 @@ def kmeans_centroids(
     # widen a single-split scan or the whole iteration serializes.
     corpus = ensure_parallelism(corpus)
     c = corpus.select(id_col, as_double(F.col(vec_col)).alias("cvec"))
+    # Half-up via floor(10^d*x + 0.5)/10^d, NOT F.round: the expression is
+    # definable identically in any engine (the oracle replays it in
+    # DuckDB), where each engine's native round() differs in half-tie
+    # direction — the same convention embedding_label_centroids uses.
+    scale = None if round_decimals is None else float(10**round_decimals)
+    rnd = (lambda x: F.floor(scale * x + F.lit(0.5)) / scale) if scale else None
     for _ in range(iterations):
-        assigned = (
-            c.crossJoin(F.broadcast(cent))
-            .select(
-                id_col,
-                "cvec",
-                "centroid_id",
-                cosine(F.col("cvec"), F.col("centvec")).alias("sim"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
+        # Assignment is SHUFFLE-FREE: the centroid table is bounded (k
+        # rows × dim doubles), so it folds into the plan as a literal
+        # array and each vector picks its argmax-cosine centroid inside a
+        # single map-side expression — corpus rows never shuffle for
+        # assignment. (The previous crossJoin + window formulation
+        # shuffled corpus×k rows by vec_id every Lloyd round — the
+        # dominant cost at scale.) Python-float round-trip of IEEE
+        # doubles is exact, so sims are bit-identical to the join
+        # formulation; array_sort of (sim, -cid) structs keeps the same
+        # tie-break (max sim, then min centroid_id) and the same
+        # NaN-sorts-greatest semantics the window's DESC order had.
+        rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(r["centroid_id"]).cast("long").alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["centvec"]])
+                    .cast("array<double>")
+                    .alias("cv"),
+                )
+                for r in rows
+            ]
         )
+
+        def _scored(cc):
+            s = cosine(F.col("cvec"), cc["cv"])
+            if rnd is not None:
+                s = rnd(s)
+            return F.struct(
+                s.alias("sim"),
+                (-cc["cid"]).alias("neg_cid"),
+                cc["cid"].alias("cid"),
+            )
+
+        best = F.element_at(F.array_sort(F.transform(cent_lit, _scored)), -1)
+        assigned = c.select(id_col, "cvec", best["cid"].alias("centroid_id"))
         elems = assigned.select(
             "centroid_id", F.posexplode("cvec").alias("pos", "x")
         )
         dim_sums = elems.groupBy("centroid_id", "pos").agg(
             F.sum("x").alias("s"), F.count(F.lit(1)).alias("n_members")
         )
+        mean = (
+            (lambda t: rnd(t["s"] / t["n_members"]))
+            if rnd is not None
+            else (lambda t: t["s"] / t["n_members"])
+        )
         new_cent = dim_sums.groupBy("centroid_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "s", "n_members"))),
-                lambda t: t["s"] / t["n_members"],
+                mean,
             ).alias("centvec")
         )
         # Empty clusters: keep the previous centroid (left join fallback).

@@ -3282,3 +3282,95 @@ def embed_label_noise_ivf(spark, sf_dir):
     return S.knn_label_agreement_ivf(
         load_table(spark, sf_dir, "embeddings"), k=5, n_centroids=8, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) as an oracle-exact registered query
+# ---------------------------------------------------------------------------
+
+# Cross-engine half-up rounding (embedding_label_centroids convention):
+# each engine's native round() differs in half-tie direction; this
+# expression is identical everywhere.
+_R6 = "floor(1e6 * ({x}) + 0.5) / 1e6"
+
+
+def _kmeans_oracle(k: int = 4, iterations: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd recurrence as DuckDB CTEs — the same trick as
+    ``_pagerank_oracle``: seed = the k lowest vec_ids, per round assign
+    every vector to the centroid with the highest ROUNDED cosine (ties to
+    the lowest centroid_id), recompute centroids as rounded element-wise
+    means, empty clusters keep their previous centroid."""
+    cos = _R6.format(
+        x="list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ),
+    dims AS (SELECT unnest(generate_series(1, {dim})) AS d),
+    cent0 AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT {k}
+    )"""
+    body = ""
+    for i in range(1, iterations + 1):
+        mean = _R6.format(x="avg(e.v[d.d])")
+        body += f""",
+    sim{i} AS (
+      SELECT e.vec_id, c.centroid_id, {cos} AS sim
+      FROM e CROSS JOIN cent{i-1} c
+    ),
+    asg{i} AS (
+      SELECT vec_id, centroid_id FROM sim{i}
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+    ),
+    newc{i} AS (
+      SELECT a.centroid_id, d.d, {mean} AS x
+      FROM asg{i} a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d
+      GROUP BY a.centroid_id, d.d
+    ),
+    cent{i} AS (
+      SELECT p.centroid_id, COALESCE(n.cv, p.cv) AS cv
+      FROM cent{i-1} p LEFT JOIN (
+        SELECT centroid_id, list(x ORDER BY d) AS cv
+        FROM newc{i} GROUP BY centroid_id
+      ) n ON n.centroid_id = p.centroid_id
+    )"""
+    out = _R6.format(x="c.cv[d.d]")
+    return head + body + f"""
+    SELECT c.centroid_id, CAST(d.d AS BIGINT) AS dim, {out} AS value
+    FROM cent{iterations} c CROSS JOIN dims d"""
+
+
+@register("embedding_kmeans", oracle=_kmeans_oracle(k=4, iterations=3, dim=64))
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus, 3 fixed
+    rounds, k=4, emitted long-form (centroid_id, dim, value) — an
+    ITERATIVE algorithm held to the exact-oracle bar (the DuckDB oracle
+    unrolls the identical recurrence as CTEs, like ``graph_pagerank``).
+    Cross-engine determinism: assignment cosines and recomputed centroid
+    components are rounded half-up to 6 each round, so an aggregation-
+    order ULP in the cluster mean can't flip a later argmin and fork the
+    trajectory.
+
+    Scale shape per round (operators/similarity.kmeans_centroids): the
+    k×dim centroid table broadcasts; assignment is a map-side argmin (no
+    window over the corpus — rows never shuffle for assignment); the new
+    means are a posexplode → groupBy(centroid, dim) SUM, fully map-side
+    combinable, so the shuffle carries at most partitions × k × dim
+    partial sums regardless of corpus size. Iteration state between
+    rounds is k×dim doubles — at 100 TB the corpus is scanned
+    ``iterations`` times and nothing else grows."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    cent = S.kmeans_centroids(emb, n=4, iterations=3, round_decimals=6)
+    return cent.select(
+        "centroid_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "value")
+    ).select(
+        "centroid_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        (F.floor(1e6 * F.col("value") + F.lit(0.5)) / 1e6).alias("value"),
+    )
