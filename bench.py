@@ -116,6 +116,12 @@ HEADLINE = [
     "table_skew_report",
     "stream_quality_gate",
     "customer_entity_resolution",
+    # round-6 additions
+    "embedding_kmeans",
+    "graph_label_propagation",
+    "quality_c4_rules",
+    "token_zipf_slope",
+    "multimodal_gif_roundtrip",
 ]
 
 
@@ -156,6 +162,13 @@ SCALE_QUERIES = [
     "dedup_cluster_keep_best",
     "bpe_fertility_by_source",
     "quality_gopher_rules",
+    # round-6 additions: the two fixed-round iteratives (per-round cost
+    # must grow ~linearly, state stays k×dim / one-row-per-node), the C4
+    # map-only gate, and the per-source rank window feeding the Zipf fit
+    "embedding_kmeans",
+    "graph_label_propagation",
+    "quality_c4_rules",
+    "token_zipf_slope",
 ]
 
 

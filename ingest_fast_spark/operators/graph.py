@@ -296,3 +296,63 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection, Raghavan et al.
+    2007) with the deterministic variant every distributed engine ships:
+    labels start as node ids; each round every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST label
+    (GraphX's LPA uses the same argmax-with-min-tiebreak so runs are
+    reproducible). Fixed iteration count keeps the operator deterministic
+    and its oracle SQL-expressible as unrolled CTEs — the same contract
+    as ``pagerank`` above.
+
+    All-integer arithmetic: no float rounding concerns cross-engine.
+
+    Scale shape per round: one labels⋈edges shuffle on the node key plus
+    one (node, label) hash aggregate with map-side combine, then a
+    max_by argmax — no window over the node set, so the reducer never
+    sorts more than one node's candidate labels. Label state is one row
+    per node, localCheckpointed between rounds; edges are symmetrized
+    once up front.
+    """
+    # Undirected: symmetrize + dedup once; every node then has >= 1
+    # neighbor, but the final left join still falls back to the previous
+    # label so isolated nodes (present only via a self-loop filtered
+    # upstream) would keep their identity label.
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+    )
+    e = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("s").alias("n")).distinct().localCheckpoint(eager=True)
+    labels = nodes.select("n", F.col("n").alias("lbl"))
+    for _ in range(iterations):
+        counted = (
+            e.join(labels.select(F.col("n").alias("s"), "lbl"), "s")
+            .groupBy(F.col("d").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(cnt) with min-label tie-break as a partial-aggregable
+        # max_by over (cnt, -lbl) — never a window sort.
+        winner = counted.groupBy("n").agg(
+            F.max_by("lbl", F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias(
+                "new_lbl"
+            )
+        )
+        labels = (
+            labels.join(winner, "n", "left")
+            .select("n", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

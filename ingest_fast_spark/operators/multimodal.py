@@ -11,7 +11,9 @@ executable with no media libraries: ``parse_image_header`` reads
 dimensions/mode/format from the public PNG/JPEG/GIF/BMP container
 headers, ``decode_png_pixels`` is a REAL pixel decoder for 8-bit PNG
 (stdlib zlib + numpy unfiltering of all five RFC-2083 scanline filters),
-and PIL (optional) extends pixel decode to the compressed formats.
+``decode_gif_pixels`` is a REAL pixel decoder for GIF (pure-Python
+variable-width LZW + palette + interlace reorder), and PIL (optional)
+extends pixel decode to the remaining compressed formats.
 AUDIO is real for PCM WAV (``parse_wav_header`` + ``chunk_audio`` +
 ``audio_features`` — RMS/peak/ZCR/silence DSP in numpy) and VIDEO is real
 for Y4M (``parse_y4m_header`` + ``sample_frames``); compressed codecs
@@ -163,14 +165,11 @@ def decode_image(payload: bytes) -> dict:
                 "unrecognized or truncated image payload (PNG/JPEG/GIF/BMP "
                 "headers supported without PIL)"
             )
-        if meta["format"] == "PNG":
+        dec = _PIXEL_DECODERS.get(meta["format"])
+        if dec is not None:
             # Real pixel validation (same path as decode_images).
             try:
-                meta = {
-                    k: v
-                    for k, v in decode_png_pixels(payload).items()
-                    if k != "pixels"
-                }
+                meta = {k: v for k, v in dec(payload).items() if k != "pixels"}
             except NotImplementedError:
                 pass
         return meta
@@ -235,17 +234,18 @@ def decode_images(df: DataFrame) -> DataFrame:
                             "unrecognized or truncated image payload "
                             "(PNG/JPEG/GIF/BMP headers supported without PIL)"
                         )
-                    if meta["format"] == "PNG":
-                        # Real pixel decode (stdlib zlib + numpy unfilter):
-                        # corrupt IDAT data is caught even without PIL.
+                    dec = _PIXEL_DECODERS.get(meta["format"])
+                    if dec is not None:
+                        # Real pixel decode (stdlib zlib/LZW + numpy):
+                        # corrupt compressed data is caught even without PIL.
                         try:
                             meta = {
                                 k: v
-                                for k, v in decode_png_pixels(bytes(b)).items()
+                                for k, v in dec(bytes(b)).items()
                                 if k != "pixels"
                             }
                         except NotImplementedError:
-                            pass  # 16-bit/palette/Adam7: header metadata only
+                            pass  # 16-bit/Adam7 PNG etc.: header metadata only
                     ws.append(meta["width"]), hs.append(meta["height"])
                     modes.append(meta["mode"]), fmts.append(meta["format"])
             yield pd.DataFrame(
@@ -310,12 +310,13 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
     """Image-resize operator: mapInPandas, batch in / batch out, declared
     output schema — the production shape for PIL/libvips work.
 
-    REAL for 8-bit PNG payloads: ``decode_png_pixels`` supplies the true
-    pixel array and the resample is nearest-neighbor via numpy index
-    grids (the standard thumbnail pass before a vision encoder); output
-    payload is the raw resized pixel buffer (width·height·channels
-    bytes, row-major). Non-PNG payloads (compressed formats needing
-    PIL/ffmpeg, absent here) keep the DOCUMENTED deterministic fallback
+    REAL for 8-bit PNG and GIF payloads: ``decode_png_pixels`` /
+    ``decode_gif_pixels`` supply the true pixel array and the resample is
+    nearest-neighbor via numpy index grids (the standard thumbnail pass
+    before a vision encoder); output payload is the raw resized pixel
+    buffer (width·height·channels bytes, row-major). Other payloads
+    (compressed formats needing PIL/ffmpeg, absent here) keep the
+    DOCUMENTED deterministic fallback
     (sha256-seeded bytes of width·height length) so the plumbing — Arrow
     batching, binary columns both ways, schema — stays exercised for
     every media type."""
@@ -332,9 +333,14 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
             for b in pdf["payload"]:
                 raw = bytes(b)
                 real = None
+                dec = None
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    dec = decode_png_pixels
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    dec = decode_gif_pixels
+                if dec is not None:
                     try:
-                        img = decode_png_pixels(raw)
+                        img = dec(raw)
                         px = img["pixels"]
                         ys = np.minimum(
                             (np.arange(height) * img["height"]) // height,
@@ -782,3 +788,209 @@ def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode with ZERO image libraries: a pure-Python
+    LSB-first bit reader runs the variable-width LZW decompression
+    (GIF89a spec appendix F), palette indices map through the global or
+    local color table, and four-pass interlacing is reordered in numpy —
+    returning an (h, w, 3) uint8 RGB array plus metadata for the FIRST
+    image block. Extensions are skipped; a GIF with no color table or an
+    index outside the palette raises ValueError (honest failure, never a
+    guessed pixel); the animation tail beyond frame 1 is ignored by
+    design (frame sampling is the video operators' job).
+
+    Companion of ``decode_png_pixels``: together they make the no-PIL
+    pixel path real for both dominant lossless web formats."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(b) < 13:
+        raise ValueError("truncated GIF screen descriptor")
+    packed = b[10]
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        global_table = np.frombuffer(b[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
+        pos += n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(b):
+            ln = b[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+        raise ValueError("truncated GIF sub-blocks")
+
+    while pos < len(b):
+        tag = b[pos]
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif tag == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            _, _, w, h, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            table = global_table
+            if ipacked & 0x80:  # local color table wins
+                n = 3 * (2 << (ipacked & 0x07))
+                table = np.frombuffer(b[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
+                pos += n
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_size = b[pos]
+            pos += 1
+            if not 2 <= min_size <= 11:
+                raise ValueError(f"invalid GIF LZW minimum code size {min_size}")
+            data = bytearray()
+            while pos < len(b):
+                ln = b[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                data += b[pos : pos + ln]
+                pos += ln
+            # --- LZW decode (variable width 3..12 bits, LSB-first) ---
+            clear, eoi = 1 << min_size, (1 << min_size) + 1
+            base = [bytes([i]) for i in range(clear)] + [b"", b""]
+            tab = list(base)
+            code_size = min_size + 1
+            acc = nbits = dpos = 0
+            prev = None
+            out = bytearray()
+            while True:
+                while nbits < code_size:
+                    if dpos >= len(data):
+                        acc = -1
+                        break
+                    acc |= data[dpos] << nbits
+                    dpos += 1
+                    nbits += 8
+                if acc == -1:
+                    break  # stream ended without EOI: keep decoded prefix
+                code = acc & ((1 << code_size) - 1)
+                acc >>= code_size
+                nbits -= code_size
+                if code == clear:
+                    tab = list(base)
+                    code_size = min_size + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    break
+                if prev is None:
+                    if code >= len(tab):
+                        raise ValueError("GIF LZW: first code not a literal")
+                    out += tab[code]
+                    prev = code
+                    continue
+                if code < len(tab):
+                    entry = tab[code]
+                elif code == len(tab):
+                    entry = tab[prev] + tab[prev][:1]
+                else:
+                    raise ValueError("GIF LZW: code beyond table")
+                out += entry
+                tab.append(tab[prev] + entry[:1])
+                if len(tab) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+                prev = code
+            if len(out) < w * h:
+                raise ValueError(
+                    f"GIF pixel payload is {len(out)} indices, expected {w * h}"
+                )
+            idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8).reshape(h, w)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF palette index out of range")
+            if ipacked & 0x40:  # interlaced: 4-pass row order -> natural
+                order = np.concatenate(
+                    [np.arange(s, h, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                natural = np.empty_like(idx)
+                natural[order] = idx
+                idx = natural
+            return {
+                "width": int(w),
+                "height": int(h),
+                "mode": "P",
+                "format": "GIF",
+                "pixels": table[idx],
+            }
+        elif tag == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block tag 0x{tag:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def make_gif(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: list[int] | None = None,
+    interlaced: bool = False,
+) -> bytes:
+    """A complete, valid GIF89a built with the stdlib — global color
+    table, one image block, LZW stream in the conformant 'clear before
+    every literal' form (zero compression, decodable by ANY conformant
+    decoder, PIL included). ``indices`` is row-major in NATURAL order;
+    with ``interlaced`` the rows are written in four-pass order and the
+    interlace flag set. Used to synthesize deterministic payloads for
+    round-trip attestation."""
+    import struct
+
+    if indices is None:
+        indices = [0] * (width * height)
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height long")
+    bits = max(2, (max(1, len(palette)) - 1).bit_length())
+    table = list(palette) + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    rows = [indices[r * width : (r + 1) * width] for r in range(height)]
+    if interlaced:
+        order = [r for s, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, height, step)]
+        rows = [rows[r] for r in order]
+    clear, eoi = 1 << bits, (1 << bits) + 1
+    code_size = bits + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for row in rows:
+        for i in row:
+            emit(clear)
+            emit(i)
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([len(stream[i : i + 255])]) + bytes(stream[i : i + 255])
+        for i in range(0, len(stream), 255)
+    ) + b"\x00"
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    gct = b"".join(bytes(c) for c in table)
+    idesc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlaced else 0
+    )
+    return (
+        b"GIF89a" + lsd + gct + idesc + bytes([bits]) + blocks + b"\x3b"
+    )
+
+
+# Formats with a REAL no-PIL pixel decoder (module bottom: both functions
+# must exist; callers look up at call time).
+_PIXEL_DECODERS = {"PNG": decode_png_pixels, "GIF": decode_gif_pixels}

@@ -251,12 +251,22 @@ def kmeans_centroids(
         # formulation; array_sort of (sim, -cid) structs keeps the same
         # tie-break (max sim, then min centroid_id) and the same
         # NaN-sorts-greatest semantics the window's DESC order had.
-        rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+        rows = sorted(
+            (r for r in cent.collect() if r["centvec"] is not None),
+            key=lambda r: r["centroid_id"],
+        )
+        if not rows:  # empty corpus (or all-null vectors): nothing to iterate
+            break
         cent_lit = F.array(
             *[
                 F.struct(
                     F.lit(r["centroid_id"]).cast("long").alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r["centvec"]])
+                    F.array(
+                        *[
+                            F.lit(float(x)) if x is not None else F.lit(None)
+                            for x in r["centvec"]
+                        ]
+                    )
                     .cast("array<double>")
                     .alias("cv"),
                 )

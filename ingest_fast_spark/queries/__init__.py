@@ -67,7 +67,25 @@ def _load_all() -> None:
 #       round-5 prune/oracle/hint fixes and the round-4 distributed-
 #       ranking + prefix-filter + bench-scaled family.
 # selfcheck.py always runs all queries regardless of this order.
+# Round 6 prefix: (0) the queries NEW or changed this round — the four
+# round-6 operators (iterative k-means with an unrolled-CTE oracle, LPA
+# community detection, the C4 rule bundle, the Zipf fit), the round-5
+# late addition multimodal_png_roundtrip (registered after r5's artifact
+# was cut), and the kmeans-dependent family whose assignment stage was
+# rewritten shuffle-free this round — then the round-5 rotation below.
 _SHOWCASE_ORDER = [
+    # (0) round-6 new + changed
+    "embedding_kmeans",
+    "graph_label_propagation",
+    "quality_c4_rules",
+    "token_zipf_slope",
+    "multimodal_png_roundtrip",
+    "multimodal_gif_roundtrip",
+    "dedup_semantic",
+    "embed_topk_ivf",
+    "embed_label_noise_ivf",
+    "embed_topk_pq_adc",
+    "dedup_embedding_lsh",
     # (a) never driver-sampled before this round
     "agg_having",
     "agg_min_max_by",

@@ -514,6 +514,59 @@ def multimodal_png_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 11 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           'P' AS mode,
+           'GIF' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """GIF twin of ``multimodal_png_roundtrip``: synthesize a
+    deterministic real GIF89a per document (doc_id-derived dimensions and
+    palette pattern, stdlib LZW encoder ``make_gif``, every third payload
+    interlaced so the four-pass reorder executes in the driver-attested
+    path too), push through the production ``decode_images`` operator
+    (pure-Python LZW pixel decoder here; PIL where installed), and emit
+    the recovered metadata against the generator's embedded ground truth.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h = 3 + i % 11, 2 + i % 5
+                pal = [(i % 256, (i * 7) % 256, 31), (200, i % 256, 5)]
+                idx = [(i + p) % 2 for p in range(w * h)]
+                payloads.append(
+                    M.make_gif(w, h, pal, idx, interlaced=(i % 3 == 0))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (
@@ -3373,4 +3426,162 @@ def embedding_kmeans(spark, sf_dir):
         "centroid_id",
         (F.col("pos") + 1).cast("long").alias("dim"),
         (F.floor(1e6 * F.col("value") + F.lit(0.5)) / 1e6).alias("value"),
+    )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    head = """
+    WITH raw AS (
+      SELECT DISTINCT o_custkey % 50 AS s, o_orderkey % 50 AS d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 50) <> (o_orderkey % 50)
+    ),
+    edges AS (SELECT DISTINCT s, d FROM
+              (SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw)),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    l0 AS (SELECT n, n AS lbl FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (
+      SELECT e.d AS n, l.lbl, COUNT(*) AS cnt
+      FROM edges e JOIN l{i-1} l ON l.n = e.s
+      GROUP BY e.d, l.lbl
+    ),
+    w{i} AS (
+      SELECT n, lbl FROM c{i}
+      QUALIFY row_number() OVER (PARTITION BY n ORDER BY cnt DESC, lbl ASC) = 1
+    ),
+    l{i} AS (
+      SELECT p.n, COALESCE(w.lbl, p.lbl) AS lbl
+      FROM l{i-1} p LEFT JOIN w{i} w ON w.n = p.n
+    )"""
+    return head + body + f"""
+    SELECT n AS node, lbl AS community,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS n_members
+    FROM l{iters}"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(3))
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), 3 fixed rounds over the same deterministic graph
+    ``graph_pagerank`` uses (custkey%50 → orderkey%50, symmetrized) —
+    each node adopts its neighbors' most frequent label, ties to the
+    smallest (the GraphX-style deterministic variant). All-integer state
+    means the oracle (the recurrence unrolled as CTEs) matches exactly
+    with no rounding conventions at all.
+
+    Scale shape (operators/graph.label_propagation): per round one
+    labels⋈edges shuffle + a map-side-combinable (node, label) count +
+    max_by argmax — no window over nodes; label state localCheckpointed
+    between rounds. Complements connected components (cluster = reachable
+    set) with density-sensitive communities on the same edge substrate."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import label_propagation
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select(
+            (F.col("o_custkey") % 50).alias("src"),
+            (F.col("o_orderkey") % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    labels = label_propagation(edges, iterations=3)
+    return labels.select(
+        F.col("n").alias("node"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(Window.partitionBy("lbl")).cast("long").alias("n_members"),
+    )
+
+
+@register(
+    "token_zipf_slope",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS token
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    ),
+    cnt AS (
+      SELECT source, token, COUNT(*) AS c
+      FROM tok WHERE length(token) > 0 GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT source, token, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, token ASC)
+               AS rnk
+      FROM cnt
+      QUALIFY rnk <= 100
+    ),
+    xy AS (
+      SELECT source, ln(rnk) AS x, ln(c) AS y FROM ranked
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_terms,
+           floor(1e6 * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) + 0.5) / 1e6
+             AS zipf_slope,
+           floor(1e6 * ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                 + 0.5) / 1e6 AS zipf_intercept
+    FROM s
+    """,
+)
+def token_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per source: OLS slope/intercept of ln(frequency) ~
+    ln(rank) over each source's 100 most frequent tokens — natural text
+    sits near slope -1, so a source drifting toward 0 (flat, templated
+    spam) or below -1.5 (degenerate repetition) is a corpus-health red
+    flag; the head-only fit is both where the law holds and what keeps
+    the regression bounded.
+
+    Scale shape: one (source, token) hash count with map-side combine,
+    then a row_number window PARTITIONED BY SOURCE (each reducer ranks
+    one source's vocabulary — never a global sort) cut at 100, then a
+    closed-form OLS from five bounded per-source sums. Slope/intercept
+    rounded half-up at 6; the sums span <= 100 values so aggregation-
+    order ULP stays far below the rounding unit."""
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isNotNull() & F.col("text").isNotNull()
+        )
+    )
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    cnt = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("token"))
+    ranked = cnt.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 100)
+    xy = ranked.select(
+        "source", F.log(F.col("rnk").cast("double")).alias("x"), F.log(F.col("c").cast("double")).alias("y")
+    )
+    s = xy.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # try_divide: a degenerate source (one distinct token => all x equal)
+    # has zero OLS denominator; NULL there beats an ANSI divide-by-zero.
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r6 = lambda x: F.floor(1e6 * x + F.lit(0.5)) / 1e6
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_terms"),
+        r6(slope).alias("zipf_slope"),
+        r6(intercept).alias("zipf_intercept"),
     )

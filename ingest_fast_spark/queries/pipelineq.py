@@ -1778,3 +1778,134 @@ def quality_gopher_rules(spark, sf_dir):
             & pass_stop
         ).alias("pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 quality rules (Raffel et al. 2020, section 2.2)
+# ---------------------------------------------------------------------------
+
+_C4_POLICY = ("terms of use", "privacy policy", "cookie policy", "uses cookies")
+
+
+def _c4_oracle() -> str:
+    policy = " OR ".join(f"contains(lower(l), '{p}')" for p in _C4_POLICY)
+    keep = (
+        "l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')"
+        " OR ends_with(trim(l), '?') OR ends_with(trim(l), '\"'))"
+        r" AND len(list_filter(string_split_regex(trim(l), '\s+'),"
+        " w -> length(w) > 0)) >= 5"
+        " AND NOT contains(lower(l), 'javascript')"
+        f" AND NOT ({policy})"
+    )
+    return rf"""
+    WITH lines AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+                         l -> length(trim(l)) > 0) AS ls
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    stats AS (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             len(list_filter(ls, {keep})) AS n_kept_lines,
+             length(text)
+               - length(replace(replace(replace(text, '.', ''), '!', ''), '?', ''))
+               AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+           CASE WHEN n_lines = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor(1e6 * (n_kept_lines / CAST(n_lines AS DOUBLE)) + 0.5) / 1e6
+           END AS kept_line_ratio,
+           (n_sentences >= 3) AS pass_min_sentences,
+           NOT has_lorem AS pass_no_lorem,
+           NOT has_brace AS pass_no_braces,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+            AND n_kept_lines >= 1) AS pass_all
+    FROM stats
+    """
+
+
+@register("quality_c4_rules", oracle=_c4_oracle())
+def quality_c4_rules(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020, section 2.2) as
+    auditable per-document booleans, complementing the Gopher bundle
+    (``quality_gopher_rules``): line-level retention — a line survives if
+    it ends in terminal punctuation ('.', '!', '?', '\"'), has >= 5
+    words, and contains neither 'javascript' nor a cookie/policy
+    boilerplate phrase — plus page-level drops for < 3 sentences, 'lorem
+    ipsum', and '{' (code). The paper's three-sentence-span dedup is the
+    separate ``dedup_paragraphs`` / ``text_dedup_sentences_within_doc``
+    family; its bad-words list is licensing-encumbered so it is not
+    reproduced here.
+
+    Scale shape: map-only — one scan, all higher-order Column
+    expressions over the split lines, no shuffle, no UDFs; the ratio is
+    rounded half-up at 6 so an engine ULP can't flip a cell."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+    )
+    t = F.col("text")
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+
+    def line_kept(l):
+        tl = F.trim(l)
+        low = F.lower(l)
+        terminal = (
+            F.endswith(tl, F.lit("."))
+            | F.endswith(tl, F.lit("!"))
+            | F.endswith(tl, F.lit("?"))
+            | F.endswith(tl, F.lit('"'))
+        )
+        words = F.filter(F.split(tl, r"\s+"), lambda w: F.length(w) > 0)
+        policy = F.lit(False)
+        for p in _C4_POLICY:
+            policy = policy | F.contains(low, F.lit(p))
+        return (
+            terminal
+            & (F.size(words) >= 5)
+            & ~F.contains(low, F.lit("javascript"))
+            & ~policy
+        )
+
+    stats = d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, line_kept)).cast("long").alias("n_kept_lines"),
+        (
+            F.length(t)
+            - F.length(
+                F.replace(
+                    F.replace(F.replace(t, F.lit("."), F.lit("")), F.lit("!"), F.lit("")),
+                    F.lit("?"),
+                    F.lit(""),
+                )
+            )
+        ).alias("n_sentences"),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(t, F.lit("{")).alias("has_brace"),
+    )
+    nl = F.col("n_lines")
+    nk = F.col("n_kept_lines")
+    ns = F.col("n_sentences")
+    pass_sent = ns >= 3
+    pass_lorem = ~F.col("has_lorem")
+    pass_brace = ~F.col("has_brace")
+    return stats.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.when(nl == 0, F.lit(0.0))
+        .otherwise(F.floor(1e6 * (nk / nl.cast("double")) + F.lit(0.5)) / 1e6)
+        .alias("kept_line_ratio"),
+        pass_sent.alias("pass_min_sentences"),
+        pass_lorem.alias("pass_no_lorem"),
+        pass_brace.alias("pass_no_braces"),
+        (pass_sent & pass_lorem & pass_brace & (nk >= 1)).alias("pass_all"),
+    )

@@ -143,3 +143,65 @@ def test_pagerank_mass_conserved(spark):
     )
     total = sum(row["r"] for row in pagerank(e, iterations=3).collect())
     assert abs(total - 1.0) < 1e-9
+
+
+def sequential_lpa(n_nodes, edges, iterations):
+    """Reference synchronous LPA: symmetrized simple graph, labels start
+    as node ids, each round every node takes the most frequent neighbor
+    label (ties to the smallest); isolated nodes keep their label."""
+    adj = {v: set() for v in range(n_nodes)}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {v: v for v in range(n_nodes)}
+    for _ in range(iterations):
+        new = {}
+        for v in range(n_nodes):
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            counts = {}
+            for u in adj[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_sequential(spark):
+    from ingest_fast_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(15, 60))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["n"]: r["lbl"] for r in label_propagation(edf, iterations=3).collect()
+        }
+        ref = sequential_lpa(n, edges, 3)
+        touched = {v for e in edges for v in e}
+        assert got == {v: ref[v] for v in touched}
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: after 3 rounds each
+    clique carries its own dominant label (communities stay distinct, the
+    bridge does not merge them)."""
+    from ingest_fast_spark.operators.graph import label_propagation
+
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = clique_a + clique_b + [(3, 10)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["n"]: r["lbl"] for r in label_propagation(edf, iterations=3).collect()}
+    labels_a = {got[v] for v in range(4)}
+    labels_b = {got[v] for v in range(10, 14)}
+    assert labels_a.isdisjoint(labels_b)

@@ -485,3 +485,75 @@ def test_resize_png_real_nearest_neighbor(spark):
         (bytes(A) * 2 + bytes(B) * 2) * 2 + (bytes(C) * 2 + bytes(D) * 2) * 2
     )
     assert got == expect
+
+
+def test_decode_gif_pixels_roundtrip_plain_and_interlaced():
+    """make_gif -> decode_gif_pixels reproduces the exact palette-mapped
+    pixel grid, in natural row order, for both non-interlaced and
+    four-pass-interlaced encodings."""
+    import numpy as np
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    w, h = 5, 9
+    idx = [(r * w + c) % 4 for r in range(h) for c in range(w)]
+    expect = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(h, w, 3)
+    for inter in (False, True):
+        out = M.decode_gif_pixels(M.make_gif(w, h, pal, idx, interlaced=inter))
+        assert (out["width"], out["height"], out["format"]) == (w, h, "GIF")
+        assert out["pixels"].shape == (h, w, 3)
+        assert (out["pixels"] == expect).all(), f"interlaced={inter}"
+
+
+def test_decode_gif_pixels_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    good = M.make_gif(4, 4, [(1, 2, 3)])
+    for bad in (b"", b"NOTGIF" + b"\x00" * 30, good[:12], good[:-8]):
+        with _pytest.raises(ValueError):
+            M.decode_gif_pixels(bad)
+    # the color table pads to a power of two: an index landing on a padded
+    # slot decodes to that slot's (black) entry — in-table by construction
+    out = M.decode_gif_pixels(M.make_gif(2, 1, [(9, 9, 9), (8, 8, 8)], [0, 3]))
+    assert out["pixels"][0, 1].tolist() == [0, 0, 0]
+
+
+def test_decode_images_catches_corrupt_gif_data_without_pil(spark):
+    """A payload with a VALID GIF header but a corrupt LZW stream fails
+    decode_images even without PIL — the real decoder validates the
+    compressed data, the header-only path could not."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: its decoder covers this case")
+    except ImportError:
+        pass
+    good = M.make_gif(6, 6, [(1, 2, 3), (4, 5, 6)], [i % 2 for i in range(36)])
+    # cut the LZW stream in half: the decoded prefix is shorter than w*h
+    truncated = bytes(good[: len(good) // 2])
+    df = spark.createDataFrame(
+        [(1, truncated, "image/gif", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        M.decode_images(df).collect()
+    assert "GIF" in str(ei.value) or "expected" in str(ei.value)
+
+
+def test_resize_gif_real_nearest_neighbor(spark):
+    """GIF payloads resize through the REAL decoder: a 4x4 quadrant image
+    (distinct palette color per 2x2 quadrant) downsampled to 2x2 yields
+    exactly the four quadrant colors."""
+    import numpy as np
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    idx = [0, 0, 1, 1,
+           0, 0, 1, 1,
+           2, 2, 3, 3,
+           2, 2, 3, 3]
+    gif = M.make_gif(4, 4, pal, idx)
+    df = spark.createDataFrame([(1, gif, "image/gif", "{}")], M.PAYLOAD_SCHEMA)
+    out = M.resize_images(df, width=2, height=2).collect()[0]
+    px = np.frombuffer(out["payload"], dtype=np.uint8).reshape(2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+    assert px[1, 0].tolist() == [0, 0, 255]
+    assert px[1, 1].tolist() == [255, 255, 0]

@@ -96,3 +96,47 @@ def test_gopher_rules_flag_planted_pathologies(spark, tmp_path):
     assert not rows[6]["pass_alpha_words"] and not rows[6]["pass_stopwords"]
     for i in (2, 3, 4, 5, 6):
         assert not rows[i]["pass_all"]
+
+
+def test_c4_rules_flag_planted_pathologies(spark, tmp_path):
+    """Each C4 rule fires on a document built to violate exactly that
+    rule; a clean multi-sentence doc passes all rules and keeps all its
+    lines."""
+    import os
+
+    from ingest_fast_spark.queries.pipelineq import quality_c4_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "It keeps running through the green fields all day.\n"
+        "Every evening it sleeps near the old barn door."
+    )
+    docs = [
+        (1, good, "en", "src0", len(good)),
+        # lines lack terminal punctuation -> zero kept lines
+        (2, "no punctuation on this line\nand none on this one either", "en", "src0", 50),
+        # fewer than 3 sentences
+        (3, "One sentence only here.", "en", "src0", 23),
+        # boilerplate marker
+        (4, "Please read this. See our privacy policy for details. It is long. Bye.", "en", "src0", 60),
+        # lorem ipsum page drop
+        (5, "Lorem ipsum dolor sit amet. Filler text goes on. More filler here.", "en", "src0", 60),
+        # curly brace page drop (code)
+        (6, "function f() { return 1; } it is code. More code follows. End.", "en", "src0", 60),
+        # javascript line drop
+        (7, "Please enable javascript to view this page properly.\nReal content sentence is right here today.\nAnother good sentence ends this page now.", "en", "src0", 100),
+    ]
+    d = str(tmp_path / "c4")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in quality_c4_rules(spark, d).collect()}
+    assert rows[1]["pass_all"] and rows[1]["n_kept_lines"] == 3
+    assert rows[2]["n_kept_lines"] == 0 and not rows[2]["pass_all"]
+    assert not rows[3]["pass_min_sentences"]
+    # the policy phrase kills its LINE (not the page): doc 4 keeps the others
+    assert rows[4]["n_kept_lines"] < rows[4]["n_lines"] or rows[4]["n_lines"] == 1
+    assert not rows[5]["pass_no_lorem"] and not rows[5]["pass_all"]
+    assert not rows[6]["pass_no_braces"] and not rows[6]["pass_all"]
+    # javascript drops exactly the one line; the two clean sentences survive
+    assert rows[7]["n_kept_lines"] == 2 and rows[7]["n_lines"] == 3

@@ -81,6 +81,15 @@ SHUFFLE_BUDGET = {
     "search_hybrid_rrf": 5,  # bm25 legs + fused join (vec leg broadcasts)
     "sessions_max_concurrency": 6,  # sessionize window+agg, bucket window+agg
     "curation_length_deciles": 3,  # range part., pid window, offset join
+    "quality_c4_rules": 0,  # C4 gate is map-only like the Gopher bundle
+    # token count agg + per-source rank window + per-source OLS sums
+    "token_zipf_slope": 3,
+    # iterative queries below are localCheckpointed per round, so the
+    # static plan shows only the FINAL fragment (the per-round shapes are
+    # pinned by the operators' own tests): LPA ends in one community-size
+    # window; kmeans ends map-only on the checkpointed centroid table.
+    "graph_label_propagation": 1,
+    "embedding_kmeans": 0,
 }
 
 

@@ -249,3 +249,47 @@ def test_knn_label_agreement_ivf_partial_probe_recall_floor(spark, sf_dir):
     mean_exact = sum(exact.values()) / len(exact)
     mean_ivf = sum(ivf.values()) / len(ivf)
     assert abs(mean_ivf - mean_exact) <= 0.15
+
+
+def test_kmeans_matches_numpy_recurrence(spark):
+    """The shuffle-free literal-argmax Lloyd formulation must reproduce
+    the recurrence exactly: deterministic lowest-id seeds, assignment by
+    highest half-up-rounded cosine (ties to lowest centroid id),
+    centroids as half-up-rounded member means, empty clusters keeping
+    their previous centroid."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, k, iters = 60, 8, 3, 3
+    vecs = rng.normal(size=(n, dim))
+
+    def r6(x):
+        return np.floor(1e6 * x + 0.5) / 1e6
+
+    cent = {i: vecs[i].copy() for i in range(k)}  # lowest ids 0..k-1
+    for _ in range(iters):
+        cids = sorted(cent)
+        members = {c: [] for c in cids}
+        for i in range(n):
+            sims = []
+            for c in cids:
+                cv = cent[c]
+                s = r6(vecs[i] @ cv / (np.linalg.norm(vecs[i]) * np.linalg.norm(cv)))
+                sims.append((s, -c, c))
+            best = max(sims)[2]
+            members[best].append(i)
+        for c in cids:
+            if members[c]:
+                cent[c] = r6(np.mean([vecs[m] for m in members[c]], axis=0))
+    expected = {c: [round(float(x), 9) for x in v] for c, v in cent.items()}
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.kmeans_centroids(df, n=k, iterations=iters, round_decimals=6)
+    got = {
+        r["centroid_id"]: [round(float(x), 9) for x in r["embedding"]]
+        for r in out.collect()
+    }
+    assert got == expected
