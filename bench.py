@@ -122,6 +122,7 @@ HEADLINE = [
     "quality_c4_rules",
     "token_zipf_slope",
     "multimodal_gif_roundtrip",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

@@ -12,12 +12,14 @@ dimensions/mode/format from the public PNG/JPEG/GIF/BMP container
 headers, ``decode_png_pixels`` is a REAL pixel decoder for 8-bit PNG
 (stdlib zlib + numpy unfiltering of all five RFC-2083 scanline filters),
 ``decode_gif_pixels`` is a REAL pixel decoder for GIF (pure-Python
-variable-width LZW + palette + interlace reorder), and PIL (optional)
-extends pixel decode to the remaining compressed formats.
+variable-width LZW + palette + interlace reorder),
+``jpeg.decode_jpeg_pixels`` is a REAL pixel decoder for baseline JPEG
+(Huffman entropy decode + numpy IDCT + chroma upsample), and PIL
+(optional) covers the remainder (progressive JPEG, WebP, ...).
 AUDIO is real for PCM WAV (``parse_wav_header`` + ``chunk_audio`` +
 ``audio_features`` — RMS/peak/ZCR/silence DSP in numpy) and VIDEO is real
-for Y4M (``parse_y4m_header`` + ``sample_frames``); compressed codecs
-(MP3/MP4/JPEG pixels) would need ffmpeg/PIL, absent in this container —
+for Y4M (``parse_y4m_header`` + ``sample_frames``); the remaining
+compressed codecs (MP3/MP4) would need ffmpeg, absent in this container —
 those paths fall back to documented byte-level behavior or an honest
 raise, never a silent fake.
 """
@@ -338,6 +340,8 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
                     dec = decode_png_pixels
                 elif raw[:6] in (b"GIF87a", b"GIF89a"):
                     dec = decode_gif_pixels
+                elif raw[:2] == b"\xff\xd8":
+                    from .jpeg import decode_jpeg_pixels as dec
                 if dec is not None:
                     try:
                         img = dec(raw)
@@ -993,4 +997,10 @@ def make_gif(
 
 # Formats with a REAL no-PIL pixel decoder (module bottom: both functions
 # must exist; callers look up at call time).
-_PIXEL_DECODERS = {"PNG": decode_png_pixels, "GIF": decode_gif_pixels}
+from .jpeg import decode_jpeg_pixels, make_jpeg  # noqa: E402  (module bottom)
+
+_PIXEL_DECODERS = {
+    "PNG": decode_png_pixels,
+    "GIF": decode_gif_pixels,
+    "JPEG": decode_jpeg_pixels,
+}

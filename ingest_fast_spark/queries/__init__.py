@@ -81,6 +81,7 @@ _SHOWCASE_ORDER = [
     "token_zipf_slope",
     "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip",
+    "multimodal_jpeg_roundtrip",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

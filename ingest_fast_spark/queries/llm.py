@@ -3585,3 +3585,68 @@ def token_zipf_slope(spark, sf_dir):
         r6(slope).alias("zipf_slope"),
         r6(intercept).alias("zipf_intercept"),
     )
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(6 + doc_id % 4 AS BIGINT) AS height,
+           'RGB' AS mode,
+           'JPEG' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Lossy-format twin of ``multimodal_png_roundtrip``: synthesize a
+    deterministic real baseline JPEG per document (doc_id-derived
+    dimensions, solid doc_id-derived color so the flat-quantization
+    round-trip is EXACT; every second payload 4:2:0-subsampled and every
+    third carrying restart markers, so the decoder's chroma-upsample and
+    RST-resync paths execute in the driver-attested run), push through
+    the production ``decode_images`` operator (pure-Python Huffman+IDCT
+    here; PIL where installed), and emit recovered metadata against the
+    generator's embedded ground truth.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import make_jpeg
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h = 8 + i % 9, 6 + i % 4
+                img = np.full(
+                    (h, w, 3),
+                    (i % 256, (i * 5) % 256, (i * 11) % 256),
+                    dtype=np.uint8,
+                )
+                payloads.append(
+                    make_jpeg(
+                        w, h, img,
+                        subsample420=(i % 2 == 0),
+                        restart_interval=1 if i % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)

@@ -1,0 +1,91 @@
+"""Baseline JPEG codec tests: round-trip exactness for solid colors
+(DC-only blocks, flat quantization), bounded DCT rounding for patterns,
+4:2:0 subsampling, restart-marker resync, honest gates, and the Spark
+decode/resize paths without PIL."""
+
+import numpy as np
+import pytest
+
+from ingest_fast_spark.operators import multimodal as M
+from ingest_fast_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"subsample420": True},
+        {"restart_interval": 2},
+        {"subsample420": True, "restart_interval": 1},
+    ],
+)
+def test_solid_roundtrip_exact(kw):
+    img = np.full((20, 28, 3), (120, 64, 200), dtype=np.uint8)
+    out = decode_jpeg_pixels(make_jpeg(28, 20, img, **kw))
+    assert (out["width"], out["height"], out["mode"], out["format"]) == (
+        28, 20, "RGB", "JPEG",
+    )
+    assert np.abs(out["pixels"].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_gradient_and_noise_bounded_error():
+    out = decode_jpeg_pixels(make_jpeg(37, 21))  # default gradient, odd dims
+    yy, xx = np.mgrid[0:21, 0:37]
+    ref = np.stack([(xx * 8) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256], axis=-1)
+    assert np.abs(out["pixels"].astype(float) - ref).max() <= 6
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    out2 = decode_jpeg_pixels(make_jpeg(32, 32, noise))
+    assert np.abs(out2["pixels"].astype(int) - noise.astype(int)).max() <= 4
+
+
+def test_block_aligned_quadrants_exact_and_resize(spark):
+    """16x16 with 8x8 solid quadrants: every DCT block is constant, so the
+    decode is exact and a 2x2 nearest-neighbor resize through the real
+    decoder yields exactly the four quadrant colors."""
+    q = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8, :8] = q[0]
+    img[:8, 8:] = q[1]
+    img[8:, :8] = q[2]
+    img[8:, 8:] = q[3]
+    j = make_jpeg(16, 16, img)
+    out = decode_jpeg_pixels(j)
+    assert np.abs(out["pixels"].astype(int) - img.astype(int)).max() <= 1
+    df = spark.createDataFrame([(1, j, "image/jpeg", "{}")], M.PAYLOAD_SCHEMA)
+    row = M.resize_images(df, width=2, height=2).collect()[0]
+    px = np.frombuffer(row["payload"], dtype=np.uint8).reshape(2, 2, 3)
+    for (r, c), want in zip([(0, 0), (0, 1), (1, 0), (1, 1)], q):
+        assert np.abs(px[r, c].astype(int) - np.array(want)).max() <= 1
+
+
+def test_honest_gates_and_garbage():
+    good = make_jpeg(8, 8)
+    for bad in (b"", b"NOTJPEG", b"\xff\xd8" + b"\x00" * 10, good[:30]):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_pixels(bad)
+    # progressive (SOF2) is an honest NotImplementedError, not a guess
+    import struct
+
+    sof2 = bytes([0xFF, 0xC2]) + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(b"\xff\xd8" + sof2)
+
+
+def test_decode_images_catches_corrupt_jpeg_without_pil(spark):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: its decoder covers this case")
+    except ImportError:
+        pass
+    good = make_jpeg(24, 24)
+    truncated = good[: len(good) * 2 // 3]
+    df = spark.createDataFrame(
+        [(1, truncated, "image/jpeg", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        M.decode_images(df).collect()
+    assert "JPEG" in str(ei.value) or "truncated" in str(ei.value)
