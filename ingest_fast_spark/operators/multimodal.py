@@ -312,12 +312,13 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
     """Image-resize operator: mapInPandas, batch in / batch out, declared
     output schema — the production shape for PIL/libvips work.
 
-    REAL for 8-bit PNG and GIF payloads: ``decode_png_pixels`` /
-    ``decode_gif_pixels`` supply the true pixel array and the resample is
-    nearest-neighbor via numpy index grids (the standard thumbnail pass
-    before a vision encoder); output payload is the raw resized pixel
-    buffer (width·height·channels bytes, row-major). Other payloads
-    (compressed formats needing PIL/ffmpeg, absent here) keep the
+    REAL for 8-bit PNG, GIF, baseline JPEG, and uncompressed BMP
+    payloads: the pure-Python ``decode_*_pixels`` decoders supply the
+    true pixel array and the resample is nearest-neighbor via numpy
+    index grids (the standard thumbnail pass before a vision encoder);
+    output payload is the raw resized pixel buffer
+    (width·height·channels bytes, row-major). Other payloads
+    (formats needing PIL/ffmpeg, absent here) keep the
     DOCUMENTED deterministic fallback
     (sha256-seeded bytes of width·height length) so the plumbing — Arrow
     batching, binary columns both ways, schema — stays exercised for
@@ -342,6 +343,8 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
                     dec = decode_gif_pixels
                 elif raw[:2] == b"\xff\xd8":
                     from .jpeg import decode_jpeg_pixels as dec
+                elif raw[:2] == b"BM":
+                    dec = decode_bmp_pixels
                 if dec is not None:
                     try:
                         img = dec(raw)
@@ -995,6 +998,106 @@ def make_gif(
     )
 
 
+def decode_bmp_pixels(payload: bytes):
+    """REAL BMP pixel decode with ZERO image libraries: uncompressed
+    (BI_RGB) device-independent bitmaps are unpacked with struct + numpy
+    into an (h, w, 3) uint8 RGB array plus metadata. Covers the layouts
+    seen in the wild: BITMAPINFOHEADER-or-later 24-bit BGR and 8-bit
+    paletted (BGRX color table), bottom-up (positive height) and top-down
+    (negative height) row order, 4-byte row padding; plus the legacy
+    BITMAPCOREHEADER 24-bit form. RLE compression and other bit depths
+    raise NotImplementedError (honest gate); truncated pixel arrays and
+    palette-index overflows raise ValueError — never a guessed pixel."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 26:
+        raise ValueError("not a BMP signature")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (dib,) = struct.unpack("<I", b[14:18])
+    if dib == 12:  # BITMAPCOREHEADER: u16 dims, no compression field
+        w, h, _planes, bpp = struct.unpack("<HHHH", b[18:26])
+        top_down, compression, palette_off, palette_entry = False, 0, 26, 3
+    elif dib >= 40:
+        if len(b) < 34:
+            raise ValueError("truncated BMP info header")
+        w, h, _planes, bpp, compression = struct.unpack("<iiHHI", b[18:34])
+        top_down, h = h < 0, abs(h)
+        palette_off, palette_entry = 14 + dib, 4
+    else:
+        raise ValueError(f"unknown BMP DIB header size {dib}")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} (only BI_RGB)")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bit depth {bpp} (only 8/24)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    stride = (w * (bpp // 8) + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + stride * h
+    if len(b) < need:
+        raise ValueError(f"BMP pixel array is {len(b) - data_off} bytes, expected {stride * h}")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage -> natural row order
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    else:
+        if dib == 12:
+            n_pal = (data_off - palette_off) // 3
+        else:
+            n_pal = (data_off - palette_off) // 4
+        if n_pal <= 0:
+            raise ValueError("8-bit BMP has no color table")
+        pal_raw = np.frombuffer(
+            b, dtype=np.uint8, count=n_pal * palette_entry, offset=palette_off
+        ).reshape(n_pal, palette_entry)
+        palette = pal_raw[:, :3][:, ::-1]  # BGR(X) -> RGB
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index outside color table")
+        px = palette[idx]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mode": "RGB",
+        "format": "BMP",
+        "pixels": np.ascontiguousarray(px),
+    }
+
+
+def make_bmp(
+    width: int,
+    height: int,
+    rgb_rows: list[list[tuple[int, int, int]]] | None = None,
+    rgb: tuple[int, int, int] = (0, 0, 0),
+    top_down: bool = False,
+) -> bytes:
+    """A complete, valid 24-bit BI_RGB BMP built with the stdlib
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR rows padded to 4 bytes,
+    bottom-up unless ``top_down``) — solid ``rgb`` fill or explicit
+    ``rgb_rows`` in natural row order. Decodable by ANY conformant
+    decoder; used to synthesize deterministic round-trip payloads."""
+    import struct
+
+    if rgb_rows is None:
+        rgb_rows = [[rgb] * width for _ in range(height)]
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    ordered = rgb_rows if top_down else rgb_rows[::-1]
+    pixel = b"".join(
+        b"".join(bytes((bl, g, r)) for (r, g, bl) in row) + pad for row in ordered
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, len(pixel), 2835, 2835, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel), 0, 0, 14 + 40)
+    return head + info + pixel
+
+
 # Formats with a REAL no-PIL pixel decoder (module bottom: both functions
 # must exist; callers look up at call time).
 from .jpeg import decode_jpeg_pixels, make_jpeg  # noqa: E402  (module bottom)
@@ -1003,4 +1106,5 @@ _PIXEL_DECODERS = {
     "PNG": decode_png_pixels,
     "GIF": decode_gif_pixels,
     "JPEG": decode_jpeg_pixels,
+    "BMP": decode_bmp_pixels,
 }

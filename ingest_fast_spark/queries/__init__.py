@@ -82,6 +82,7 @@ _SHOWCASE_ORDER = [
     "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
+    "multimodal_bmp_roundtrip",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

@@ -567,6 +567,60 @@ def multimodal_gif_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_bmp_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 9 AS BIGINT) AS width,
+           CAST(2 + doc_id % 6 AS BIGINT) AS height,
+           'RGB' AS mode,
+           'BMP' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_bmp_roundtrip(spark, sf_dir):
+    """BMP twin of ``multimodal_png_roundtrip``: synthesize a
+    deterministic real 24-bit BI_RGB BMP per document (doc_id-derived
+    dimensions, stdlib encoder ``make_bmp``, every other payload stored
+    top-down so BOTH row orders execute in the driver-attested path),
+    push through the production ``decode_images`` operator (pure-Python
+    pixel decoder here; PIL where installed), and emit the recovered
+    metadata against the generator's embedded ground truth.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle;
+    payload bytes never leave the executor that made them."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        M.make_bmp(
+                            2 + i % 9,
+                            2 + i % 6,
+                            rgb=(i % 256, (i * 3) % 256, 11),
+                            top_down=(i % 2 == 1),
+                        )
+                        for i in ids
+                    ],
+                    "media_type": "image/bmp",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (

@@ -557,3 +557,115 @@ def test_resize_gif_real_nearest_neighbor(spark):
     assert px[0, 1].tolist() == [0, 255, 0]
     assert px[1, 0].tolist() == [0, 0, 255]
     assert px[1, 1].tolist() == [255, 255, 0]
+
+
+def test_decode_bmp_pixels_roundtrip_bottomup_and_topdown():
+    """make_bmp -> decode_bmp_pixels reproduces the exact RGB pixel grid
+    in natural row order for both bottom-up (positive height) and
+    top-down (negative height) storage, including 4-byte row padding
+    (w=3 -> 9-byte rows pad to 12)."""
+    import numpy as np
+
+    w, h = 3, 4
+    rows = [
+        [((r * 50 + c * 10) % 256, (c * 80) % 256, (r * 90) % 256) for c in range(w)]
+        for r in range(h)
+    ]
+    expect = np.array(rows, dtype=np.uint8)
+    for td in (False, True):
+        out = M.decode_bmp_pixels(M.make_bmp(w, h, rgb_rows=rows, top_down=td))
+        assert (out["width"], out["height"], out["format"]) == (w, h, "BMP")
+        assert out["pixels"].shape == (h, w, 3)
+        assert (out["pixels"] == expect).all(), f"top_down={td}"
+
+
+def test_decode_bmp_pixels_honest_gates():
+    import struct
+
+    import pytest as _pytest
+
+    good = M.make_bmp(4, 4, rgb=(10, 20, 30))
+    for bad in (b"", b"NOTABMP" + b"\x00" * 40, good[:20], good[:-8]):
+        with _pytest.raises(ValueError):
+            M.decode_bmp_pixels(bad)
+    # RLE8 compression -> NotImplementedError, never a guessed pixel
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)
+    with _pytest.raises(NotImplementedError):
+        M.decode_bmp_pixels(bytes(rle))
+    # unsupported bit depth (16bpp) -> NotImplementedError
+    b16 = bytearray(good)
+    b16[28:30] = struct.pack("<H", 16)
+    with _pytest.raises(NotImplementedError):
+        M.decode_bmp_pixels(bytes(b16))
+
+
+def test_decode_bmp_pixels_8bit_palette():
+    """A hand-built 8-bit paletted BMP (BGRX color table) decodes through
+    the palette to RGB; an index past the table raises."""
+    import struct
+
+    import pytest as _pytest
+
+    w, h = 2, 2
+    pal = [(250, 0, 0), (0, 250, 0), (0, 0, 250)]
+    table = b"".join(bytes((bl, g, r, 0)) for (r, g, bl) in pal)
+    stride = (w + 3) & ~3
+    idx_rows = [[0, 1], [2, 0]]  # natural order
+    pixel = b"".join(
+        bytes(row) + b"\x00" * (stride - w) for row in idx_rows[::-1]
+    )
+    data_off = 14 + 40 + len(table)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixel), 0, 0, len(pal), 0)
+    head = struct.pack("<2sIHHI", b"BM", data_off + len(pixel), 0, 0, data_off)
+    out = M.decode_bmp_pixels(head + info + table + pixel)
+    assert out["pixels"][0, 0].tolist() == [250, 0, 0]
+    assert out["pixels"][0, 1].tolist() == [0, 250, 0]
+    assert out["pixels"][1, 0].tolist() == [0, 0, 250]
+    assert out["pixels"][1, 1].tolist() == [250, 0, 0]
+    bad_pixel = b"".join(
+        bytes(row) + b"\x00" * (stride - w) for row in [[0, 9], [2, 0]][::-1]
+    )
+    with _pytest.raises(ValueError):
+        M.decode_bmp_pixels(head + info + table + bad_pixel)
+
+
+def test_decode_images_catches_truncated_bmp_without_pil(spark):
+    """A payload with a VALID BMP header but a truncated pixel array fails
+    decode_images even without PIL — the real decoder validates the pixel
+    payload length, the header-only path could not."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: its decoder covers this case")
+    except ImportError:
+        pass
+    good = M.make_bmp(8, 8, rgb=(5, 6, 7))
+    truncated = bytes(good[: len(good) - 40])
+    df = spark.createDataFrame(
+        [(1, truncated, "image/bmp", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        M.decode_images(df).collect()
+    assert "BMP" in str(ei.value) or "expected" in str(ei.value)
+
+
+def test_resize_bmp_real_nearest_neighbor(spark):
+    """BMP payloads resize through the REAL decoder: a 4x4 quadrant image
+    downsampled to 2x2 yields exactly the four quadrant colors."""
+    import numpy as np
+
+    q = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    rows = [
+        [q[0], q[0], q[1], q[1]],
+        [q[0], q[0], q[1], q[1]],
+        [q[2], q[2], q[3], q[3]],
+        [q[2], q[2], q[3], q[3]],
+    ]
+    bmp = M.make_bmp(4, 4, rgb_rows=rows)
+    df = spark.createDataFrame([(1, bmp, "image/bmp", "{}")], M.PAYLOAD_SCHEMA)
+    out = M.resize_images(df, width=2, height=2).collect()[0]
+    px = np.frombuffer(out["payload"], dtype=np.uint8).reshape(2, 2, 3)
+    assert [px[0, 0].tolist(), px[0, 1].tolist(), px[1, 0].tolist(), px[1, 1].tolist()] == [
+        [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]
+    ]
