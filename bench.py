@@ -123,6 +123,7 @@ HEADLINE = [
     "token_zipf_slope",
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
+    "multimodal_bmp_roundtrip",
 ]
 
 

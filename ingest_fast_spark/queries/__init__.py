@@ -83,6 +83,8 @@ _SHOWCASE_ORDER = [
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
     "multimodal_bmp_roundtrip",
+    "embedding_whiten_invariants",
+    "ann_recall_floors",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

@@ -2814,6 +2814,104 @@ def ann_recall_report(spark, sf_dir):
     return ivf.unionByName(lsh).unionByName(mh)
 
 
+@register(
+    "ann_recall_floors",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+    scored AS (
+      SELECT q.query_id, c.vec_id, ROUND({_COS}, 6) AS cos_sim
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    ivf_exact AS (SELECT COUNT(*) AS n FROM ranked WHERE rank <= 10),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cos_exact AS (
+      SELECT COUNT(*) AS n FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND({_EMB_COS}, 6) >= 0.4
+    ),
+    jac_exact AS (SELECT COUNT(*) AS n FROM ({_JACCARD_ORACLE.format(thr="0.05")}) t)
+    SELECT method, n_exact, recall_floor, floor_met FROM (
+      SELECT 'ivf_topk@10' AS method, CAST(n AS BIGINT) AS n_exact,
+             0.4 AS recall_floor, n >= 0 AS floor_met FROM ivf_exact
+      UNION ALL
+      SELECT 'cosine_lsh_pairs', CAST(n AS BIGINT), 0.3, n >= 0 FROM cos_exact
+      UNION ALL
+      SELECT 'minhash_xxhash64_pairs', CAST(n AS BIGINT), 0.3, n >= 0 FROM jac_exact
+    )
+    """,
+)
+def ann_recall_floors(spark, sf_dir):
+    """Driver-attestable companion to the rows-only ``ann_recall_report``:
+    the same three approximate-vs-exact comparisons, but emitted in the
+    bounded-boolean form the driver can hash-check — (method, n_exact,
+    recall_floor, floor_met). The ORACLE recomputes each EXACT leg in pure
+    SQL (brute-force cosine top-10, all-pairs cosine at 0.4, all-pairs
+    3-shingle Jaccard at 0.05) so n_exact is independently verified, and
+    states floor_met must be TRUE — a green row therefore proves (a) the
+    exact Spark legs match SQL ground truth pair-for-pair in count and
+    (b) the xxhash64/LSH/IVF approximations — whose hash seeds SQL cannot
+    replicate — clear their documented recall floors (0.4 IVF@10, 0.3
+    LSH/MinHash; same floors tests/test_recall_report.py pins).
+
+    Scale shape: identical to ann_recall_report — every leg is blocked or
+    broadcast (per-partition GEMM top-k, banded LSH buckets, shingle
+    blocks); the floors row is three 1-row aggregates unioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+
+    def one(method, exact, approx, keys, floor):
+        hit = exact.join(approx, keys, "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        nx = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        return (
+            nx.crossJoin(hit)
+            .select(
+                F.lit(method).alias("method"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.lit(floor).alias("recall_floor"),
+                (
+                    F.col("n_hit") / F.greatest("n_exact", F.lit(1)) >= F.lit(floor)
+                ).alias("floor_met"),
+            )
+        )
+
+    ivf = one(
+        "ivf_topk@10",
+        S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        S.ivf_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        ["query_id", "vec_id"],
+        0.4,
+    )
+    lsh = one(
+        "cosine_lsh_pairs",
+        S.cosine_near_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b"),
+        S.cosine_near_dup_lsh(emb, threshold=0.4).select("vec_a", "vec_b"),
+        ["vec_a", "vec_b"],
+        0.3,
+    )
+    mh = one(
+        "minhash_xxhash64_pairs",
+        D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b"),
+        D.minhash_near_dups(docs, num_hashes=16, bands=4, threshold=0.05).select(
+            "doc_a", "doc_b"
+        ),
+        ["doc_a", "doc_b"],
+        0.3,
+    )
+    return ivf.unionByName(lsh).unionByName(mh)
+
+
 # ---------------------------------------------------------------------------
 # Sketch-backed pre-filters (operators/sketches.py)
 # ---------------------------------------------------------------------------

@@ -750,6 +750,116 @@ def embedding_whiten_zca(spark, sf_dir):
     return e.select("vec_id", "embedding").mapInPandas(transform, out_schema)
 
 
+@register(
+    "embedding_whiten_invariants",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(len(embedding)) AS INT) AS dims,
+           count(*) > 0 AS mean_zero_ok,
+           count(*) > 0 AS cov_identity_ok
+    FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    """,
+)
+def embedding_whiten_invariants(spark, sf_dir):
+    """Driver-attestable companion to the rows-only ``embedding_whiten_zca``:
+    runs the SAME whitening pipeline, then EMPIRICALLY re-measures the
+    covariance of the transformed vectors with a second distributed moment
+    pass and emits the defining invariants as bounded booleans — mean ≈ 0
+    (|μ|∞ ≤ 1e-6; exact up to float error) and covariance ≈ I (off-diagonal
+    and diagonal deviation ≤ 0.05, the slack the 1e-6 eigenvalue
+    regularizer costs). The oracle states the invariants MUST hold, so a
+    green row proves the eigendecomposition-backed transform — which SQL
+    cannot express — actually decorrelates, not merely that it runs.
+    This is the bounded-boolean pattern sketch_quantile_report uses.
+
+    Scale shape: two map-only moment passes (d×d doubles per partition,
+    d=64 ⇒ 32 KB blocks) + one bounded driver-side d×d eigh; the corpus
+    never shuffles and never reaches the driver."""
+    import numpy as np
+
+    from ..catalog import ensure_parallelism
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    spark_ = e.sparkSession
+    out_schema = (
+        "n_vectors long, dims int, mean_zero_ok boolean, cov_identity_ok boolean"
+    )
+
+    def moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    moment_schema = "n long, s array<double>, xtx array<double>"
+
+    def reduce_moments(rows):
+        n = sum(r["n"] for r in rows)
+        s = np.sum([r["s"] for r in rows], axis=0)
+        d = s.shape[0]
+        xtx = np.sum([np.array(r["xtx"]).reshape(d, d) for r in rows], axis=0)
+        mu = s / n
+        return n, mu, xtx / n - np.outer(mu, mu)
+
+    rows = (
+        ensure_parallelism(e.select("embedding"))
+        .mapInPandas(moments, moment_schema)
+        .collect()
+    )
+    if not rows:
+        return spark_.createDataFrame([(0, None, None, None)], out_schema)
+    n, mu, cov = reduce_moments(rows)
+    evals, evecs = np.linalg.eigh(cov)
+    w_mat = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0.0) + 1e-6)) @ evecs.T
+    bc = spark_.sparkContext.broadcast((mu, w_mat))
+
+    def whitened_moments(batches):
+        import pandas as pd
+
+        mu_b, w_b = bc.value
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            x = (np.array(list(pdf["embedding"]), dtype=np.float64) - mu_b) @ w_b
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    wrows = (
+        ensure_parallelism(e.select("embedding"))
+        .mapInPandas(whitened_moments, moment_schema)
+        .collect()
+    )
+    _, wmu, wcov = reduce_moments(wrows)
+    d_dim = int(wmu.shape[0])
+    off = wcov - np.diag(np.diag(wcov))
+    mean_ok = bool(np.abs(wmu).max() <= 1e-6)
+    cov_ok = bool(
+        np.abs(off).max() <= 0.05
+        and np.abs(np.diag(wcov) - 1.0).max() <= 0.05
+    )
+    return spark_.createDataFrame(
+        [(int(n), d_dim, mean_ok, cov_ok)], out_schema
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character-entropy quality signal
 # ---------------------------------------------------------------------------
