@@ -124,6 +124,7 @@ HEADLINE = [
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
     "multimodal_bmp_roundtrip",
+    "text_html_extract",
 ]
 
 

@@ -91,3 +91,44 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the sorted distinct token set — robust
     to word order, the classic 'bag fingerprint'."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def html_escape(text: Column) -> Column:
+    """Minimal HTML entity escaping (&, <, > — ampersand first so the
+    later entities survive). Column-only: used to SYNTHESIZE deterministic
+    HTML payloads for the extraction round-trip attestation."""
+    out = F.regexp_replace(text, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def html_main_text(html: Column) -> Column:
+    """Main-text extraction from an HTML page — the first ETL step of any
+    web-crawl corpus (the trafilatura/jusText problem, restricted to the
+    deterministic core): drop <script>/<style> subtrees, keep only
+    paragraph (<p>) content, strip residual inline tags, decode the five
+    predefined XML entities, and collapse whitespace. Entirely JVM-side
+    Column expressions (regexp_extract_all + regexp_replace chain) — no
+    UDF, so the extraction runs inside whole-stage codegen at scan speed.
+
+    Boilerplate OUTSIDE paragraph tags (nav, footer, headers, ads) is
+    dropped by construction — the paragraph-only rule is the simplest
+    density heuristic and the reason the round-trip query can assert
+    exact recovery of the original text."""
+    no_scripts = F.regexp_replace(
+        html, r"(?s)<(script|style)[^>]*>.*?</\1>", " "
+    )
+    paras = F.array_join(
+        F.regexp_extract_all(no_scripts, F.lit(r"(?s)<p\b[^>]*>(.*?)</p>"), 1),
+        " ",
+    )
+    flat = F.regexp_replace(paras, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes in two honest steps
+    ):
+        flat = F.regexp_replace(flat, ent, ch)
+    return F.trim(F.regexp_replace(flat, r"\s+", " "))

@@ -85,6 +85,7 @@ _SHOWCASE_ORDER = [
     "multimodal_bmp_roundtrip",
     "embedding_whiten_invariants",
     "ann_recall_floors",
+    "text_html_extract",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

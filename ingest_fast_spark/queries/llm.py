@@ -621,6 +621,59 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
 
 
 @register(
+    "text_html_extract",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(trim(text), '\s+', ' ', 'g') AS main_text
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML main-text extraction round-trip — the first ETL step of a
+    web-crawl corpus, attested end-to-end like the image decoders:
+    synthesize a deterministic full HTML page per document (title, style
+    and script subtrees, nav/footer boilerplate, the document text
+    entity-escaped and split across two <p> paragraphs), run the
+    production ``html_main_text`` extractor, and emit the recovered text.
+    The oracle states the whitespace-normalized ORIGINAL text — an exact
+    match proves the extractor drops every boilerplate element, survives
+    entity escaping, and reassembles multi-paragraph content losslessly.
+
+    Scale shape: synthesis and extraction are both pure Column regexp
+    chains — map-only, whole-stage-codegen, zero shuffles, zero UDFs; at
+    100 TB this runs at parquet-scan speed."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    half = F.ceil(F.size(toks) / 2).cast("int")
+    p1 = F.array_join(F.slice(toks, F.lit(1), half), " ")
+    p2 = F.array_join(
+        F.slice(toks, half + 1, F.greatest(F.size(toks) - half, F.lit(0))), " "
+    )
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>p{margin:0} .ad{display:none}</style>'
+            '<script>var tracker="<p>not text</p>";</script></head>'
+            '<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+            '<div id="main"><p class="body">'
+        ),
+        T.html_escape(p1),
+        F.lit('</p><p class="body">'),
+        T.html_escape(p2),
+        F.lit(
+            '</p></div><footer>&copy; 2026 Example Corp &mdash; '
+            "all rights reserved</footer></body></html>"
+        ),
+    )
+    return d.select("doc_id", html.alias("page")).select(
+        "doc_id", T.html_main_text(F.col("page")).alias("main_text")
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (

@@ -90,6 +90,8 @@ SHUFFLE_BUDGET = {
     # window; kmeans ends map-only on the checkpointed centroid table.
     "graph_label_propagation": 1,
     "embedding_kmeans": 0,
+    # html synthesis + extraction is one regexp Column chain — scan speed
+    "text_html_extract": 0,
 }
 
 
