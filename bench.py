@@ -125,6 +125,7 @@ HEADLINE = [
     "multimodal_jpeg_roundtrip",
     "multimodal_bmp_roundtrip",
     "text_html_extract",
+    "text_fix_mojibake",
 ]
 
 

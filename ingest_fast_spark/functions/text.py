@@ -132,3 +132,39 @@ def html_main_text(html: Column) -> Column:
     ):
         flat = F.regexp_replace(flat, ent, ch)
     return F.trim(F.regexp_replace(flat, r"\s+", " "))
+
+
+# UTF-8 bytes mis-decoded as cp1252 ("mojibake") — the single most common
+# encoding defect in web crawls (the core of what ftfy repairs). The pair
+# table is COMPUTED from the codec round-trip, not hand-typed, so every
+# entry is correct by construction; characters whose corrupted form
+# contains an invisible cp1252 byte (soft hyphen, NBSP) are excluded to
+# keep the table printable and the SQL oracle literal-safe.
+_MOJIBAKE_CHARS = "éäöüñçèêóúâîôûëïÉ’‘“–—…€°±×½"
+MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
+    (
+        (c.encode("utf-8").decode("cp1252"), c)
+        for c in _MOJIBAKE_CHARS
+        if all(ch.isprintable() for ch in c.encode("utf-8").decode("cp1252"))
+    ),
+    key=lambda p: -len(p[0]),  # longest corrupted form first: 'â€™' before 'Ã¢'
+)
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair cp1252-mojibake (ftfy's core case) with a chain of LITERAL
+    replaces — JVM-side, codegen-friendly, no UDF. Longest corrupted
+    sequences substitute first so multi-byte forms never get split by a
+    shorter prefix rule."""
+    out = text
+    for bad, good in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_sql(expr: str) -> str:
+    """The DuckDB twin of ``fix_mojibake`` — same pair table, same order."""
+    out = expr
+    for bad, good in MOJIBAKE_PAIRS:
+        out = f"replace({out}, '{bad}', '{good}')"
+    return out

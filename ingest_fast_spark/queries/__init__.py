@@ -86,6 +86,7 @@ _SHOWCASE_ORDER = [
     "embedding_whiten_invariants",
     "ann_recall_floors",
     "text_html_extract",
+    "text_fix_mojibake",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

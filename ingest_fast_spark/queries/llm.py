@@ -673,6 +673,48 @@ def text_html_extract(spark, sf_dir):
     )
 
 
+# Mojibake round-trip constants: the clean tail exercises accented latin,
+# curly quotes, dashes, ellipsis, currency and symbol pairs; the corrupted
+# form is COMPUTED by the same codec round-trip the repair table is built
+# from, so query and oracle can never drift from the pair table.
+_MOJI_CLEAN = " — café “ ‘München’ naïve €3½ at 20°…"
+_MOJI_BAD = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+_MOJI_DIFF = len(_MOJI_BAD) - len(_MOJI_CLEAN)
+
+
+@register(
+    "text_fix_mojibake",
+    oracle=f"""
+    SELECT doc_id,
+           text || '{_MOJI_CLEAN}' AS fixed_text,
+           CAST({_MOJI_DIFF} AS BIGINT) AS n_chars_repaired
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+)
+def text_fix_mojibake(spark, sf_dir):
+    """Encoding-repair round-trip (the ftfy problem): every document gets
+    a deterministically CORRUPTED tail — the clean tail re-encoded through
+    the utf-8→cp1252 mis-decode that produces real-world mojibake — and
+    the production ``fix_mojibake`` Column chain repairs it. The oracle
+    states the clean ground truth plus the exact number of characters the
+    repair must reclaim, so a green row proves the full 28-pair confusion
+    table round-trips (quotes, dashes, umlauts, currency), not merely that
+    the replace chain runs.
+
+    Scale shape: pure literal-replace Column chain — map-only, zero
+    shuffles, zero UDFs; runs at parquet-scan speed at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    corrupt = F.concat(F.col("text"), F.lit(_MOJI_BAD))
+    fixed = T.fix_mojibake(corrupt)
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed_text"),
+        (F.length(corrupt) - F.length(fixed)).cast("long").alias("n_chars_repaired"),
+    )
+
+
 @register(
     "text_tfidf_top_terms",
     oracle=f"""

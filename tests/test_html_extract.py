@@ -71,3 +71,32 @@ def test_registered_roundtrip_single_token_docs(spark):
             for r in QUERIES["text_html_extract"](spark, d).collect()
         }
     assert rows == {1: "solo", 2: "two tokens", 3: "a b c"}
+
+
+# ---------------------------------------------------------------------------
+# fix_mojibake (same module: functions/text.py Column chains)
+# ---------------------------------------------------------------------------
+
+
+def test_fix_mojibake_every_pair_roundtrips(spark):
+    from ingest_fast_spark.functions.text import MOJIBAKE_PAIRS
+
+    clean = " ".join(good for _, good in MOJIBAKE_PAIRS)
+    bad = clean.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(bad,)], "t string")
+    out = df.select(T.fix_mojibake(F.col("t")).alias("x")).collect()[0]["x"]
+    assert out == clean
+
+
+def test_fix_mojibake_is_noop_on_clean_ascii(spark):
+    s = "plain ascii text, no mojibake markers at all."
+    df = spark.createDataFrame([(s,)], "t string")
+    assert df.select(T.fix_mojibake(F.col("t")).alias("x")).collect()[0]["x"] == s
+
+
+def test_fix_mojibake_ordering_long_before_short(spark):
+    # 'â€™' must repair as one right-quote, not decompose via the bare
+    # 'Ã¢'/'â' rules; interleaved with a 2-byte pair to prove independence
+    df = spark.createDataFrame([("itâ€™s Ã¼ber",)], "t string")
+    out = df.select(T.fix_mojibake(F.col("t")).alias("x")).collect()[0]["x"]
+    assert out == "it’s über"

@@ -92,6 +92,7 @@ SHUFFLE_BUDGET = {
     "embedding_kmeans": 0,
     # html synthesis + extraction is one regexp Column chain — scan speed
     "text_html_extract": 0,
+    "text_fix_mojibake": 0,  # literal-replace chain, map-only
 }
 
 
