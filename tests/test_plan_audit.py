@@ -306,3 +306,18 @@ def test_bigram_unigram_side_broadcasts(spark, sf_dir):
     corpus scale)."""
     plan = plan_of(spark, sf_dir, "doc_bigram_logppl")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_html_extract_no_udf_no_shuffle(spark, sf_dir):
+    """HTML synthesis + extraction is one regexp Column chain over one
+    scan: no Python eval node, no exchange — parquet-scan speed at 100 TB."""
+    plan = plan_of(spark, sf_dir, "text_html_extract")
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_fix_mojibake_no_udf_no_shuffle(spark, sf_dir):
+    """The 28-pair literal-replace chain stays JVM-side and map-only."""
+    plan = plan_of(spark, sf_dir, "text_fix_mojibake")
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
