@@ -14,8 +14,10 @@ headers, ``decode_png_pixels`` is a REAL pixel decoder for 8-bit PNG
 ``decode_gif_pixels`` is a REAL pixel decoder for GIF (pure-Python
 variable-width LZW + palette + interlace reorder),
 ``jpeg.decode_jpeg_pixels`` is a REAL pixel decoder for baseline JPEG
-(Huffman entropy decode + numpy IDCT + chroma upsample), and PIL
-(optional) covers the remainder (progressive JPEG, WebP, ...).
+(Huffman entropy decode + numpy IDCT + chroma upsample),
+``decode_bmp_pixels`` is a REAL pixel decoder for uncompressed BMP
+(24-bit BGR + 8-bit paletted, both row orders), and PIL (optional)
+covers the remainder (progressive JPEG, WebP, ...).
 AUDIO is real for PCM WAV (``parse_wav_header`` + ``chunk_audio`` +
 ``audio_features`` — RMS/peak/ZCR/silence DSP in numpy) and VIDEO is real
 for Y4M (``parse_y4m_header`` + ``sample_frames``); the remaining

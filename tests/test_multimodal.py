@@ -669,3 +669,31 @@ def test_resize_bmp_real_nearest_neighbor(spark):
     assert [px[0, 0].tolist(), px[0, 1].tolist(), px[1, 0].tolist(), px[1, 1].tolist()] == [
         [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]
     ]
+
+
+def test_bmp_codec_property_roundtrip():
+    """Property: ANY rgb grid round-trips through make_bmp →
+    decode_bmp_pixels for every (width, height, row-order) combination —
+    including widths whose 3·w byte rows hit each of the four possible
+    stride paddings. Pure-Python, no Spark session needed."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=7),
+        st.booleans(),
+        st.randoms(use_true_random=False),
+    )
+    def check(w, h, td, rnd):
+        rows = [
+            [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        out = M.decode_bmp_pixels(M.make_bmp(w, h, rgb_rows=rows, top_down=td))
+        assert out["pixels"].shape == (h, w, 3)
+        assert (out["pixels"] == np.array(rows, dtype=np.uint8)).all()
+
+    check()
