@@ -270,10 +270,14 @@ def test_bpe_encode_word_lengths_broadcast(spark, sf_dir):
 
 def test_quarantine_gate_is_map_only(spark, sf_dir):
     """The quarantine gate is the cheapest pipeline stage by design: all
-    five rules are Column expressions over one scan — no shuffle, no
-    Python eval."""
+    five rules are Column expressions over one scan — no KEY shuffle, no
+    Python eval. The single allowed exchange is ensure_parallelism's
+    round-robin widening of a one-split local scan (a no-op at real scale
+    where the scan is thousands of splits); a hashpartitioning exchange
+    would mean the gate grew a grouping it must not have."""
     plan = plan_of(spark, sf_dir, "quality_quarantine")
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
     assert "EvalPython" not in plan, plan
 
 
