@@ -1851,21 +1851,29 @@ def quality_gopher_rules(spark, sf_dir):
     )
     nw = F.col("n_words")
     nl = F.col("n_lines")
+    # try_divide, not `/`: the boolean guards (`&`, `|`) do NOT
+    # short-circuit expression evaluation, so on an empty document a plain
+    # division raises ANSI DIVIDE_BY_ZERO even though the guard is false.
+    # try_divide yields NULL there, and false & NULL = false / true | NULL
+    # = true — exactly the guarded semantics.
     pass_word_count = (nw >= 50) & (nw <= 100000)
     pass_mean_wl = (nw > 0) & F.round(
-        F.col("sum_wlen") / nw.cast("double"), 6
+        F.try_divide(F.col("sum_wlen"), nw.cast("double")), 6
     ).between(3, 10)
     pass_symbol = (nw > 0) & (
-        F.round((F.col("n_hash") + F.col("n_ell")) / nw.cast("double"), 6) <= 0.1
+        F.round(
+            F.try_divide(F.col("n_hash") + F.col("n_ell"), nw.cast("double")), 6
+        )
+        <= 0.1
     )
     pass_bullet = (nl == 0) | (
-        F.round(F.col("n_bullet") / nl.cast("double"), 6) <= 0.9
+        F.round(F.try_divide(F.col("n_bullet"), nl.cast("double")), 6) <= 0.9
     )
     pass_ellipsis = (nl == 0) | (
-        F.round(F.col("n_ellend") / nl.cast("double"), 6) <= 0.3
+        F.round(F.try_divide(F.col("n_ellend"), nl.cast("double")), 6) <= 0.3
     )
     pass_alpha = (nw > 0) & (
-        F.round(F.col("n_alpha") / nw.cast("double"), 6) >= 0.8
+        F.round(F.try_divide(F.col("n_alpha"), nw.cast("double")), 6) >= 0.8
     )
     pass_stop = F.col("n_stop") >= 2
     return stats.select(

@@ -82,6 +82,11 @@ def test_gopher_rules_flag_planted_pathologies(spark, tmp_path):
         (5, "#a #b #c #d #e word " * 10, "en", "src0", 100),
         # numeric gibberish: <80% alpha words
         (6, " ".join(str(i) for i in range(80)), "en", "src0", 100),
+        # empty / whitespace-only docs: zero words and zero lines must
+        # fail-closed, not raise ANSI DIVIDE_BY_ZERO (the boolean guards
+        # don't short-circuit; the ratios use try_divide)
+        (7, "", "en", "src0", 0),
+        (8, "   \n  ", "en", "src0", 6),
     ]
     d = str(tmp_path / "gopher")
     spark.createDataFrame(
@@ -96,6 +101,8 @@ def test_gopher_rules_flag_planted_pathologies(spark, tmp_path):
     assert not rows[6]["pass_alpha_words"] and not rows[6]["pass_stopwords"]
     for i in (2, 3, 4, 5, 6):
         assert not rows[i]["pass_all"]
+    for i in (7, 8):
+        assert not rows[i]["pass_word_count"] and not rows[i]["pass_all"], rows[i]
 
 
 def test_c4_rules_flag_planted_pathologies(spark, tmp_path):
