@@ -126,6 +126,7 @@ HEADLINE = [
     "multimodal_bmp_roundtrip",
     "text_html_extract",
     "text_fix_mojibake",
+    "multimodal_dedup_ahash",
 ]
 
 

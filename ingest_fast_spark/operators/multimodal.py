@@ -265,6 +265,68 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, DECODED_SCHEMA)
 
 
+def ahash_pixels(px) -> int:
+    """Average hash (aHash) of a decoded pixel array — the classic
+    perceptual image fingerprint: grayscale, nearest-sample to 8×8,
+    threshold each cell on the grid mean, pack the 64 bits MSB-first into
+    a SIGNED 64-bit int (Spark LongType). Deterministic for lossless
+    pixel sources (PNG/GIF/BMP and flat-quant JPEG), robust to resizing
+    and brightness-preserving re-encodes — the standard first pass of
+    image dedup before pairwise verification."""
+    import numpy as np
+
+    a = np.asarray(px)
+    g = a.astype(np.float64).mean(axis=2) if a.ndim == 3 else a.astype(np.float64)
+    h, w = g.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(8) * w) // 8
+    small = g[rows][:, cols]
+    bits = (small >= small.mean()).ravel()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+AHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("ahash", LongType())]
+)
+
+
+def ahash_images(df: DataFrame) -> DataFrame:
+    """Perceptual-hash operator: mapInPandas over binary payloads →
+    (doc_id, ahash). Pixels come from the pure-Python decoders (PIL-free);
+    formats without a registered pixel decoder raise honestly — a
+    perceptual hash of undecoded bytes would be a silent fake. NULL
+    payloads yield NULL hashes (missing media is data, not an error).
+
+    Scale shape: map-only; downstream dedup groups on the 64-bit hash
+    (exact duplicates) or on 16-bit hash bands (near-duplicates within a
+    hamming radius) — both one bounded-key shuffle at any corpus size."""
+
+    def hash_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                if b is None:
+                    out.append(None)
+                    continue
+                raw = bytes(b)
+                meta = parse_image_header(raw)
+                dec = _PIXEL_DECODERS.get(meta["format"]) if meta else None
+                if dec is None:
+                    raise ValueError(
+                        "no pixel decoder for payload (PNG/JPEG/GIF/BMP "
+                        "supported without PIL)"
+                    )
+                out.append(ahash_pixels(dec(raw)["pixels"]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.mapInPandas(hash_batch, AHASH_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

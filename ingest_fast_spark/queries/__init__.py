@@ -87,6 +87,7 @@ _SHOWCASE_ORDER = [
     "ann_recall_floors",
     "text_html_extract",
     "text_fix_mojibake",
+    "multimodal_dedup_ahash",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

