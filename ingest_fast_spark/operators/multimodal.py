@@ -327,6 +327,65 @@ def ahash_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(hash_batch, AHASH_SCHEMA)
 
 
+# Column-group band masks for 64-bit aHash hamming LSH: band g selects the
+# bits of grid columns {2g, 2g+1} across all 8 rows (bit of cell (r,c) sits
+# at 63-(r*8+c), MSB-first packing). Banding by COLUMNS, not by bit slices,
+# because localized image edits (a shifted edge, a changed object) move
+# entire columns of the 8×8 grid — a one-column change then dirties exactly
+# one band and the other three still collide.
+AHASH_BAND_MASKS = [
+    (m - (1 << 64)) if m >= (1 << 63) else m  # Spark longs are SIGNED 64-bit
+    for m in (
+        sum(1 << (63 - (r * 8 + c)) for r in range(8) for c in (2 * g, 2 * g + 1))
+        for g in range(4)
+    )
+]
+
+
+def ahash_near_dups(hashed: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate image pairs from aHash fingerprints: candidates must
+    share at least one of the four column-band keys (hash & mask), then
+    every candidate is verified with the exact popcount of the XOR —
+    classic LSH shape, zero recall loss within a ≤2-dirty-column edit
+    radius and never an unverified pair. Input: (doc_id, ahash) from
+    ``ahash_images``; output: (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Scale shape: 4 equi-joins on 64-bit band keys (union via explode —
+    ONE shuffle on the band key), exact verification touches candidates
+    only; band-key skew equals true visual-duplicate mass."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("band"),
+                F.col("ahash").bitwiseAND(F.lit(AHASH_BAND_MASKS[g])).alias("key"),
+            )
+            for g in range(4)
+        ]
+    )
+    banded = (
+        hashed.filter(F.col("ahash").isNotNull())
+        .select("doc_id", "ahash", F.explode(bands).alias("b"))
+        .select("doc_id", "ahash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"), "band", "key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

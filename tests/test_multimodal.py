@@ -756,3 +756,35 @@ def test_ahash_null_and_undecodable(spark):
     with _pytest.raises(Exception) as ei:
         M.ahash_images(bad).collect()
     assert "pixel decoder" in str(ei.value) or "PIL" in str(ei.value)
+
+
+def test_ahash_near_dups_banded_hamming(spark):
+    """Banded-hamming near-dup pairs: the seven planted split patterns
+    (adjacent splits differ by exactly one 8-bit column, hamming 8) must
+    pair exactly adjacent patterns at radius 8 — candidates via the
+    column-band keys, verified by exact popcount, no misses, no extras."""
+    rows_for = lambda p: [
+        [(0, 0, 0)] * (p + 1) + [(255, 255, 255)] * (7 - p)
+    ] * 8
+    hashes = [
+        (p, M.ahash_pixels(M.decode_bmp_pixels(M.make_bmp(8, 8, rgb_rows=rows_for(p)))["pixels"]))
+        for p in range(7)
+    ]
+    df = spark.createDataFrame(hashes, "doc_id long, ahash long")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.ahash_near_dups(df, max_hamming=8).collect()
+    }
+    assert pairs == {(p, p + 1): 8 for p in range(6)}, pairs
+    # radius 16 adds the distance-2 pattern pairs and nothing else
+    pairs16 = set(
+        (r["doc_a"], r["doc_b"])
+        for r in M.ahash_near_dups(df, max_hamming=16).collect()
+    )
+    assert pairs16 == {(p, p + 1) for p in range(6)} | {(p, p + 2) for p in range(5)}
+    # identical hashes pair at distance 0
+    dup = spark.createDataFrame(
+        [(1, hashes[0][1]), (2, hashes[0][1])], "doc_id long, ahash long"
+    )
+    out = M.ahash_near_dups(dup, max_hamming=0).collect()
+    assert [(out[0]["doc_a"], out[0]["doc_b"], out[0]["hamming"])] == [(1, 2, 0)]
