@@ -127,6 +127,7 @@ HEADLINE = [
     "text_html_extract",
     "text_fix_mojibake",
     "multimodal_dedup_ahash",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -579,6 +579,92 @@ def _y4m_frames(b: bytes, meta: dict, wanted: list[int]) -> list[bytes]:
     return out
 
 
+def make_y4m(
+    width: int, height: int, frame_y: list[int], fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """A complete, valid YUV4MPEG2 mono clip built with the stdlib — one
+    solid-luma frame per entry of ``frame_y``. Decodable by ANY conformant
+    Y4M reader; used to synthesize deterministic clips with PLANTED scene
+    structure for round-trip attestation."""
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    ).encode("ascii")
+    body = b"".join(
+        b"FRAME\n" + bytes([y & 0xFF]) * (width * height) for y in frame_y
+    )
+    return head + body
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("cut_frame", LongType()),
+        StructField("delta", DoubleType()),
+    ]
+)
+
+
+def detect_scene_cuts(df: DataFrame, threshold: float = 30.0) -> DataFrame:
+    """Shot-boundary detection — the standard first pass of video curation
+    (sample one keyframe per shot, dedup near-identical clips): consecutive
+    luma planes are compared by mean absolute pixel difference and a frame
+    whose delta exceeds ``threshold`` starts a new scene. One input row →
+    one output row per cut (doc_id, cut_frame, delta).
+
+    REAL for Y4M payloads: ``parse_y4m_header`` gives exact plane
+    geometry, the Y plane is the first w·h bytes of every frame for all
+    supported chroma modes, and the delta is computed in numpy over raw
+    bytes. Non-Y4M payloads raise honestly (compressed video needs
+    ffmpeg, absent here) — a fake cut list would poison downstream
+    sampling. NULL payloads produce no rows (missing media is data).
+
+    Scale shape: map-only — each clip's frames are scanned once inside
+    its executor; payload bytes never shuffle and the output is one row
+    per detected cut."""
+
+    def cuts(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, frames_, deltas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                meta = parse_y4m_header(raw)
+                if meta is None:
+                    raise ValueError(
+                        "scene-cut detection needs a Y4M payload "
+                        "(compressed video requires ffmpeg, absent here)"
+                    )
+                w, h = meta["width"], meta["height"]
+                prev = None
+                i, idx = meta["header_end"], 0
+                while i < len(raw) and raw[i : i + 5] == b"FRAME":
+                    fnl = raw.find(b"\n", i)
+                    lo = fnl + 1
+                    y = np.frombuffer(raw, dtype=np.uint8, count=w * h, offset=lo)
+                    if prev is not None:
+                        d = float(
+                            np.abs(
+                                y.astype(np.int16) - prev.astype(np.int16)
+                            ).mean()
+                        )
+                        if d > threshold:
+                            ids.append(doc_id)
+                            frames_.append(idx)
+                            deltas.append(round(d, 6))
+                    prev = y
+                    idx += 1
+                    i = lo + meta["frame_bytes"]
+            yield pd.DataFrame(
+                {"doc_id": ids, "cut_frame": frames_, "delta": deltas}
+            )
+
+    return df.mapInPandas(cuts, SCENE_CUT_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

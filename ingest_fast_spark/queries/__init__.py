@@ -88,6 +88,7 @@ _SHOWCASE_ORDER = [
     "text_html_extract",
     "text_fix_mojibake",
     "multimodal_dedup_ahash",
+    "multimodal_scene_cuts",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

@@ -731,6 +731,58 @@ def multimodal_dedup_ahash(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS cut_frame, 100.0 AS delta
+    FROM documents WHERE doc_id IS NOT NULL
+    UNION ALL
+    SELECT doc_id, CAST(6 + doc_id % 3 AS BIGINT) AS cut_frame, 100.0 AS delta
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """VIDEO shot-boundary detection, attested end-to-end: synthesize a
+    real 10-frame mono Y4M clip per document with TWO planted scene cuts
+    (luma 40 → 140 at frame 2+id%3, 140 → 240 at frame 6+id%3 — both
+    exactly mean-delta 100), run the production ``detect_scene_cuts``
+    operator at threshold 50, and emit the detected boundaries. The
+    oracle states the planted cut positions and deltas, so a green row
+    proves the frame walker, plane geometry, and difference math recover
+    the generator's ground truth — completing the image (PNG/GIF/JPEG/
+    BMP) / audio (WAV) / video (Y4M) driver-attestation matrix.
+
+    Scale shape: two chained map-only mapInPandas passes (synthesize,
+    detect) — no shuffle; clip bytes never leave their executor."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                c1, c2 = 2 + i % 3, 6 + i % 3
+                frame_y = [40] * c1 + [140] * (c2 - c1) + [240] * (10 - c2)
+                payloads.append(M.make_y4m(8, 6, frame_y))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "video/x-yuv4mpeg",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    clips = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.detect_scene_cuts(clips, threshold=50.0)
+
+
 # Mojibake round-trip constants: the clean tail exercises accented latin,
 # curly quotes, dashes, ellipsis, currency and symbol pairs; the corrupted
 # form is COMPUTED by the same codec round-trip the repair table is built

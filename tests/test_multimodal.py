@@ -788,3 +788,45 @@ def test_ahash_near_dups_banded_hamming(spark):
     )
     out = M.ahash_near_dups(dup, max_hamming=0).collect()
     assert [(out[0]["doc_a"], out[0]["doc_b"], out[0]["hamming"])] == [(1, 2, 0)]
+
+
+def test_make_y4m_parses_and_scene_cuts_detected(spark):
+    """make_y4m produces a conformant mono clip (header parser recovers
+    geometry and frame count) and detect_scene_cuts finds exactly the
+    planted boundaries with their exact mean deltas — gradual drift below
+    the threshold is NOT a cut."""
+    clip = M.make_y4m(4, 4, [10, 10, 200, 200, 90, 90])
+    meta = M.parse_y4m_header(clip)
+    assert (meta["width"], meta["height"], meta["chroma"], meta["n_frames"]) == (
+        4, 4, "mono", 6,
+    )
+    df = spark.createDataFrame(
+        [(1, clip, "video/x-yuv4mpeg", "{}")], M.PAYLOAD_SCHEMA
+    )
+    rows = sorted(
+        (r["cut_frame"], r["delta"])
+        for r in M.detect_scene_cuts(df, threshold=50.0).collect()
+    )
+    assert rows == [(2, 190.0), (4, 110.0)]
+    # below-threshold motion produces no cuts
+    calm = M.make_y4m(4, 4, [100, 110, 120, 130])
+    df2 = spark.createDataFrame(
+        [(2, calm, "video/x-yuv4mpeg", "{}")], M.PAYLOAD_SCHEMA
+    )
+    assert M.detect_scene_cuts(df2, threshold=50.0).count() == 0
+
+
+def test_scene_cuts_null_and_non_y4m(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, None, "video/x-yuv4mpeg", "{}")], M.PAYLOAD_SCHEMA
+    )
+    assert M.detect_scene_cuts(df).count() == 0
+    bad = spark.createDataFrame(
+        [(2, b"\x00\x00\x00 ftypmp42 fake mp4", "video/mp4", "{}")],
+        M.PAYLOAD_SCHEMA,
+    )
+    with _pytest.raises(Exception) as ei:
+        M.detect_scene_cuts(bad).collect()
+    assert "Y4M" in str(ei.value) or "ffmpeg" in str(ei.value)
