@@ -128,6 +128,7 @@ HEADLINE = [
     "text_fix_mojibake",
     "multimodal_dedup_ahash",
     "multimodal_scene_cuts",
+    "multimodal_audio_roundtrip",
 ]
 
 

@@ -813,6 +813,31 @@ def chunk_audio(
     return df.mapInPandas(explode_chunks, CHUNK_SCHEMA)
 
 
+def make_wav(samples, sample_rate: int = 8000) -> bytes:
+    """A complete, valid 16-bit mono PCM WAV built with the stdlib
+    (RIFF + fmt + data) from an int16 sample sequence. Decodable by ANY
+    conformant reader; used to synthesize deterministic clips with
+    analytically known signal statistics for round-trip attestation."""
+    import struct
+
+    import numpy as np
+
+    body = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -89,6 +89,7 @@ _SHOWCASE_ORDER = [
     "text_fix_mojibake",
     "multimodal_dedup_ahash",
     "multimodal_scene_cuts",
+    "multimodal_audio_roundtrip",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

@@ -732,6 +732,67 @@ def multimodal_dedup_ahash(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(100 AS BIGINT) AS duration_ms,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(800 AS BIGINT) AS n_samples,
+           ROUND((1000 + (doc_id % 7) * 2000) / 32768.0, 6) AS rms,
+           ROUND((1000 + (doc_id % 7) * 2000) / 32768.0, 6) AS peak,
+           ROUND(CAST(FLOOR(799 / (1 + doc_id % 4)) AS DOUBLE) / 799.0, 6)
+             AS zero_crossing_rate,
+           0.0 AS silence_ratio
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_audio_roundtrip(spark, sf_dir):
+    """AUDIO DSP attestation through the driver's oracle: synthesize a
+    real 16-bit PCM WAV per document — an 800-sample square wave whose
+    amplitude v = 1000 + 2000·(id%7) and half-period p = 1 + id%4 are
+    id-derived — run the production ``audio_features`` operator, and emit
+    the measured statistics. A constant-magnitude square wave has CLOSED
+    FORMS for every feature (rms = peak = v/32768, zcr = ⌊799/p⌋/799,
+    zero silence), so the oracle states the analytic ground truth and a
+    green row proves the RIFF walker and the numpy DSP recover it exactly
+    through the Arrow path — the audio leg of the image/audio/video
+    attestation matrix.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle;
+    sample bytes never leave the executor that made them."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                v, p = 1000 + (i % 7) * 2000, 1 + i % 4
+                n = 800
+                sign = 1 - 2 * ((np.arange(n) // p) % 2)  # +1,-1 blocks of p
+                payloads.append(
+                    M.make_wav((sign * v).astype("<i2"), sample_rate=8000)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    return M.audio_features(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))
+
+
+@register(
     "multimodal_scene_cuts",
     oracle="""
     SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS cut_frame, 100.0 AS delta

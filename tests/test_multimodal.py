@@ -830,3 +830,24 @@ def test_scene_cuts_null_and_non_y4m(spark):
     with _pytest.raises(Exception) as ei:
         M.detect_scene_cuts(bad).collect()
     assert "Y4M" in str(ei.value) or "ffmpeg" in str(ei.value)
+
+
+def test_make_wav_roundtrips_through_header_and_features(spark):
+    """make_wav produces a conformant RIFF container (header parser
+    recovers rate/bits/duration) and audio_features measures the analytic
+    statistics of a known signal exactly."""
+    import numpy as np
+
+    # 400 samples alternating +8192/-8192 at 8 kHz: rms=peak=0.25, zcr=1
+    sign = 1 - 2 * (np.arange(400) % 2)
+    wav = M.make_wav((sign * 8192).astype("<i2"), sample_rate=8000)
+    meta = M.parse_wav_header(wav)
+    assert (meta["sample_rate"], meta["bits_per_sample"], meta["duration_ms"]) == (
+        8000, 16, 50,
+    )
+    df = spark.createDataFrame([(1, wav, "audio/wav", "{}")], M.PAYLOAD_SCHEMA)
+    r = M.audio_features(df).collect()[0]
+    assert (r["n_samples"], r["rms"], r["peak"], r["zero_crossing_rate"]) == (
+        400, 0.25, 0.25, 1.0,
+    )
+    assert r["silence_ratio"] == 0.0
