@@ -90,6 +90,7 @@ _SHOWCASE_ORDER = [
     "multimodal_dedup_ahash",
     "multimodal_scene_cuts",
     "multimodal_audio_roundtrip",
+    "encode_decode_roundtrip",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",

@@ -732,6 +732,64 @@ def multimodal_dedup_ahash(spark, sf_dir):
 
 
 @register(
+    "encode_decode_roundtrip",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS decoded_text
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+)
+def encode_decode_roundtrip(spark, sf_dir):
+    """Tokenizer INVERTIBILITY attestation: build the corpus vocabulary
+    (freq-ranked dense ids), ENCODE every document to its id sequence,
+    then DECODE the ids back through the reverse mapping and reassemble
+    the token stream in position order. The oracle states the normalized
+    original text — an exact match proves the id assignment is a
+    bijection on the corpus vocabulary and that positional reassembly is
+    lossless, the property every downstream consumer of
+    ``encode_docs_to_ids`` / ``pack_training_sequences`` silently relies
+    on (a non-invertible tokenizer corrupts training data undetectably).
+
+    Scale shape: token-count hash agg (map-side partial) + the
+    vocabulary-sized rank window; the encode and decode probes are plain
+    equi-joins with NO broadcast hint — vocabulary grows unboundedly on
+    web corpora, so AQE decides (same rule as the dsir/bpe hint drops)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    vocab = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "token_id",
+            (
+                F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token")))
+                - 1
+            ).cast("long"),
+        )
+        .select("token", "token_id")
+    )
+    seq = d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    ids = seq.join(vocab, "token").select("doc_id", "pos", "token_id")
+    decoded = ids.join(vocab, "token_id").select("doc_id", "pos", "token")
+    return decoded.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("token")))
+                ),
+                lambda s: s.token,
+            ),
+            " ",
+        ).alias("decoded_text")
+    )
+
+
+@register(
     "multimodal_audio_roundtrip",
     oracle="""
     SELECT doc_id,
