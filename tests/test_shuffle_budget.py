@@ -93,6 +93,14 @@ SHUFFLE_BUDGET = {
     # html synthesis + extraction is one regexp Column chain — scan speed
     "text_html_extract": 0,
     "text_fix_mojibake": 0,  # literal-replace chain, map-only
+    # synthesize + decode are chained mapInPandas passes (map-only); the
+    # ahash variant pays exactly one key exchange for the cluster window
+    "multimodal_bmp_roundtrip": 0,
+    "multimodal_scene_cuts": 0,
+    "multimodal_audio_roundtrip": 0,
+    "multimodal_dedup_ahash": 1,
+    # vocab count agg + vocab rank + encode join + decode join + doc rollup
+    "encode_decode_roundtrip": 6,
 }
 
 
