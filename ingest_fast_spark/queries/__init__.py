@@ -69,10 +69,13 @@ def _load_all() -> None:
 # selfcheck.py always runs all queries regardless of this order.
 # Round 6 prefix: (0) the queries NEW or changed this round — the four
 # round-6 operators (iterative k-means with an unrolled-CTE oracle, LPA
-# community detection, the C4 rule bundle, the Zipf fit), the round-5
-# late addition multimodal_png_roundtrip (registered after r5's artifact
-# was cut), and the kmeans-dependent family whose assignment stage was
-# rewritten shuffle-free this round — then the round-5 rotation below.
+# community detection, the C4 rule bundle, the Zipf fit), the full
+# multimodal attestation matrix (PNG/GIF/JPEG/BMP pixel round-trips,
+# perceptual-hash image dedup, Y4M scene cuts, square-wave audio DSP),
+# the whitening/recall invariant queries, the HTML-extraction and
+# mojibake-repair round-trips, the tokenizer invertibility proof, the
+# Gopher bundle (try_divide fix), and the kmeans-dependent family whose
+# assignment stage was rewritten shuffle-free — then the r5 rotation.
 _SHOWCASE_ORDER = [
     # (0) round-6 new + changed
     "embedding_kmeans",
@@ -91,6 +94,7 @@ _SHOWCASE_ORDER = [
     "multimodal_scene_cuts",
     "multimodal_audio_roundtrip",
     "encode_decode_roundtrip",
+    "quality_gopher_rules",
     "dedup_semantic",
     "embed_topk_ivf",
     "embed_label_noise_ivf",
