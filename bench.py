@@ -129,6 +129,12 @@ HEADLINE = [
     "multimodal_dedup_ahash",
     "multimodal_scene_cuts",
     "multimodal_audio_roundtrip",
+    # round-7 additions: the MinHash-fed scale twins of the CC-riding
+    # cluster layers (the baseline-fed variants stay as recall oracles)
+    "dedup_soft_weights_fast",
+    "dedup_cluster_keep_best_fast",
+    "split_cluster_safe_fast",
+    "dedup_soft_weights_minhash",
 ]
 
 
@@ -176,6 +182,14 @@ SCALE_QUERIES = [
     "graph_label_propagation",
     "quality_c4_rules",
     "token_zipf_slope",
+    # round-7 additions: the MinHash-fed cluster twins — the point of the
+    # x50 rows is growth ≤ the un-pruned baseline-fed variants' 31-38 s
+    # (x50 attribution, BENCHNOTES.md), proving the registered scale path
+    # clears the r6 weak marks
+    "dedup_soft_weights_fast",
+    "dedup_cluster_keep_best_fast",
+    "split_cluster_safe_fast",
+    "dedup_soft_weights_minhash",
 ]
 
 

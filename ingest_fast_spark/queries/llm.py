@@ -1134,37 +1134,36 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
-_SOFT_WEIGHTS_ORACLE = (
-    _CLUSTER_PREFIX
-    + r""",
-comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
-cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
-SELECT comp.id AS doc_id,
-       CAST(cs.cluster_size AS BIGINT) AS cluster_size,
-       ROUND(1.0 / cs.cluster_size, 6) AS soft_weight
-FROM comp JOIN cs USING (cluster_id)
-"""
-)
+# --- Parameterized pair sources + cluster layers ---------------------------
+#
+# The CC-riding layers (soft weights / keep-best / cluster-safe split)
+# compose with ANY (doc_a, doc_b) pair source. Three sources are
+# registered per layer:
+#   * baseline  — D.ngram_jaccard_pairs, the deliberate un-pruned exact
+#     recall oracle (see dedup_ngram_jaccard's docstring);
+#   * minhash   — D.minhash_near_dups_portable (md5-derived hashing), the
+#     SCALE plan shape with a full DuckDB oracle: signature → banded
+#     candidates → exact verify → CC → layer, all re-derived in SQL;
+#   * fast      — D.minhash_near_dups (xxhash64), the production scale
+#     default: identical plan shape to `minhash`, JVM-only hash, so the
+#     driver records a rows-only check; its correctness evidence is the
+#     oracle-exact `*_minhash` twin (layer + plan identical, only the
+#     hash family differs) plus the recall floors in tests/test_dedup.py.
 
 
-@register("dedup_soft_weights", oracle=_SOFT_WEIGHTS_ORACLE)
-def dedup_soft_weights(spark, sf_dir):
-    """Soft dedup (SoftDeDup, He et al. ACL 2024): instead of DROPPING
-    near-duplicates, every document gets sampling weight 1/cluster_size —
-    a cluster of 7 near-copies contributes ~one document's worth of
-    gradient in expectation while keeping its internal diversity. The
-    production middle ground between no-dedup (over-trains boilerplate)
-    and hard keep-one (discards paraphrase variety), and the input a
-    weighted-sampling data loader consumes directly.
+def _cluster_pairs(docs, source: str):
+    if source == "baseline":
+        return D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    if source == "minhash":
+        return D.minhash_near_dups_portable(
+            docs, num_hashes=16, bands=4, k=3, threshold=0.05
+        )
+    return D.minhash_near_dups(docs, num_hashes=16, bands=4, k=3, threshold=0.05)
 
-    Scale shape: reuses the near-dup connected components
-    (``operators/graph.py`` large-star/small-star) + one cluster-keyed
-    count + a join back on cluster_id — the same exchanges
-    ``dedup_cluster_sizes`` pays, nothing new at 100 TB."""
+
+def _soft_weights_layer(docs, pairs):
     from ..operators.graph import near_dup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
     comp = near_dup_clusters(docs, pairs)
     cs = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(cs, "cluster_id").select(
@@ -1174,41 +1173,9 @@ def dedup_soft_weights(spark, sf_dir):
     )
 
 
-_KEEP_BEST_ORACLE = (
-    _CLUSTER_PREFIX
-    + r""",
-comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
-q AS (
-  SELECT comp.id AS doc_id, comp.cluster_id, COALESCE(d.n_chars, -1) AS q
-  FROM comp JOIN documents d ON d.doc_id = comp.id
-),
-r AS (
-  SELECT doc_id, cluster_id,
-         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
-  FROM q
-)
-SELECT doc_id, cluster_id, (rn = 1) AS keep FROM r
-"""
-)
-
-
-@register("dedup_cluster_keep_best", oracle=_KEEP_BEST_ORACLE)
-def dedup_cluster_keep_best(spark, sf_dir):
-    """Quality-priority survivor selection: per near-dup cluster keep the
-    LONGEST document (n_chars desc, doc_id asc tiebreak; NULL length
-    ranks last) instead of ``dedup_cluster_canonical``'s min-id rule —
-    what a production pipeline actually wants, since near-dup families
-    usually contain one full article plus truncated/paginated copies.
-
-    Scale shape: the winner per cluster is a ``max_by`` over the
-    (quality, -doc_id) struct — a partial-aggregable hash aggregate, NOT
-    a per-cluster sort window, so a million-doc boilerplate family costs
-    one combiner row per map task instead of a straggler sort; the keep
-    flag is a join back on the unique doc_id."""
+def _keep_best_layer(docs, pairs):
     from ..operators.graph import near_dup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
     comp = near_dup_clusters(docs, pairs)
     scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id").select(
         "doc_id",
@@ -1225,9 +1192,181 @@ def dedup_cluster_keep_best(spark, sf_dir):
     )
 
 
-_SPLIT_CLUSTER_ORACLE = (
-    _CLUSTER_PREFIX
-    + r""",
+def _split_layer(docs, pairs):
+    from ..operators.graph import near_dup_clusters
+
+    clusters = near_dup_clusters(docs, pairs)
+    bucket = F.pmod(F.col("cluster_id"), F.lit(10))
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _minhash_cluster_prefix() -> str:
+    """WITH RECURSIVE prefix ending in walk(id, comp): the full portable
+    MinHash-LSH pipeline (signature → banded candidates → exact-Jaccard
+    verify at t=0.05) feeding the same transitive-closure CC the
+    ngram-baseline oracles use — so the `*_minhash` cluster twins are
+    oracle-exact END TO END over the scale plan shape."""
+    return (
+        "WITH RECURSIVE "
+        + D._minhash_sql_prefix(16, 4)
+        + r""",
+mverified AS (
+  SELECT doc_a, doc_b,
+         ROUND(len(list_intersect(sa.shingles, sb.shingles))
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cands
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b
+),
+pairs AS (SELECT doc_a, doc_b FROM mverified WHERE jaccard >= 0.05),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+)"""
+    )
+
+
+_SOFT_WEIGHTS_SUFFIX = r""",
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.id AS doc_id,
+       CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+       ROUND(1.0 / cs.cluster_size, 6) AS soft_weight
+FROM comp JOIN cs USING (cluster_id)
+"""
+
+_SOFT_WEIGHTS_ORACLE = _CLUSTER_PREFIX + _SOFT_WEIGHTS_SUFFIX
+
+
+@register("dedup_soft_weights", oracle=_SOFT_WEIGHTS_ORACLE)
+def dedup_soft_weights(spark, sf_dir):
+    """Soft dedup (SoftDeDup, He et al. ACL 2024): instead of DROPPING
+    near-duplicates, every document gets sampling weight 1/cluster_size —
+    a cluster of 7 near-copies contributes ~one document's worth of
+    gradient in expectation while keeping its internal diversity. The
+    production middle ground between no-dedup (over-trains boilerplate)
+    and hard keep-one (discards paraphrase variety), and the input a
+    weighted-sampling data loader consumes directly.
+
+    RECALL-ORACLE VARIANT: fed by the deliberately un-pruned exact pair
+    baseline, so the weights are exact ground truth; the registered scale
+    paths are ``dedup_soft_weights_minhash`` (oracle-exact over the LSH
+    plan shape) and ``dedup_soft_weights_fast`` (xxhash64 production
+    default). The layer itself adds only a cluster-keyed count + a join
+    back on cluster_id — the same exchanges ``dedup_cluster_sizes`` pays
+    (x50 attribution: ~0 s over pairs+CC, BENCHNOTES.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _soft_weights_layer(docs, _cluster_pairs(docs, "baseline"))
+
+
+_SOFT_WEIGHTS_MINHASH_ORACLE = _minhash_cluster_prefix() + _SOFT_WEIGHTS_SUFFIX
+
+
+@register("dedup_soft_weights_minhash", oracle=_SOFT_WEIGHTS_MINHASH_ORACLE)
+def dedup_soft_weights_minhash(spark, sf_dir):
+    """Soft dedup over the SCALE pair source: MinHash-LSH near-dup pairs
+    (banded candidate generation — no all-pairs shingle join) feed the
+    connected components and the 1/cluster_size weights. Engine-portable
+    md5 hashing makes the ENTIRE path oracle-exact in DuckDB: signature →
+    banded buckets → exact-Jaccard verify → transitive-closure CC →
+    weights. Swapping in xxhash64 (``dedup_soft_weights_fast``) is a
+    one-argument change with the identical plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _soft_weights_layer(docs, _cluster_pairs(docs, "minhash"))
+
+
+@register("dedup_soft_weights_fast")
+def dedup_soft_weights_fast(spark, sf_dir):
+    """PRODUCTION SCALE DEFAULT for soft dedup weights: xxhash64
+    MinHash-LSH pairs (JVM codegen hashing, ~3× cheaper than the
+    md5-portable twin) → CC → 1/cluster_size weights. Rows-only driver
+    check BY DESIGN (xxhash64 exists only in the JVM); correctness
+    evidence is the oracle-exact ``dedup_soft_weights_minhash`` twin
+    (identical layer + plan, different hash family) and the LSH recall
+    floors in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _soft_weights_layer(docs, _cluster_pairs(docs, "fast"))
+
+
+_KEEP_BEST_SUFFIX = r""",
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+q AS (
+  SELECT comp.id AS doc_id, comp.cluster_id, COALESCE(d.n_chars, -1) AS q
+  FROM comp JOIN documents d ON d.doc_id = comp.id
+),
+r AS (
+  SELECT doc_id, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, cluster_id, (rn = 1) AS keep FROM r
+"""
+
+_KEEP_BEST_ORACLE = _CLUSTER_PREFIX + _KEEP_BEST_SUFFIX
+
+
+@register("dedup_cluster_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Quality-priority survivor selection: per near-dup cluster keep the
+    LONGEST document (n_chars desc, doc_id asc tiebreak; NULL length
+    ranks last) instead of ``dedup_cluster_canonical``'s min-id rule —
+    what a production pipeline actually wants, since near-dup families
+    usually contain one full article plus truncated/paginated copies.
+
+    Scale shape: the winner per cluster is a ``max_by`` over the
+    (quality, -doc_id) struct — a partial-aggregable hash aggregate, NOT
+    a per-cluster sort window, so a million-doc boilerplate family costs
+    one combiner row per map task instead of a straggler sort; the keep
+    flag is a join back on the unique doc_id.
+
+    RECALL-ORACLE VARIANT (un-pruned exact pair baseline); the registered
+    scale paths are ``dedup_cluster_keep_best_minhash`` (oracle-exact over
+    the LSH plan shape) and ``dedup_cluster_keep_best_fast`` (xxhash64
+    production default)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _keep_best_layer(docs, _cluster_pairs(docs, "baseline"))
+
+
+_KEEP_BEST_MINHASH_ORACLE = _minhash_cluster_prefix() + _KEEP_BEST_SUFFIX
+
+
+@register("dedup_cluster_keep_best_minhash", oracle=_KEEP_BEST_MINHASH_ORACLE)
+def dedup_cluster_keep_best_minhash(spark, sf_dir):
+    """Keep-best survivor selection over the SCALE pair source: portable
+    MinHash-LSH pairs → CC → max_by survivor per cluster, oracle-exact in
+    DuckDB end to end (signature → banded buckets → verify → transitive
+    closure → ROW_NUMBER winner). Same layer and plan as the xxhash64
+    production default ``dedup_cluster_keep_best_fast``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _keep_best_layer(docs, _cluster_pairs(docs, "minhash"))
+
+
+@register("dedup_cluster_keep_best_fast")
+def dedup_cluster_keep_best_fast(spark, sf_dir):
+    """PRODUCTION SCALE DEFAULT for keep-best dedup: xxhash64 MinHash-LSH
+    pairs → CC → partial-aggregable max_by survivor. Rows-only driver
+    check BY DESIGN (JVM-only hash); correctness evidence is the
+    oracle-exact ``dedup_cluster_keep_best_minhash`` twin plus the LSH
+    recall floors in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _keep_best_layer(docs, _cluster_pairs(docs, "fast"))
+
+
+_SPLIT_CLUSTER_SUFFIX = r""",
 comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
 SELECT id AS doc_id, cluster_id,
        CASE WHEN cluster_id % 10 < 8 THEN 'train'
@@ -1235,7 +1374,8 @@ SELECT id AS doc_id, cluster_id,
             ELSE 'test' END AS split
 FROM comp
 """
-)
+
+_SPLIT_CLUSTER_ORACLE = _CLUSTER_PREFIX + _SPLIT_CLUSTER_SUFFIX
 
 
 @register("split_cluster_safe", oracle=_SPLIT_CLUSTER_ORACLE)
@@ -1254,21 +1394,38 @@ def split_cluster_safe(spark, sf_dir):
     seed)``) — min-doc-id canonicals are not uniformly distributed, a
     content hash is. Scale shape: rides the same CC the dedup pass
     already pays (``operators/graph.py`` large-star/small-star); the
-    split itself is one map-side expression."""
-    from ..operators.graph import near_dup_clusters
+    split itself is one map-side expression.
 
+    RECALL-ORACLE VARIANT (un-pruned exact pair baseline); the registered
+    scale paths are ``split_cluster_safe_minhash`` (oracle-exact over the
+    LSH plan shape) and ``split_cluster_safe_fast`` (xxhash64 production
+    default)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
-    clusters = near_dup_clusters(docs, pairs)
-    bucket = F.pmod(F.col("cluster_id"), F.lit(10))
-    return clusters.select(
-        "doc_id",
-        "cluster_id",
-        F.when(bucket < 8, F.lit("train"))
-        .when(bucket == 8, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    )
+    return _split_layer(docs, _cluster_pairs(docs, "baseline"))
+
+
+_SPLIT_CLUSTER_MINHASH_ORACLE = _minhash_cluster_prefix() + _SPLIT_CLUSTER_SUFFIX
+
+
+@register("split_cluster_safe_minhash", oracle=_SPLIT_CLUSTER_MINHASH_ORACLE)
+def split_cluster_safe_minhash(spark, sf_dir):
+    """Leakage-safe split over the SCALE pair source: portable MinHash-LSH
+    pairs → CC → per-cluster split bucket, oracle-exact in DuckDB end to
+    end. Same layer and plan as the xxhash64 production default
+    ``split_cluster_safe_fast``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _split_layer(docs, _cluster_pairs(docs, "minhash"))
+
+
+@register("split_cluster_safe_fast")
+def split_cluster_safe_fast(spark, sf_dir):
+    """PRODUCTION SCALE DEFAULT for the leakage-safe split: xxhash64
+    MinHash-LSH pairs → CC → cluster-keyed split bucket. Rows-only driver
+    check BY DESIGN (JVM-only hash); correctness evidence is the
+    oracle-exact ``split_cluster_safe_minhash`` twin plus the zero
+    cross-split near-dup pin in tests/test_sample.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _split_layer(docs, _cluster_pairs(docs, "fast"))
 
 
 @register(

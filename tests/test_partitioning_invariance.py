@@ -43,6 +43,12 @@ REPRESENTATIVE = [
     "dedup_cluster_keep_best",  # max_by (quality,-id) winner across layouts
     "dedup_soft_weights",       # cluster sizes across layouts
     "bpe_fertility_by_source",  # per-source sums over partition order
+    # MinHash-fed scale twins: banded candidates + CC + layer must be
+    # file-layout-free end to end (the xxhash64 fast default shares the
+    # portable twin's plan, so one representative per layer suffices)
+    "dedup_soft_weights_minhash",
+    "dedup_cluster_keep_best_fast",
+    "split_cluster_safe_fast",
 ]
 
 TABLES = (

@@ -49,6 +49,18 @@ SHUFFLE_BUDGET = {
     "dedup_soft_weights": 3,
     # same blocking + the max_by winner aggregate + doc_id join-back
     "dedup_cluster_keep_best": 4,
+    # MinHash-fed scale twins: the signature frame is localCheckpointed
+    # (its one shingle-agg exchange is pinned by the operator tests), so
+    # the static plan shows the post-checkpoint shape — banded candidate
+    # join + verify joins + the layer's own exchanges. Budgets must not
+    # exceed the baseline-fed variants: the whole point of the scale path
+    # is that swapping the pair source adds no exchanges.
+    "dedup_soft_weights_fast": 3,
+    "dedup_cluster_keep_best_fast": 4,
+    "split_cluster_safe_fast": 1,
+    "dedup_soft_weights_minhash": 3,
+    "dedup_cluster_keep_best_minhash": 4,
+    "split_cluster_safe_minhash": 1,
     # word-freq agg feeding the encode; the per-source rollup and the
     # hint-free word join ride AQE-planned sides at this scale
     "bpe_fertility_by_source": 1,
