@@ -202,10 +202,18 @@ def decode_jpeg_pixels(payload: bytes):
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            # Honest gate: _decode_scan assumes ONE interleaved scan
+            # covering every frame component; a scan listing fewer
+            # components (non-interleaved baseline) needs per-component
+            # MCU walks this decoder does not implement.
+            if ns != len(frame["comps"]):
+                raise NotImplementedError("non-interleaved JPEG scan")
             scan = {}
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tables >> 4, tables & 0x0F)
+            if any(c["id"] not in scan for c in frame["comps"]):
+                raise ValueError("JPEG scan component ids do not match frame")
             return _decode_scan(
                 b, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,

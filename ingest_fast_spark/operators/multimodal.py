@@ -1139,9 +1139,14 @@ def decode_gif_pixels(payload: bytes):
                 else:
                     raise ValueError("GIF LZW: code beyond table")
                 out += entry
-                tab.append(tab[prev] + entry[:1])
-                if len(tab) == (1 << code_size) and code_size < 12:
-                    code_size += 1
+                # Conformant decoders freeze the table at 4096 entries
+                # (12-bit max code); growing past that on a malformed
+                # stream that never sends CLEAR would both inflate memory
+                # and accept codes a real encoder can never emit.
+                if len(tab) < 4096:
+                    tab.append(tab[prev] + entry[:1])
+                    if len(tab) == (1 << code_size) and code_size < 12:
+                        code_size += 1
                 prev = code
             if len(out) < w * h:
                 raise ValueError(

@@ -908,16 +908,21 @@ def multimodal_scene_cuts(spark, sf_dir):
 # from, so query and oracle can never drift from the pair table.
 _MOJI_CLEAN = " — café “ ‘München’ naïve €3½ at 20°…"
 _MOJI_BAD = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
-_MOJI_DIFF = len(_MOJI_BAD) - len(_MOJI_CLEAN)
 
 
 @register(
     "text_fix_mojibake",
     oracle=f"""
-    SELECT doc_id,
-           text || '{_MOJI_CLEAN}' AS fixed_text,
-           CAST({_MOJI_DIFF} AS BIGINT) AS n_chars_repaired
-    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    WITH r AS (
+      SELECT doc_id,
+             text || '{_MOJI_BAD}' AS corrupt,
+             {T.mojibake_sql(f"text || '{_MOJI_BAD}'")} AS fixed_text
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id, fixed_text,
+           CAST(length(corrupt) - length(fixed_text) AS BIGINT)
+             AS n_chars_repaired
+    FROM r
     """,
 )
 def text_fix_mojibake(spark, sf_dir):
@@ -925,10 +930,15 @@ def text_fix_mojibake(spark, sf_dir):
     a deterministically CORRUPTED tail — the clean tail re-encoded through
     the utf-8→cp1252 mis-decode that produces real-world mojibake — and
     the production ``fix_mojibake`` Column chain repairs it. The oracle
-    states the clean ground truth plus the exact number of characters the
-    repair must reclaim, so a green row proves the full 28-pair confusion
-    table round-trips (quotes, dashes, umlauts, currency), not merely that
-    the replace chain runs.
+    applies the SAME pair table via ``functions/text.mojibake_sql`` (same
+    order, same literals), so a green row proves the full 28-pair
+    confusion table round-trips (quotes, dashes, umlauts, currency) with
+    no assumption about the corpus body: a document that already contains
+    a corrupted sequence is repaired identically on both sides (the r6
+    advisor flagged the previous clean-tail oracle's implicit ASCII-body
+    assumption). The synthesized tail keeps the query self-attesting —
+    tests/test_html_extract.py separately pins the tail's repair to the
+    exact clean string (ground truth independent of the pair table).
 
     Scale shape: pure literal-replace Column chain — map-only, zero
     shuffles, zero UDFs; runs at parquet-scan speed at any corpus size."""
@@ -4159,10 +4169,10 @@ def graph_label_propagation(spark, sf_dir):
       FROM xy GROUP BY source
     )
     SELECT source, CAST(n AS BIGINT) AS n_terms,
-           floor(1e6 * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) + 0.5) / 1e6
-             AS zipf_slope,
-           floor(1e6 * ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
-                 + 0.5) / 1e6 AS zipf_intercept
+           floor(1e6 * ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) + 0.5)
+             / 1e6 AS zipf_slope,
+           floor(1e6 * ((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
+                 * sx) / n) + 0.5) / 1e6 AS zipf_intercept
     FROM s
     """,
 )

@@ -94,6 +94,20 @@ def test_fix_mojibake_is_noop_on_clean_ascii(spark):
     assert df.select(T.fix_mojibake(F.col("t")).alias("x")).collect()[0]["x"] == s
 
 
+def test_fix_mojibake_query_tail_recovers_clean_string(spark):
+    # Ground truth for text_fix_mojibake's synthesized tail, pinned
+    # independently of the pair table: the repair of the corrupted tail
+    # must be exactly the clean constant (the query's oracle now applies
+    # the same pair table on both engines, so this test carries the
+    # absolute ground-truth check).
+    from ingest_fast_spark.queries.llm import _MOJI_BAD, _MOJI_CLEAN
+
+    df = spark.createDataFrame([(_MOJI_BAD,)], "t string")
+    out = df.select(T.fix_mojibake(F.col("t")).alias("x")).collect()[0]["x"]
+    assert out == _MOJI_CLEAN
+    assert len(_MOJI_BAD) - len(_MOJI_CLEAN) > 0
+
+
 def test_fix_mojibake_ordering_long_before_short(spark):
     # 'â€™' must repair as one right-quote, not decompose via the bare
     # 'Ã¢'/'â' rules; interleaved with a 2-byte pair to prove independence
