@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_cluster_keep_best_fast",
     "split_cluster_safe_fast",
     "dedup_soft_weights_minhash",
+    "multimodal_png_palette_roundtrip",
 ]
 
 

@@ -908,8 +908,8 @@ def audio_features(df: DataFrame, silence_db: float = -40.0) -> DataFrame:
     return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
 
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
-_PNG_MODES = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
 
 
 def decode_png_pixels(payload: bytes):
@@ -917,10 +917,13 @@ def decode_png_pixels(payload: bytes):
     inflates the IDAT stream and the five RFC-2083 scanline filters
     (None/Sub/Up/Average/Paeth) are reversed in numpy — returning an
     (h, w, channels) uint8 array plus metadata. Supports the dominant
-    web shape: 8-bit depth, non-interlaced, color types L/RGB/LA/RGBA.
-    Palette, 16-bit, and Adam7 raise NotImplementedError (honest gate —
-    a decoder that guessed would corrupt downstream features); non-PNG
-    and corrupt streams raise ValueError.
+    web shapes: 8-bit depth, non-interlaced, color types L/RGB/LA/RGBA
+    plus PALETTE (color type 3, PLTE-mapped to RGB exactly like the GIF
+    decoder — web crawls are full of paletted PNGs). 16-bit, sub-byte
+    palette depths, palette transparency (tRNS) and Adam7 raise
+    NotImplementedError (honest gate — a decoder that guessed would
+    corrupt downstream features); non-PNG and corrupt streams raise
+    ValueError.
 
     This upgrades the no-PIL path of ``decode_images``/``resize_images``
     from header-metadata-only to actual pixel validation + access for
@@ -935,6 +938,7 @@ def decode_png_pixels(payload: bytes):
         raise ValueError("not a PNG signature")
     i, w = 8, None
     idat = []
+    plte = None
     while i + 8 <= len(b):
         (length,) = struct.unpack(">I", b[i : i + 4])
         typ = b[i + 4 : i + 8]
@@ -946,9 +950,15 @@ def decode_png_pixels(payload: bytes):
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
             if color not in _PNG_CHANNELS:
-                raise NotImplementedError(f"PNG color type {color} (palette?)")
+                raise NotImplementedError(f"PNG color type {color}")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlaced PNG")
+        elif typ == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError(f"PNG PLTE length {length} not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            raise NotImplementedError("PNG palette transparency (tRNS)")
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -996,12 +1006,19 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"invalid PNG filter type {ft}")
         out[row] = cur
         prev = out[row]
+    px = out.reshape(h, w, ch)
+    if color == 3:  # palette indices -> RGB, exactly like the GIF decoder
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE chunk")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[px.reshape(h, w)]
     return {
         "width": int(w),
         "height": int(h),
         "mode": _PNG_MODES[color],
         "format": "PNG",
-        "pixels": out.reshape(h, w, ch),
+        "pixels": px,
     }
 
 
@@ -1027,6 +1044,59 @@ def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_png_palette(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: list[int],
+    filter_type: int = 0,
+) -> bytes:
+    """A complete, valid 8-bit PALETTED PNG (color type 3): signature +
+    IHDR + PLTE + zlib IDAT + IEND per RFC 2083. ``indices`` is row-major
+    w*h palette indices. ``filter_type`` pre-filters every scanline (0 =
+    None, 1 = Sub, 2 = Up) so the attestation twin can drive the
+    unfilter path over index data too, not just truecolor rows."""
+    import struct
+    import zlib
+
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if filter_type not in (0, 1, 2):
+        raise ValueError("filter_type must be 0, 1 or 2 for the synthesizer")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    raw = bytearray()
+    prev = [0] * width
+    for r in range(height):
+        row = indices[r * width : (r + 1) * width]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += bytes(row)
+        elif filter_type == 1:  # Sub: delta vs previous pixel in the row
+            raw += bytes(
+                (row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width)
+            )
+        else:  # Up: delta vs the same pixel one row above
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
 

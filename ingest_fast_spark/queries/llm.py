@@ -514,6 +514,68 @@ def multimodal_png_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_palette_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 12 AS BIGINT) AS width,
+           CAST(2 + doc_id % 6 AS BIGINT) AS height,
+           'P' AS mode,
+           'PNG' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_png_palette_roundtrip(spark, sf_dir):
+    """PALETTED-PNG decode attestation (color type 3 — the most common
+    real-crawl PNG variant, the r6 verdict's remaining image gate):
+    synthesize a deterministic indexed PNG per document (doc_id-derived
+    dimensions, 4-color PLTE, and a doc_id-cycled scanline pre-filter
+    None/Sub/Up so the unfilter path executes over index data in the
+    attested path too), push through the production ``decode_images``
+    operator (pure-Python PLTE-mapped decoder; PIL where installed), and
+    emit the recovered metadata against the generator's embedded ground
+    truth. Pixel-level ground truth (indices → RGB through the palette)
+    is pinned in tests/test_multimodal.py.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle;
+    payload bytes never leave the executor that made them."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h = 3 + i % 12, 2 + i % 6
+                pal = [
+                    (i % 256, (i * 3) % 256, 11),
+                    (250, i % 256, 2),
+                    (1, 2, (i * 7) % 256),
+                    (128, 128, 128),
+                ]
+                idx = [(i + p) % 4 for p in range(w * h)]
+                payloads.append(
+                    M.make_png_palette(w, h, pal, idx, filter_type=i % 3)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/png",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)
+
+
+@register(
     "multimodal_gif_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -699,6 +699,70 @@ def test_bmp_codec_property_roundtrip():
     check()
 
 
+def test_png_palette_pixel_roundtrip():
+    """Paletted PNG (color type 3): indices map through PLTE to the exact
+    RGB grid, under all three synthesizer scanline pre-filters — the pixel
+    ground truth behind multimodal_png_palette_roundtrip's metadata
+    oracle."""
+    import numpy as np
+
+    pal = [(10, 20, 30), (200, 100, 5), (0, 0, 255), (255, 255, 0)]
+    for ft in (0, 1, 2):
+        w, h = 7, 5
+        idx = [(i * 3 + ft) % 4 for i in range(w * h)]
+        out = M.decode_png_pixels(M.make_png_palette(w, h, pal, idx, filter_type=ft))
+        assert out["mode"] == "P" and out["format"] == "PNG"
+        assert (out["width"], out["height"]) == (w, h)
+        exp = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(h, w, 3)
+        assert (out["pixels"] == exp).all()
+
+
+def test_png_palette_honest_gates():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    # index beyond the palette: honest ValueError, never a guessed pixel
+    with _pytest.raises(ValueError, match="palette index"):
+        M.decode_png_pixels(M.make_png_palette(2, 2, [(1, 2, 3)], [0, 0, 0, 1]))
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+    # paletted stream with no PLTE chunk at all
+    with _pytest.raises(ValueError, match="PLTE"):
+        M.decode_png_pixels(sig + ihdr + idat + chunk(b"IEND", b""))
+    # palette transparency is a gated (unimplemented) shape, not a guess
+    plte = chunk(b"PLTE", bytes((1, 2, 3, 4, 5, 6)))
+    trns = chunk(b"tRNS", b"\x80")
+    with _pytest.raises(NotImplementedError, match="tRNS"):
+        M.decode_png_pixels(sig + ihdr + plte + trns + idat + chunk(b"IEND", b""))
+
+
+def test_ahash_palette_png_matches_bmp():
+    """Cross-format invariance including the paletted path: the SAME pixel
+    grid as an indexed PNG (256-gray PLTE) and as a truecolor BMP hashes
+    identically — aHash fingerprints content, not containers or palettes."""
+    w, h = 8, 8
+    grid = [[(r * 37 + c * 11) % 256 for c in range(w)] for r in range(h)]
+    rows = [[(v, v, v) for v in row] for row in grid]
+    bmp_px = M.decode_bmp_pixels(M.make_bmp(w, h, rgb_rows=rows))["pixels"]
+    pal = [(v, v, v) for v in range(256)]
+    png_px = M.decode_png_pixels(
+        M.make_png_palette(w, h, pal, [v for row in grid for v in row], filter_type=1)
+    )["pixels"]
+    assert M.ahash_pixels(png_px) == M.ahash_pixels(bmp_px)
+
+
 def test_ahash_cross_format_invariance(spark):
     """The SAME pixel grid encoded as PNG and as BMP must produce the SAME
     perceptual hash — aHash fingerprints content, not containers."""

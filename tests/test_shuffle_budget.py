@@ -108,6 +108,7 @@ SHUFFLE_BUDGET = {
     # synthesize + decode are chained mapInPandas passes (map-only); the
     # ahash variant pays exactly one key exchange for the cluster window
     "multimodal_bmp_roundtrip": 0,
+    "multimodal_png_palette_roundtrip": 0,
     "multimodal_scene_cuts": 0,
     "multimodal_audio_roundtrip": 0,
     "multimodal_dedup_ahash": 1,
