@@ -136,6 +136,7 @@ HEADLINE = [
     "split_cluster_safe_fast",
     "dedup_soft_weights_minhash",
     "multimodal_png_palette_roundtrip",
+    "embed_topk_ivf_adc",
 ]
 
 

@@ -918,6 +918,128 @@ def pq_adc_topk(
     )
 
 
+def ivf_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_cent: int = 8,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF×ADC fusion — the two halves of a production web-scale ANN stack
+    composed (FAISS's IVFPQ shape, minus residual encoding): a coarse IVF
+    probe picks ``nprobe`` of ``n_coarse`` buckets per query, then
+    asymmetric distance computation scores ONLY the probed buckets'
+    vectors through their PQ CODES — per query one m×n_cent distance
+    table, per candidate m lookups + a sum. Neither half ever runs a
+    full-corpus GEMM, and after bucket assignment the full-dim corpus
+    vectors are DROPPED: the candidate join carries (bucket, sub, code)
+    small ints only.
+
+    Deterministic (lowest-id coarse centroids + codebook, round-6 before
+    every comparison, exact long micro-unit ranking) so the whole fusion
+    is oracle-checkable; recall floors vs the exact GEMM leg are attested
+    in ``ann_recall_floors``. Scale shape: codebook + coarse centroids +
+    probe set + distance tables all broadcast (bounded by m·n_cent·|Q|);
+    the only corpus-sized relations are the codes and the bucket
+    assignment, both O(1) ints per vector."""
+    e = corpus.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
+    coarse = (
+        e.orderBy("vec_id")
+        .limit(n_coarse)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    # Coarse assignment: map-side max_by over the broadcast centroid table;
+    # the vector itself is NOT carried past this point.
+    assigned = (
+        e.crossJoin(F.broadcast(coarse))
+        .withColumn("cos_c", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("cos_c").alias("s"), (-F.col("cid")).alias("t")),
+            ).alias("bucket")
+        )
+    )
+    codes = pq_encode(corpus, m=m, k=n_cent, id_col=id_col, vec_col=vec_col)
+    corpus_codes = (
+        codes.join(assigned, "vec_id")
+        .select("vec_id", "bucket", F.posexplode("codes").alias("sub", "code"))
+        .select("vec_id", "bucket", F.col("sub").cast("int").alias("sub"), "code")
+    )
+    q = queries.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    qprobe = (
+        q.crossJoin(F.broadcast(coarse))
+        .withColumn("cos_q", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("bucket"))
+    )
+    # Per-query ADC distance tables: query subvector vs every codebook
+    # centroid subvector (m × n_cent rows per query — broadcast-bounded).
+    cent = (
+        e.orderBy("vec_id")
+        .limit(n_cent)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv2"))
+    )
+    sub_of = lambda col, width: F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("sub"),
+                F.slice(col, s * width + 1, width).alias("sv"),
+            ),
+        )
+    )
+    qsub = q.select(
+        "query_id", sub_of(F.col("qv"), (F.size("qv") / m).cast("int")).alias("p")
+    ).select("query_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("qsv"))
+    csub = cent.select(
+        "centroid_id", sub_of(F.col("cv2"), (F.size("cv2") / m).cast("int")).alias("p")
+    ).select("centroid_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("csv"))
+    d = F.round(
+        F.aggregate(
+            F.zip_with("qsv", "csv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dtab = qsub.join(csub, "sub").select(
+        "query_id", "sub", F.col("centroid_id").alias("code"), d.alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_micro"), F.asc("vec_id"))
+    micro = F.round(F.col("d") * 1e6).cast("long")
+    return (
+        corpus_codes.join(F.broadcast(qprobe), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(micro).alias("approx_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("approx_micro") / 1e6, 6).alias("approx_dist"),
+            "rank",
+        )
+    )
+
+
 def knn_label_agreement(
     emb: DataFrame,
     k: int = 5,

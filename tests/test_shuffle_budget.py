@@ -114,6 +114,10 @@ SHUFFLE_BUDGET = {
     "multimodal_dedup_ahash": 1,
     # vocab count agg + vocab rank + encode join + decode join + doc rollup
     "encode_decode_roundtrip": 6,
+    # IVF×ADC fusion: coarse max_by assignment agg + PQ (vec,sub) argmin
+    # window + codes/assignment join + the ADC (query,vec) rollup — probe
+    # set, codebook and distance tables all broadcast (never corpus-keyed)
+    "embed_topk_ivf_adc": 6,
 }
 
 
