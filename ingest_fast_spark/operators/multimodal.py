@@ -919,8 +919,12 @@ def decode_png_pixels(payload: bytes):
     (h, w, channels) uint8 array plus metadata. Supports the dominant
     web shapes: 8-bit depth, non-interlaced, color types L/RGB/LA/RGBA
     plus PALETTE (color type 3, PLTE-mapped to RGB exactly like the GIF
-    decoder — web crawls are full of paletted PNGs). 16-bit, sub-byte
-    palette depths, palette transparency (tRNS) and Adam7 raise
+    decoder — web crawls are full of paletted PNGs), and the SUB-BYTE
+    depths (1/2/4-bit grayscale and palette — old-web favicons, line-art
+    scans, small-palette graphics; bit-packed rows are unfiltered at the
+    byte level per the spec's bpp=1 rule, then unpacked with shifts and
+    grayscale is rescaled to 8-bit with the 255/(2^d-1) expansion).
+    16-bit, palette transparency (tRNS) and Adam7 raise
     NotImplementedError (honest gate — a decoder that guessed would
     corrupt downstream features); non-PNG and corrupt streams raise
     ValueError.
@@ -947,10 +951,12 @@ def decode_png_pixels(payload: bytes):
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color}")
+            if depth != 8 and not (depth in (1, 2, 4) and color in (0, 3)):
+                # sub-byte depths are only legal for grayscale/palette per
+                # the spec; 16-bit stays an honest gate
+                raise NotImplementedError(f"PNG bit depth {depth} color {color}")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlaced PNG")
         elif typ == b"PLTE":
@@ -971,7 +977,10 @@ def decode_png_pixels(payload: bytes):
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     ch = _PNG_CHANNELS[color]
-    stride = w * ch
+    # Filters operate on BYTES: stride is the packed row size and the
+    # "previous pixel" offset (bpp) is 1 byte for sub-byte depths.
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, ch * depth // 8)
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"PNG pixel payload is {len(raw)} bytes, expected {h * (stride + 1)}"
@@ -990,14 +999,14 @@ def decode_png_pixels(payload: bytes):
         elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
             cur = line
             for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 bb = int(prev[x])
                 if ft == 1:
                     cur[x] = (int(cur[x]) + a) & 0xFF
                 elif ft == 3:
                     cur[x] = (int(cur[x]) + ((a + bb) >> 1)) & 0xFF
                 else:
-                    c = int(prev[x - ch]) if x >= ch else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + bb - c
                     pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
@@ -1006,17 +1015,37 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"invalid PNG filter type {ft}")
         out[row] = cur
         prev = out[row]
-    px = out.reshape(h, w, ch)
+    if depth == 8:
+        px = out.reshape(h, w, ch)
+        samples = None
+    else:
+        # unpack bit-packed samples MSB-first, trim row padding to w
+        per_byte = 8 // depth
+        mask = (1 << depth) - 1
+        shifts = np.array(
+            [8 - depth * (i + 1) for i in range(per_byte)], dtype=np.uint8
+        )
+        samples = (
+            (out[:, :, None] >> shifts[None, None, :]) & mask
+        ).reshape(h, -1)[:, :w]
+        px = samples[:, :, None]
     if color == 3:  # palette indices -> RGB, exactly like the GIF decoder
         if plte is None:
             raise ValueError("paletted PNG missing PLTE chunk")
         if int(px.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         px = plte[px.reshape(h, w)]
+    elif depth != 8:  # sub-byte grayscale: expand to 8-bit levels
+        px = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )[:, :, None]
+    mode = _PNG_MODES[color]
+    if color == 0 and depth == 1:
+        mode = "1"  # PIL naming convention, matches parse_image_header
     return {
         "width": int(w),
         "height": int(h),
-        "mode": _PNG_MODES[color],
+        "mode": mode,
         "format": "PNG",
         "pixels": px,
     }
@@ -1048,56 +1077,112 @@ def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     )
 
 
+def _pack_png_rows(width, height, values, depth, filter_type):
+    """Pack per-pixel sample values into filtered PNG scanlines: MSB-first
+    bit packing at sub-byte depths, then the byte-level filter (PNG
+    filters ALWAYS operate on packed bytes — bpp=1 for depth<=8 single
+    channel), matching exactly what the decoder reverses."""
+    if len(values) != width * height:
+        raise ValueError("values length must be width*height")
+    if filter_type not in (0, 1, 2):
+        raise ValueError("filter_type must be 0, 1 or 2 for the synthesizer")
+    per_byte = 8 // depth
+    raw = bytearray()
+    prev = None
+    for r in range(height):
+        row = values[r * width : (r + 1) * width]
+        if depth == 8:
+            packed = bytes(row)
+        else:
+            packed = bytearray()
+            for i in range(0, width, per_byte):
+                byte = 0
+                for j, v in enumerate(row[i : i + per_byte]):
+                    if v >= (1 << depth):
+                        raise ValueError(f"sample {v} exceeds {depth}-bit depth")
+                    byte |= v << (8 - depth * (j + 1))
+                packed.append(byte)
+            packed = bytes(packed)
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += packed
+        elif filter_type == 1:  # Sub at the byte level (bpp = 1)
+            raw += bytes(
+                (packed[x] - (packed[x - 1] if x else 0)) & 0xFF
+                for x in range(len(packed))
+            )
+        else:  # Up
+            p = prev if prev is not None else bytes(len(packed))
+            raw += bytes((packed[x] - p[x]) & 0xFF for x in range(len(packed)))
+        prev = packed
+    return bytes(raw)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
 def make_png_palette(
     width: int,
     height: int,
     palette: list[tuple[int, int, int]],
     indices: list[int],
     filter_type: int = 0,
+    depth: int = 8,
 ) -> bytes:
-    """A complete, valid 8-bit PALETTED PNG (color type 3): signature +
-    IHDR + PLTE + zlib IDAT + IEND per RFC 2083. ``indices`` is row-major
-    w*h palette indices. ``filter_type`` pre-filters every scanline (0 =
-    None, 1 = Sub, 2 = Up) so the attestation twin can drive the
-    unfilter path over index data too, not just truecolor rows."""
+    """A complete, valid PALETTED PNG (color type 3) at 1/2/4/8-bit depth:
+    signature + IHDR + PLTE + zlib IDAT + IEND per RFC 2083. ``indices``
+    is row-major w*h palette indices. ``filter_type`` pre-filters every
+    scanline (0 = None, 1 = Sub, 2 = Up) so the attestation twin drives
+    the unfilter path over index data too, not just truecolor rows;
+    sub-byte depths exercise the bit-packed row path."""
     import struct
     import zlib
 
-    if len(indices) != width * height:
-        raise ValueError("indices length must be width*height")
-    if filter_type not in (0, 1, 2):
-        raise ValueError("filter_type must be 0, 1 or 2 for the synthesizer")
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("depth must be 1, 2, 4 or 8")
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
     plte = b"".join(bytes(c) for c in palette)
-    raw = bytearray()
-    prev = [0] * width
-    for r in range(height):
-        row = indices[r * width : (r + 1) * width]
-        raw.append(filter_type)
-        if filter_type == 0:
-            raw += bytes(row)
-        elif filter_type == 1:  # Sub: delta vs previous pixel in the row
-            raw += bytes(
-                (row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width)
-            )
-        else:  # Up: delta vs the same pixel one row above
-            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
-        prev = row
+    raw = _pack_png_rows(width, height, indices, depth, filter_type)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", plte)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_gray(
+    width: int,
+    height: int,
+    values: list[int],
+    depth: int = 8,
+    filter_type: int = 0,
+) -> bytes:
+    """A complete, valid GRAYSCALE PNG (color type 0) at 1/2/4/8-bit
+    depth — the 1-bit case is the classic line-art/fax shape. ``values``
+    are raw samples in [0, 2^depth)."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("depth must be 1, 2, 4 or 8")
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 0, 0, 0, 0)
+    raw = _pack_png_rows(width, height, values, depth, filter_type)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 

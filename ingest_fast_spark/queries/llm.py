@@ -528,13 +528,15 @@ def multimodal_png_palette_roundtrip(spark, sf_dir):
     """PALETTED-PNG decode attestation (color type 3 — the most common
     real-crawl PNG variant, the r6 verdict's remaining image gate):
     synthesize a deterministic indexed PNG per document (doc_id-derived
-    dimensions, 4-color PLTE, and a doc_id-cycled scanline pre-filter
-    None/Sub/Up so the unfilter path executes over index data in the
-    attested path too), push through the production ``decode_images``
-    operator (pure-Python PLTE-mapped decoder; PIL where installed), and
-    emit the recovered metadata against the generator's embedded ground
-    truth. Pixel-level ground truth (indices → RGB through the palette)
-    is pinned in tests/test_multimodal.py.
+    dimensions, PLTE palette, a doc_id-cycled scanline pre-filter
+    None/Sub/Up AND a doc_id-cycled bit depth 8/4/2/1 — so the unfilter
+    path runs over index data and the bit-packed sub-byte row path runs
+    in the attested query too), push through the production
+    ``decode_images`` operator (pure-Python PLTE-mapped decoder; PIL
+    where installed), and emit the recovered metadata against the
+    generator's embedded ground truth. Pixel-level ground truth (indices
+    → RGB through the palette, all depths × filters × odd widths) is
+    pinned in tests/test_multimodal.py.
 
     Scale shape: two chained map-only mapInPandas passes — no shuffle;
     payload bytes never leave the executor that made them."""
@@ -547,15 +549,19 @@ def multimodal_png_palette_roundtrip(spark, sf_dir):
             payloads = []
             for i in ids:
                 w, h = 3 + i % 12, 2 + i % 6
+                depth = [8, 4, 2, 1][i % 4]
+                n_colors = min(4, 1 << depth)
                 pal = [
                     (i % 256, (i * 3) % 256, 11),
                     (250, i % 256, 2),
                     (1, 2, (i * 7) % 256),
                     (128, 128, 128),
-                ]
-                idx = [(i + p) % 4 for p in range(w * h)]
+                ][:n_colors]
+                idx = [(i + p) % n_colors for p in range(w * h)]
                 payloads.append(
-                    M.make_png_palette(w, h, pal, idx, filter_type=i % 3)
+                    M.make_png_palette(
+                        w, h, pal, idx, filter_type=i % 3, depth=depth
+                    )
                 )
             yield pd.DataFrame(
                 {

@@ -748,6 +748,53 @@ def test_png_palette_honest_gates():
         M.decode_png_pixels(sig + ihdr + plte + trns + idat + chunk(b"IEND", b""))
 
 
+def test_png_subbyte_depth_matrix():
+    """1/2/4-bit palette AND grayscale PNGs: bit-packed rows unfilter at
+    the byte level (bpp=1 per the spec) and unpack exactly, under all
+    three synthesizer filters and odd widths that force row padding;
+    grayscale expands with the 255/(2^d-1) rule (1-bit reports PIL's
+    mode '1')."""
+    import numpy as np
+
+    for depth in (1, 2, 4):
+        nc = 1 << depth
+        pal = [(i * 16 % 256, 255 - i * 16 % 256, i * 7 % 256) for i in range(nc)]
+        for ft in (0, 1, 2):
+            for w, h in ((7, 3), (9, 4), (16, 2)):
+                idx = [(i + ft) % nc for i in range(w * h)]
+                out = M.decode_png_pixels(
+                    M.make_png_palette(w, h, pal, idx, filter_type=ft, depth=depth)
+                )
+                exp = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(h, w, 3)
+                assert (out["pixels"] == exp).all(), (depth, ft, w, h)
+                assert out["mode"] == "P"
+        mx = nc - 1
+        vals = [(i * 3) % nc for i in range(11 * 3)]
+        out = M.decode_png_pixels(
+            M.make_png_gray(11, 3, vals, depth=depth, filter_type=1)
+        )
+        exp = (np.array(vals, dtype=np.uint16) * 255 // mx).astype(np.uint8)
+        assert (out["pixels"].ravel() == exp).all()
+        assert out["mode"] == ("1" if depth == 1 else "L")
+
+
+def test_png_16bit_still_gated():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    ihdr = M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + ihdr
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="bit depth 16"):
+        M.decode_png_pixels(png)
+
+
 def test_ahash_palette_png_matches_bmp():
     """Cross-format invariance including the paletted path: the SAME pixel
     grid as an indexed PNG (256-gray PLTE) and as a truecolor BMP hashes
