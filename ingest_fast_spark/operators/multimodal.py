@@ -924,10 +924,13 @@ def decode_png_pixels(payload: bytes):
     scans, small-palette graphics; bit-packed rows are unfiltered at the
     byte level per the spec's bpp=1 rule, then unpacked with shifts and
     grayscale is rescaled to 8-bit with the 255/(2^d-1) expansion).
-    16-bit, palette transparency (tRNS) and Adam7 raise
-    NotImplementedError (honest gate — a decoder that guessed would
-    corrupt downstream features); non-PNG and corrupt streams raise
-    ValueError.
+    Palette transparency (tRNS) decodes to (h, w, 4) RGBA pixels —
+    entries beyond the tRNS table default to opaque per the spec — while
+    the reported mode stays "P" (PIL's convention, and what
+    ``parse_image_header`` reads from IHDR alone). 16-bit and Adam7
+    raise NotImplementedError (honest gate — a decoder that guessed
+    would corrupt downstream features); non-PNG and corrupt streams
+    raise ValueError.
 
     This upgrades the no-PIL path of ``decode_images``/``resize_images``
     from header-metadata-only to actual pixel validation + access for
@@ -943,6 +946,7 @@ def decode_png_pixels(payload: bytes):
     i, w = 8, None
     idat = []
     plte = None
+    trns = None
     while i + 8 <= len(b):
         (length,) = struct.unpack(">I", b[i : i + 4])
         typ = b[i + 4 : i + 8]
@@ -964,7 +968,7 @@ def decode_png_pixels(payload: bytes):
                 raise ValueError(f"PNG PLTE length {length} not a multiple of 3")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"tRNS":
-            raise NotImplementedError("PNG palette transparency (tRNS)")
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -1029,12 +1033,22 @@ def decode_png_pixels(payload: bytes):
             (out[:, :, None] >> shifts[None, None, :]) & mask
         ).reshape(h, -1)[:, :w]
         px = samples[:, :, None]
-    if color == 3:  # palette indices -> RGB, exactly like the GIF decoder
+    if color == 3:  # palette indices -> RGB(A), exactly like the GIF decoder
         if plte is None:
             raise ValueError("paletted PNG missing PLTE chunk")
         if int(px.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
-        px = plte[px.reshape(h, w)]
+        idx = px.reshape(h, w)
+        if trns is not None:
+            if len(trns) > len(plte):
+                raise ValueError("PNG tRNS longer than the palette")
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            px = np.concatenate(
+                [plte[idx], alpha[idx][:, :, None]], axis=2
+            )
+        else:
+            px = plte[idx]
     elif depth != 8:  # sub-byte grayscale: expand to 8-bit levels
         px = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
             np.uint8

@@ -741,11 +741,6 @@ def test_png_palette_honest_gates():
     # paletted stream with no PLTE chunk at all
     with _pytest.raises(ValueError, match="PLTE"):
         M.decode_png_pixels(sig + ihdr + idat + chunk(b"IEND", b""))
-    # palette transparency is a gated (unimplemented) shape, not a guess
-    plte = chunk(b"PLTE", bytes((1, 2, 3, 4, 5, 6)))
-    trns = chunk(b"tRNS", b"\x80")
-    with _pytest.raises(NotImplementedError, match="tRNS"):
-        M.decode_png_pixels(sig + ihdr + plte + trns + idat + chunk(b"IEND", b""))
 
 
 def test_png_subbyte_depth_matrix():
@@ -776,6 +771,46 @@ def test_png_subbyte_depth_matrix():
         exp = (np.array(vals, dtype=np.uint16) * 255 // mx).astype(np.uint8)
         assert (out["pixels"].ravel() == exp).all()
         assert out["mode"] == ("1" if depth == 1 else "L")
+
+
+def test_png_palette_trns_alpha():
+    """Palette transparency: a tRNS chunk turns the decode into (h,w,4)
+    RGBA — per-index alpha, entries beyond the table opaque per spec —
+    while mode stays PIL's 'P'; a tRNS longer than the palette is a
+    ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    def with_trns(png_bytes, trns):
+        sig, rest = png_bytes[:8], png_bytes[8:]
+        out, i = sig, 0
+        while i < len(rest):
+            (ln,) = struct.unpack(">I", rest[i : i + 4])
+            typ = rest[i + 4 : i + 8]
+            out += rest[i : i + 12 + ln]
+            if typ == b"PLTE":
+                out += M._png_chunk(b"tRNS", bytes(trns))
+            i += 12 + ln
+        return out
+
+    pal = [(10, 20, 30), (200, 100, 5), (0, 0, 255)]
+    for depth in (8, 4, 2):
+        w, h = 5, 4
+        idx = [i % 3 for i in range(w * h)]
+        png = with_trns(
+            M.make_png_palette(w, h, pal, idx, filter_type=1, depth=depth), [0, 128]
+        )
+        out = M.decode_png_pixels(png)
+        assert out["mode"] == "P" and out["pixels"].shape == (h, w, 4)
+        ia = np.array(idx).reshape(h, w)
+        assert (out["pixels"][:, :, 3] == np.array([0, 128, 255], np.uint8)[ia]).all()
+        assert (out["pixels"][:, :, :3] == np.array(pal, np.uint8)[ia]).all()
+    with _pytest.raises(ValueError, match="tRNS longer"):
+        M.decode_png_pixels(
+            with_trns(M.make_png_palette(2, 2, [(1, 2, 3)], [0, 0, 0, 0]), [1, 2, 3])
+        )
 
 
 def test_png_16bit_still_gated():
