@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_soft_weights_minhash",
     "multimodal_png_palette_roundtrip",
     "embed_topk_ivf_adc",
+    "embed_topk_ivf_pq_residual",
 ]
 
 

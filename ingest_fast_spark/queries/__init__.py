@@ -101,6 +101,7 @@ _SHOWCASE_ORDER = [
     "split_cluster_safe_fast",
     "multimodal_png_palette_roundtrip",
     "embed_topk_ivf_adc",
+    "embed_topk_ivf_pq_residual",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -136,7 +137,6 @@ _SHOWCASE_ORDER = [
     "decontaminate_benchmark",
     "build_vocabulary",
     "curation_domain_cap",
-    "merge_upsert_customers",
 ]
 
 

@@ -4076,6 +4076,113 @@ def embed_topk_ivf_adc(spark, sf_dir):
 
 
 @register(
+    "embed_topk_ivf_pq_residual",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    coarse AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    asg AS (
+      SELECT vec_id, cid AS bucket,
+             list_transform(list_zip(v, cv), t -> t[1] - t[2]) AS r
+      FROM (
+        SELECT e.vec_id, e.v, c.cid, c.cv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                            t -> (t[1] - t[2]) * (t[1] - t[2]))), 6) ASC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN coarse c) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT vec_id AS code, r AS cbv FROM asg
+      WHERE vec_id NOT IN (SELECT cid FROM coarse)
+      ORDER BY vec_id LIMIT 8
+    ),
+    ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+    sub_rows AS (
+      SELECT vec_id, bucket, sub, r[sub * 16 + 1 : (sub + 1) * 16] AS sv
+      FROM asg CROSS JOIN ss
+    ),
+    cb_sub AS (
+      SELECT code, sub, cbv[sub * 16 + 1 : (sub + 1) * 16] AS csv
+      FROM cb CROSS JOIN ss
+    ),
+    codes AS (
+      SELECT vec_id, bucket, sub, code FROM (
+        SELECT s.vec_id, s.bucket, s.sub, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.sub
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 16),
+                            i -> (sv[i] - csv[i]) * (sv[i] - csv[i]))), 6) ASC,
+                          c.code
+               ) AS rn
+        FROM sub_rows s JOIN cb_sub c ON c.sub = s.sub) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, cid AS bucket,
+             list_transform(list_zip(qv, cv), t -> t[1] - t[2]) AS qr
+      FROM (
+        SELECT q.query_id, q.qv, c.cid, c.cv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_sum(list_transform(list_zip(q.qv, c.cv),
+                            t -> (t[1] - t[2]) * (t[1] - t[2]))), 6) ASC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN coarse c) WHERE rn <= 2
+    ),
+    dtab AS (
+      SELECT s.query_id, s.bucket, s.sub, c.code,
+             ROUND(list_sum(list_transform(generate_series(1, 16),
+                     i -> (qsv[i] - csv[i]) * (qsv[i] - csv[i]))), 6) AS d
+      FROM (
+        SELECT query_id, bucket, sub, qr[sub * 16 + 1 : (sub + 1) * 16] AS qsv
+        FROM probe CROSS JOIN ss
+      ) s
+      JOIN cb_sub c ON c.sub = s.sub
+    ),
+    approx AS (
+      SELECT dtab.query_id, codes.vec_id,
+             SUM(CAST(ROUND(d * 1000000) AS BIGINT)) AS approx_micro
+      FROM codes
+      JOIN dtab ON dtab.bucket = codes.bucket AND dtab.sub = codes.sub
+               AND dtab.code = codes.code AND codes.vec_id <> dtab.query_id
+      GROUP BY dtab.query_id, codes.vec_id
+    )
+    SELECT query_id, vec_id,
+           ROUND(approx_micro / 1000000.0, 6) AS approx_dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx_micro, vec_id) AS INT) AS rank
+      FROM approx
+    ) WHERE rank <= 10
+    """,
+)
+def embed_topk_ivf_pq_residual(spark, sf_dir):
+    """FULL IVFPQ with RESIDUAL encoding (Jégou et al. 2011 §III — the
+    FAISS IVFPQ layout): PQ codes quantize v − c(v) against the assigned
+    coarse centroid and each query rebuilds its distance table per
+    probed bucket from q − c_b. Oracle-exact end to end (deterministic
+    coarse + codebook seeds, round-6 L2 argmins, long micro-unit
+    ranking).
+
+    Registered WITH a measured negative result on record (BENCHNOTES.md
+    round 7): this synthetic corpus is near-uniform on the unit sphere,
+    so residuals keep ~full magnitude and recall@10 vs exact (0.24
+    sf0.01 / 0.02 sf0.1) LOSES to the raw-vector ``embed_topk_ivf_adc``
+    (0.28 / 0.24) at identical code size — the corpus, not the operator,
+    decides whether residual encoding pays, and a pipeline should
+    measure exactly this before picking the layout. ``embed_topk_ivf_adc``
+    is the registered default here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_pq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, m=4, n_cent=8,
+        n_coarse=8, nprobe=2,
+    )
+
+
+@register(
     "embed_label_noise_audit",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings

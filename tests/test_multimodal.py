@@ -813,6 +813,48 @@ def test_png_palette_trns_alpha():
         )
 
 
+def test_png_codec_roundtrip_property():
+    """Property: ANY (w, h, depth, filter, palette, indices) combination
+    the synthesizer can express round-trips bit-exactly through the
+    decoder — hypothesis drives the packing/unfiltering corners (w=1
+    columns, single rows, full-byte boundaries) the example tests can
+    miss."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 13),
+        h=st.integers(1, 7),
+        depth=st.sampled_from([1, 2, 4, 8]),
+        ft=st.sampled_from([0, 1, 2]),
+        data=st.data(),
+    )
+    def check(w, h, depth, ft, data):
+        nc = min(1 << depth, 6)
+        pal = [(i * 41 % 256, i * 97 % 256, i * 13 % 256) for i in range(nc)]
+        idx = data.draw(
+            st.lists(st.integers(0, nc - 1), min_size=w * h, max_size=w * h)
+        )
+        out = M.decode_png_pixels(
+            M.make_png_palette(w, h, pal, idx, filter_type=ft, depth=depth)
+        )
+        exp = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(h, w, 3)
+        assert (out["pixels"] == exp).all()
+        mx = (1 << depth) - 1
+        vals = data.draw(
+            st.lists(st.integers(0, mx), min_size=w * h, max_size=w * h)
+        )
+        g = M.decode_png_pixels(
+            M.make_png_gray(w, h, vals, depth=depth, filter_type=ft)
+        )
+        expg = (np.array(vals, dtype=np.uint32) * 255 // max(mx, 1)).astype(np.uint8)
+        assert (g["pixels"].ravel() == expg).all()
+
+    check()
+
+
 def test_png_16bit_still_gated():
     import struct
     import zlib

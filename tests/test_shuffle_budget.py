@@ -118,6 +118,10 @@ SHUFFLE_BUDGET = {
     # window + codes/assignment join + the ADC (query,vec) rollup — probe
     # set, codebook and distance tables all broadcast (never corpus-keyed)
     "embed_topk_ivf_adc": 6,
+    # residual IVFPQ: post-checkpoint shape (residual frame checkpointed
+    # once for codebook + encode): codebook anti-join agg, per-(vec,sub)
+    # min_by encode, the ADC (query,vec) rollup — tables broadcast
+    "embed_topk_ivf_pq_residual": 6,
 }
 
 
