@@ -154,6 +154,27 @@ SHOWCASE = [
         "broadcast joins against the 5-row query table; metric math "
         "touches ≤ k rows per query.",
     ),
+    (
+        "dedup_soft_weights_fast",
+        "MinHash-fed cluster layer (round-7 scale twin): the checkpointed "
+        "signature frame feeds the banded candidate join; CC rounds ride "
+        "their own checkpoints; the weights layer is one cluster-keyed "
+        "count plus a join back — same exchanges as the baseline-fed "
+        "variant, only the pair source changed.",
+    ),
+    (
+        "embed_topk_ivf_adc",
+        "IVF×ADC fusion: coarse assignment is a map-side max_by over the "
+        "broadcast centroid table (full-dim vectors die here); candidates "
+        "ride (bucket, sub, code) ints; probe set and per-query distance "
+        "tables broadcast; final rollup keys on (query_id, vec_id).",
+    ),
+    (
+        "multimodal_png_palette_roundtrip",
+        "Paletted-PNG attestation: two chained map-only mapInPandas "
+        "passes (synthesize, decode) — zero exchanges, payload bytes "
+        "never leave their executor.",
+    ),
 ]
 
 
