@@ -1451,3 +1451,150 @@ def minhash_candidate_pairs_portable(
     surface."""
     sigs = _portable_sig_frame(df, text_col, id_col, num_hashes, k)
     return _portable_candidates(sigs, num_hashes, bands)
+
+
+# --- Winnowing fingerprints (Schleimer, Wilkinson & Aiken, SIGMOD 2003) -----
+
+WINNOW_HASH_MOD = 1 << 40  # fingerprint hash space (fits the composite below)
+WINNOW_POS_MOD = 1 << 20  # max fingerprintable gram position per document
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprints: ``(doc_id, fp, pos)``.
+
+    The MOSS algorithm: hash every k-char gram of the normalized text,
+    slide a w-hash window over the sequence, and keep each window's
+    minimum (rightmost occurrence on ties). Guarantees: any substring
+    match of length >= w + k - 1 shares at least one fingerprint, and at
+    most 2/(w+1) of the gram positions are kept — the inverted index is
+    ~w/2 x smaller than full shingling WITH a detection floor, which full
+    MinHash sampling does not give.
+
+    Engine-portable arithmetic throughout (md5-derived gram hash reduced
+    mod 2^40) so the whole selection — including the rightmost-tie rule —
+    is reproducible in ANSI SQL: the window minimum runs over the
+    composite ``h * 2^20 + (2^20 - 1 - pos)``, whose integer order is
+    (h asc, pos desc); decoding the winning composite recovers (h, pos).
+
+    Scale shape: the gram explode is map-only off the scan; the only
+    shuffle is the per-document window (partitioned by id — bounded,
+    documents cap at 2^20 grams; fingerprint longer texts per chunk
+    upstream). Selection emits ~2/(w+1) of positions before the DISTINCT.
+    """
+    from pyspark.sql import Window
+
+    if w < 2 or k < 2:
+        raise ValueError("winnowing needs k >= 2 and w >= 2")
+    s = df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("s"),
+    )
+    grams = (
+        s.filter(F.length("s") >= k)
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.length("s") - (k - 1), F.lit(WINNOW_POS_MOD - 1)),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            (portable_hash60(F.col("s").substr(F.col("p"), F.lit(k))) % WINNOW_HASH_MOD).alias("h"),
+        )
+    )
+    composite = F.col("h") * WINNOW_POS_MOD + (WINNOW_POS_MOD - 1 - F.col("p"))
+    win = Window.partitionBy("doc_id").orderBy("p")
+    sel = (
+        grams.select(
+            "doc_id",
+            F.min(composite).over(win.rowsBetween(-(w - 1), 0)).alias("sel"),
+            F.row_number().over(win).alias("rn"),
+        )
+        .filter(F.col("rn") >= w)
+        .select("doc_id", "sel")
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(f"sel div {WINNOW_POS_MOD}").alias("fp"),
+            (F.lit(WINNOW_POS_MOD - 1) - F.col("sel") % WINNOW_POS_MOD).alias("pos"),
+        )
+    )
+    return sel
+
+
+def winnow_fingerprints_sql(k: int = 8, w: int = 4, table: str = "documents") -> str:
+    """DuckDB twin of ``winnow_fingerprints`` (bit-identical selection)."""
+    h_expr = portable_hash60_sql(f"substr(s, CAST(p AS INTEGER), {k})")
+    return f"""
+    winnow_src AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM {table} WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    winnow_pos AS (
+      SELECT doc_id, s,
+             CAST(unnest(generate_series(
+               1, least(greatest(len(s) - {k - 1}, 0), {WINNOW_POS_MOD - 1}))) AS BIGINT) AS p
+      FROM winnow_src
+    ),
+    winnow_grams AS (
+      SELECT doc_id, p, (({h_expr}) % {WINNOW_HASH_MOD}) AS h
+      FROM winnow_pos
+    ),
+    winnow_win AS (
+      SELECT doc_id,
+             min(h * {WINNOW_POS_MOD} + ({WINNOW_POS_MOD - 1} - p)) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS sel,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+      FROM winnow_grams
+    ),
+    winnow_fp AS (
+      SELECT DISTINCT doc_id, sel // {WINNOW_POS_MOD} AS fp,
+             {WINNOW_POS_MOD - 1} - (sel % {WINNOW_POS_MOD}) AS pos
+      FROM winnow_win WHERE rn >= {w}
+    )"""
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_shared winnowing fingerprints.
+
+    The fingerprint inverted index replaces the full-shingle index of
+    ``ngram_jaccard_pairs`` at ~2/(w+1) the size, with the winnowing
+    guarantee bounding what the sampling can miss (only matches shorter
+    than w + k - 1 chars). ``max_doc_freq`` drops boilerplate fingerprints
+    (hot keys) before the self-join, same skew guard as the shingle path.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, w).select("doc_id", "fp").distinct()
+    if max_doc_freq is not None:
+        # Distinct fingerprints grow with the corpus — no broadcast hint;
+        # AQE converts the df-filter join when the frequency table is small.
+        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
+        fp = fp.join(freq.filter(F.col("df_") <= max_doc_freq), "fp").drop("df_")
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )

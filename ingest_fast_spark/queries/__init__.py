@@ -102,6 +102,7 @@ _SHOWCASE_ORDER = [
     "multimodal_png_palette_roundtrip",
     "embed_topk_ivf_adc",
     "embed_topk_ivf_pq_residual",
+    "dedup_winnowing",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",

@@ -145,3 +145,81 @@ def test_bpe_fertility_bounds(spark):
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] >= 1.0
         assert r["n_bpe_tokens"] >= r["n_words"]
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python winnowing twin (Schleimer et al. 2003, Fig. 5 semantics:
+    window min, rightmost occurrence on ties) for selection-rule parity."""
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.strip().lower())
+    if len(s) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16) % (1 << 40)
+        for i in range(len(s) - k + 1)
+    ]
+    out = set()
+    for i in range(w - 1, len(hs)):
+        window = hs[i - w + 1 : i + 1]
+        m = min(window)
+        # rightmost occurrence of the min in this window
+        j = max(idx for idx, h in enumerate(window) if h == m)
+        out.add((m, i - w + 1 + j + 1))  # 1-based gram position
+    return out
+
+
+def test_winnow_matches_python_twin(spark):
+    docs = docs_with_dupes(spark)
+    got = {
+        (r["doc_id"], r["fp"], r["pos"])
+        for r in D.winnow_fingerprints(docs, k=8, w=4).collect()
+    }
+    want = set()
+    for row in docs.collect():
+        for fp, pos in _py_winnow(row["text"], k=8, w=4):
+            want.add((row["doc_id"], fp, pos))
+    assert got == want
+
+
+def test_winnow_guarantee_detects_long_shared_substring(spark):
+    """Any verbatim match of length >= w + k - 1 must share a fingerprint
+    (the winnowing coverage guarantee) — planted as a k+w-1-char overlap
+    inside otherwise-disjoint documents."""
+    shared = "zqxjvkwpyfbgmhdn"  # 16 chars of rare letters, no spaces
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaaaaa " + shared + " bbbbbbbbbbbbbbbbbbbb"),
+            (2, "cccccccccccccccccccc " + shared + " dddddddddddddddddddd"),
+        ],
+        "doc_id long, text string",
+    )
+    # k=8, w=4: guarantee floor is 11 chars; the 16-char planted run qualifies
+    fp = D.winnow_fingerprints(docs, k=8, w=4)
+    a = {r["fp"] for r in fp.filter(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in fp.filter(F.col("doc_id") == 2).collect()}
+    assert a & b, "winnowing guarantee violated: 16-char shared run, no shared fingerprint"
+
+
+def test_winnow_pairs_density_and_hot_fp_guard(spark):
+    """Selection density ~2/(w+1); the df guard drops boilerplate
+    fingerprints before the self-join."""
+    rows = [(i, f"unique text number {i} with some shared boilerplate suffix attached here") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = D.winnow_fingerprints(docs, k=8, w=4)
+    n_grams = sum(len(r["text"].strip()) - 7 for r in rows_df(docs))
+    n_sel = fp.count()
+    assert n_sel < 0.6 * n_grams  # well under full shingling
+    # Without the guard the shared suffix pairs everything with everything
+    # (30 choose 2); with it, interior-boilerplate fingerprints (selected
+    # identically in all 30 docs, df=30) are dropped before the self-join
+    # and only low-df boundary selections can still pair.
+    unguarded = D.winnow_pairs(docs, k=8, w=4, min_shared=1, max_doc_freq=None)
+    assert unguarded.count() == 435
+    guarded = D.winnow_pairs(docs, k=8, w=4, min_shared=1, max_doc_freq=10)
+    assert guarded.count() < 30
+
+
+def rows_df(docs):
+    return [{"text": r["text"]} for r in docs.collect()]

@@ -122,6 +122,10 @@ SHUFFLE_BUDGET = {
     # once for codebook + encode): codebook anti-join agg, per-(vec,sub)
     # min_by encode, the ADC (query,vec) rollup — tables broadcast
     "embed_topk_ivf_pq_residual": 6,
+    # winnowing: per-doc selection window + (doc,sel) distinct + (doc,fp)
+    # distinct + df-guard agg/join + pair rollup; the gram explode itself
+    # is map-only off the scan
+    "dedup_winnowing": 6,
 }
 
 
