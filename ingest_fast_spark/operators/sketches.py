@@ -203,3 +203,55 @@ def heavy_hitters_exact(
             F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
         )
     )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) -------------------------
+#
+# The mergeable streaming-frequency summary: d hash rows x w buckets of
+# counters; EST(t) = min over rows of the counter t hashes into. Always an
+# overestimate; err <= (e/w)*N per query with probability 1 - e^-d. Engine-
+# portable hashing (md5-derived token hash pushed through the same affine
+# family machinery as MinHash) so DuckDB rebuilds the identical sketch.
+
+CMS_D = 4
+CMS_W = 256
+CMS_SEED = 20260815
+
+
+def _cms_fams() -> list[tuple[int, int]]:
+    return minhash_families(CMS_D, seed=CMS_SEED)
+
+
+def cms_bucket(hcol, i: int):
+    """Bucket of hash row ``i`` for a reduced token hash column."""
+    a, b = _cms_fams()[i]
+    return ((F.lit(a) * hcol + F.lit(b)) % _MINHASH_P) % CMS_W
+
+
+def cms_bucket_sql(hexpr: str, i: int) -> str:
+    a, b = _cms_fams()[i]
+    return f"((({a} * ({hexpr}) + {b}) % {_MINHASH_P}) % {CMS_W})"
+
+
+def cms_cells(tokens_df: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Build the d x w counter table: ``(row_i, bucket, cnt)``.
+
+    One pass over the token stream; the explode to d rows happens on the
+    (row_i, bucket) AGGREGATE keys, so the shuffle carries at most d*w
+    = 4x256 cells per map task (map-side partial aggregation collapses
+    the token stream before the exchange) — the sketch property that makes
+    it viable as a 100 TB running summary where exact per-token counts
+    are not.
+    """
+    h = (portable_hash60(F.col(tok_col)) % _MINHASH_P).alias("h")
+    cells = tokens_df.select(h).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row_i"), cms_bucket(F.col("h"), i).alias("bucket"))
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy("c.row_i", "c.bucket").agg(F.count(F.lit(1)).alias("cnt"))

@@ -75,7 +75,8 @@ def _load_all() -> None:
 #   (1) the round-7 additions: the MinHash-fed scale twins of the
 #       CC-riding cluster layers (3 oracle-exact *_minhash + 3 xxhash64
 #       *_fast production defaults, rows-only by design), the paletted-PNG
-#       round-trip, and the IVF×ADC fusion;
+#       round-trip, the IVF×ADC fusion (+ residual-PQ study twin), the
+#       winnowing fingerprint dedup, and the Count-Min accuracy report;
 #   (2) queries whose oracle or underlying operator changed this round
 #       (zipf NULLIF, mojibake pair-table oracle, PNG/GIF/JPEG decoder
 #       edits, the pair-source refactor, the new recall-report leg);
@@ -103,6 +104,7 @@ _SHOWCASE_ORDER = [
     "embed_topk_ivf_adc",
     "embed_topk_ivf_pq_residual",
     "dedup_winnowing",
+    "sketch_cms_report",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -132,12 +134,10 @@ _SHOWCASE_ORDER = [
     "stream_windowed_counts",
     "dedup_exact",
     "dedup_paragraphs",
-    "text_token_stats",
     "quality_model_score",
     "pack_training_sequences",
     "decontaminate_benchmark",
     "build_vocabulary",
-    "curation_domain_cap",
 ]
 
 

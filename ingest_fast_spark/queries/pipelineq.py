@@ -1117,6 +1117,123 @@ def sketch_quantile_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch accuracy report (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+_CMS_TOP = 20
+# e scaled to micro-units, rounded UP (2.7182818… → 2.718282): keeps the
+# published err ≤ (e/w)·N bound checkable in exact integer arithmetic on
+# both engines (no float rounding at the comparison boundary).
+_CMS_E_MICRO = 2718282
+
+
+def _cms_oracle() -> str:
+    from ..operators.dedup import _MINHASH_P
+    from ..operators.sketches import CMS_W, _cms_fams
+
+    fams = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_cms_fams()))
+    h60 = D.portable_hash60_sql("tok")
+    return f"""
+    WITH tk AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fam(i, a, b) AS (VALUES {fams}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tk),
+    occ AS (SELECT (({h60}) % {_MINHASH_P}) AS h FROM tk),
+    cells AS (
+      SELECT fam.i, ((fam.a * occ.h + fam.b) % {_MINHASH_P}) % {CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ CROSS JOIN fam GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             (({h60}) % {_MINHASH_P}) AS h
+      FROM tk GROUP BY tok ORDER BY n_exact DESC, tok LIMIT {_CMS_TOP}
+    ),
+    est AS (
+      SELECT top.tok, top.n_exact, MIN(cells.cnt) AS n_est
+      FROM top CROSS JOIN fam
+      JOIN cells ON cells.i = fam.i
+       AND cells.bucket = ((fam.a * top.h + fam.b) % {_MINHASH_P}) % {CMS_W}
+      GROUP BY top.tok, top.n_exact
+    )
+    SELECT tok, n_exact, n_est, n_est - n_exact AS overcount,
+           (n_est - n_exact) * {CMS_W} * 1000000 <= {_CMS_E_MICRO} * n_total
+             AS within_bound
+    FROM est CROSS JOIN tot
+    """
+
+
+@register("sketch_cms_report", oracle=_cms_oracle())
+def sketch_cms_report(spark, sf_dir):
+    """Count-Min sketch accuracy report (Cormode & Muthukrishnan 2005):
+    build the d×w counter table over the corpus token stream, then check
+    the sketch's estimates for the top-20 exact-frequency tokens
+    against their true counts and the published error bound
+    err ≤ (e/w)·N — the bound compare runs in exact integer micro-units
+    so the boolean is parity-stable. Hashing is the engine-portable
+    md5-derived token hash through the MinHash affine-family machinery,
+    so DuckDB rebuilds the IDENTICAL sketch: the driver attests the
+    sketch construction itself, not just the report arithmetic.
+
+    Why CMS earns a slot next to the exact Misra-Gries path
+    (text_heavy_hitters): MG answers "which tokens are frequent", CMS
+    answers point queries for ANY token from d·w = 4×256 counters —
+    the running corpus-frequency summary a 100 TB streaming ingest keeps
+    when the vocabulary itself no longer fits. Scale shape: the cell
+    build partial-aggregates map-side (≤ d·w cells leave each task); the
+    exact side exists only because this is an accuracy report; the cells
+    and top-token tables both broadcast for the estimate join."""
+    from ..operators.dedup import _MINHASH_P
+    from ..operators.sketches import CMS_D, CMS_W, cms_bucket, cms_cells
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    # Reused by the cell build, the total, and the exact counts — one
+    # materialization keeps the scan+explode from running three times.
+    tk = tk.localCheckpoint(eager=True)
+    cells = cms_cells(tk)  # (row_i, bucket, cnt): at most d*w = 1024 rows
+    total = tk.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row
+    top = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok"))
+        .limit(_CMS_TOP)
+        .withColumn("h", D.portable_hash60(F.col("tok")) % _MINHASH_P)
+    )
+    probes = top.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), cms_bucket(F.col("h"), i).alias("bucket")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "n_exact", "p.row_i", "p.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["row_i", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        (
+            (F.col("n_est") - F.col("n_exact")) * CMS_W * 1000000
+            <= F.lit(_CMS_E_MICRO) * F.col("n_total")
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distribution-drift monitoring (PSI) over the event stream
 # ---------------------------------------------------------------------------
 

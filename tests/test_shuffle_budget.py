@@ -126,6 +126,10 @@ SHUFFLE_BUDGET = {
     # distinct + df-guard agg/join + pair rollup; the gram explode itself
     # is map-only off the scan
     "dedup_winnowing": 6,
+    # CMS: post-checkpoint shape — the (row_i,bucket) cell agg (<=1024
+    # cells leave each map task) + the exact-count agg the report needs;
+    # cells/top/total all broadcast into the estimate join
+    "sketch_cms_report": 2,
 }
 
 

