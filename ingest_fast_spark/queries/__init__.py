@@ -105,6 +105,7 @@ _SHOWCASE_ORDER = [
     "embed_topk_ivf_pq_residual",
     "dedup_winnowing",
     "sketch_cms_report",
+    "events_drift_ks",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -135,7 +136,6 @@ _SHOWCASE_ORDER = [
     "dedup_exact",
     "dedup_paragraphs",
     "quality_model_score",
-    "pack_training_sequences",
     "decontaminate_benchmark",
     "build_vocabulary",
 ]

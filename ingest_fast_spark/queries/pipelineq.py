@@ -1362,6 +1362,122 @@ def events_drift_psi(spark, sf_dir):
     )
 
 
+# KS alpha=0.05 coefficient c(alpha)^2 = 1.358^2, scaled to micro-units so
+# the drift boolean compares exact integers (no float at the boundary).
+_KS_C2_MICRO = 1844164
+
+
+@register(
+    "events_drift_ks",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value, ts < TIMESTAMP '{_PSI_CUTOFF}' AS is_ref
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, value,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS d_ref,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS d_cur
+      FROM e GROUP BY event_type, value
+    ),
+    c AS (
+      SELECT event_type,
+             SUM(d_ref) OVER w AS cum_ref,
+             SUM(d_cur) OVER w AS cum_cur,
+             CAST(SUM(d_ref) OVER (PARTITION BY event_type) AS BIGINT) AS t_ref,
+             CAST(SUM(d_cur) OVER (PARTITION BY event_type) AS BIGINT) AS t_cur
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT event_type, t_ref, t_cur,
+             MAX(abs(cum_ref * t_cur - cum_cur * t_ref)) AS d_num
+      FROM c WHERE t_ref > 0 AND t_cur > 0
+      GROUP BY event_type, t_ref, t_cur
+    )
+    SELECT event_type, t_ref AS n_ref, t_cur AS n_cur,
+           ROUND(CAST(d_num AS DOUBLE) / (t_ref * t_cur), 6) AS ks,
+           CAST(d_num AS DOUBLE) * d_num * 1000000
+             > {_KS_C2_MICRO}.0 * (t_ref + t_cur) * t_ref * t_cur AS drifted
+    FROM d
+    """,
+)
+def events_drift_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift test per event type —
+    the distribution-free companion to the binned PSI monitor
+    (``events_drift_psi``): D = sup_x |F_ref(x) − F_cur(x)| evaluated at
+    every distinct value, no binning approximation, plus the alpha=0.05
+    rejection boolean D > 1.358·sqrt((n+m)/(nm)). The supremum is taken
+    over the INTEGER numerators |cum_ref·t_cur − cum_cur·t_ref| (division
+    deferred to the final row), and the rejection compare is cross-
+    multiplied into integers too — both parity-exact by construction.
+    Numerator magnitude is ~n·m: int64-safe to ~3e9 rows per type, at
+    which point the distinct-VALUE grid (not row count) is the real
+    bound — quantize values upstream past that.
+
+    Scale shape: one (type, value) count aggregate collapses the event
+    stream to its distinct-value grid before any ordering; the cumsum
+    window then sorts only the grid, partitioned by type. Ties across
+    slices are handled by stepping both CDFs at once — the textbook
+    evaluation at jump points, exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    g = (
+        e.select(
+            "event_type",
+            "value",
+            (F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp_ntz")).alias("is_ref"),
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("d_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("d_cur"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("d_ref").over(wcum).alias("cum_ref"),
+        F.sum("d_cur").over(wcum).alias("cum_cur"),
+        F.sum("d_ref").over(wall).alias("t_ref"),
+        F.sum("d_cur").over(wall).alias("t_cur"),
+    )
+    d = (
+        c.filter((F.col("t_ref") > 0) & (F.col("t_cur") > 0))
+        .groupBy("event_type", "t_ref", "t_cur")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_ref") * F.col("t_cur") - F.col("cum_cur") * F.col("t_ref"))
+            ).alias("d_num")
+        )
+    )
+    return d.select(
+        "event_type",
+        F.col("t_ref").alias("n_ref"),
+        F.col("t_cur").alias("n_cur"),
+        F.round(F.col("d_num").cast("double") / (F.col("t_ref") * F.col("t_cur")), 6).alias("ks"),
+        (
+            F.col("d_num").cast("double") * F.col("d_num") * 1000000
+            > F.lit(float(_KS_C2_MICRO))
+            * (F.col("t_ref") + F.col("t_cur"))
+            * F.col("t_ref")
+            * F.col("t_cur")
+        ).alias("drifted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language-ID confusion matrix (classifier evaluation)
 # ---------------------------------------------------------------------------

@@ -452,3 +452,47 @@ def test_symspell_d2_catches_two_stacked_edits(spark):
     assert d2[(1, 5)] == 1  # d=1 pairs are a subset of d=2 results
     assert (1, 6) not in d2
     assert set(d1) <= set(d2)
+
+
+def test_ks_detects_planted_shift_and_matches_scipy_formula(spark):
+    """The exact two-sample KS: a +5 shift must reject at alpha=0.05, an
+    identical distribution must not; the statistic must equal the direct
+    numpy computation of sup|F1-F2| on the same data."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ingest_fast_spark.queries.pipelineq import events_drift_ks
+
+    ref = dt.datetime(2024, 1, 10)
+    cur = dt.datetime(2024, 1, 20)
+    rows = []
+    for i in range(300):
+        v = (i % 100) / 10.0
+        rows.append((i, ref, 1, "stable", v, None))
+        rows.append((1000 + i, cur, 1, "stable", v, None))
+        rows.append((2000 + i, ref, 1, "shifted", v, None))
+        rows.append((3000 + i, cur, 1, "shifted", v + 5.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_type"]: r for r in events_drift_ks(spark, d).collect()}
+    assert out["shifted"]["drifted"] and not out["stable"]["drifted"]
+    assert out["stable"]["ks"] == 0.0
+    # direct sup|F1-F2| on the planted data (evaluate at every sample point)
+    a = np.array([(i % 100) / 10.0 for i in range(300)])
+    b = a + 5.0
+    grid = np.union1d(a, b)
+    d_direct = np.max(
+        np.abs(
+            np.searchsorted(np.sort(a), grid, "right") / 300
+            - np.searchsorted(np.sort(b), grid, "right") / 300
+        )
+    )
+    assert abs(out["shifted"]["ks"] - round(float(d_direct), 6)) < 1e-9

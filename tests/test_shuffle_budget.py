@@ -130,6 +130,9 @@ SHUFFLE_BUDGET = {
     # cells leave each map task) + the exact-count agg the report needs;
     # cells/top/total all broadcast into the estimate join
     "sketch_cms_report": 2,
+    # KS: the (type,value) grid aggregate + the per-type cumsum window
+    # (the window rides the grid, not the event stream)
+    "events_drift_ks": 2,
 }
 
 
