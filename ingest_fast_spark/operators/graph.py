@@ -356,3 +356,43 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: ``(n, core_degree)`` for nodes that
+    survive ``rounds`` iterations of "drop every node with degree < k"
+    (Seidman 1983 cores; the standard boilerplate/hub detector over a
+    near-dup or citation graph — the k-core is what's left after the
+    sparse fringe peels away). Fixed round count keeps the operator
+    deterministic and the oracle expressible as unrolled CTEs, the same
+    contract as ``pagerank``/``label_propagation``; when a round removes
+    nothing the edge set is a fixpoint, so with enough rounds this IS the
+    exact k-core (convergence is data-dependent; callers pin rounds).
+
+    Scale shape per round: one degree aggregate (map-side combinable) +
+    two semi-joins of the edge list against the surviving-node set —
+    edges shuffle on one endpoint key each; the node set is corpus-sized
+    so no broadcast hint (AQE demotes when small). Edge state is
+    localCheckpointed per round to truncate lineage.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+    )
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("s").alias("n")).agg(F.count(F.lit(1)).alias("core_degree"))

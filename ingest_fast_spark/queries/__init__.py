@@ -106,6 +106,7 @@ _SHOWCASE_ORDER = [
     "dedup_winnowing",
     "sketch_cms_report",
     "events_drift_ks",
+    "graph_kcore",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -136,7 +137,6 @@ _SHOWCASE_ORDER = [
     "dedup_exact",
     "dedup_paragraphs",
     "quality_model_score",
-    "decontaminate_benchmark",
     "build_vocabulary",
 ]
 

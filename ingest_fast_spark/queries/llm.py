@@ -4471,6 +4471,65 @@ def graph_label_propagation(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int = 11, rounds: int = 5) -> str:
+    head = """
+    WITH raw AS (
+      SELECT DISTINCT o_custkey % 2000 AS s, o_orderkey % 2000 AS d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 2000) <> (o_orderkey % 2000)
+    ),
+    e0 AS (SELECT DISTINCT s, d FROM
+           (SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw))"""
+    body = ""
+    for i in range(1, rounds + 1):
+        body += f""",
+    k{i} AS (
+      SELECT s FROM e{i-1} GROUP BY s HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS (
+      SELECT e.s, e.d FROM e{i-1} e
+      JOIN k{i} a ON a.s = e.s JOIN k{i} b ON b.s = e.d
+    )"""
+    return head + body + f"""
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY s"""
+
+
+@register("graph_kcore", oracle=_kcore_oracle(k=11, rounds=5))
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (Seidman 1983), 5 fixed peeling rounds at
+    k=11 over a 2000-node mod-graph (sparser than the PageRank/LPA
+    substrate so the peel is non-trivial: at sf0.01 the cascade runs
+    1489 -> 1442 -> 1426 -> 1422 survivors and round 5 is the fixpoint,
+    so the fixed-round result IS the exact 11-core there) —
+    repeatedly drop nodes with degree < k; what survives is the dense
+    hub structure (in a near-dup graph: the boilerplate families; in a
+    citation graph: the canonical sources). All-integer state, so the
+    unrolled-CTE oracle matches with no rounding conventions.
+
+    Scale shape (operators/graph.kcore): per round one map-side-
+    combinable degree aggregate + two semi-joins of the edge list
+    against the survivor set, edge state localCheckpointed between
+    rounds — no window over nodes, no collect; the survivor set stays
+    distributed (corpus-sized at 100 TB, so no broadcast hint — AQE
+    demotes when it is actually small)."""
+    from ..operators.graph import kcore
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select(
+            (F.col("o_custkey") % 2000).alias("src"),
+            (F.col("o_orderkey") % 2000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return kcore(edges, k=11, rounds=5).select(
+        F.col("n").alias("node"), "core_degree"
+    )
+
+
 @register(
     "token_zipf_slope",
     oracle=rf"""

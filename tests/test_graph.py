@@ -265,3 +265,29 @@ def test_lpa_hot_label_skew(spark):
     hot_labels = [got[v] for v in range(120) if v in got]
     top_share = max(hot_labels.count(l) for l in set(hot_labels)) / len(hot_labels)
     assert top_share > 0.9
+
+
+def test_kcore_peels_fringe_exactly(spark):
+    """Planted graph: a 5-clique (4-core) with a pendant path attached.
+    At k=2 the path peels away over multiple rounds (end first, then the
+    newly-exposed end) and the clique survives with its full degrees —
+    checked against the sequential peel."""
+    from ingest_fast_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]  # pendant chain off clique node 4
+    edges = spark.createDataFrame(clique + path, "src long, dst long")
+    out = {r["n"]: r["core_degree"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # chain fully peeled (needs 3 rounds)
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}  # clique degrees intact
+    # one round is NOT enough for the chain — fixed-round semantics visible
+    partial = {r["n"] for r in kcore(edges, k=2, rounds=1).collect()}
+    assert 11 in partial and 12 not in partial
+
+
+def test_kcore_whole_graph_survives_when_k_below_min_degree(spark):
+    from ingest_fast_spark.operators.graph import kcore
+
+    tri = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    out = {r["n"]: r["core_degree"] for r in kcore(tri, k=2, rounds=3).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
