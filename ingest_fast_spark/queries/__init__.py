@@ -107,6 +107,7 @@ _SHOWCASE_ORDER = [
     "sketch_cms_report",
     "events_drift_ks",
     "graph_kcore",
+    "decontaminate_semantic",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -136,7 +137,6 @@ _SHOWCASE_ORDER = [
     "stream_windowed_counts",
     "dedup_exact",
     "dedup_paragraphs",
-    "quality_model_score",
     "build_vocabulary",
 ]
 

@@ -4471,6 +4471,70 @@ def graph_label_propagation(spark, sf_dir):
     )
 
 
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+    tr AS (SELECT vec_id, v, label FROM e WHERE vec_id % 20 <> 0),
+    scored AS (
+      SELECT a.vec_id, a.label, b.vec_id AS eval_id,
+             ROUND({_EMB_COS}, 6) AS cos_r
+      FROM tr a CROSS JOIN ev b
+    ),
+    best AS (
+      SELECT vec_id, label, eval_id, cos_r FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_r DESC, eval_id ASC) = 1
+    )
+    SELECT vec_id, label, eval_id AS matched_eval_id, cos_r AS cos_sim
+    FROM best WHERE cos_r >= 0.4
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination (the SemDeDup-style
+    companion to the n-gram overlap check ``decontaminate_benchmark``):
+    flag training vectors whose cosine against ANY held-out eval vector
+    (vec_id % 20 == 0 stands in for the benchmark set) reaches 0.4, with
+    the best-matching eval item attached. N-gram overlap misses
+    paraphrases; embedding cosine is how production pipelines catch
+    semantically-leaked eval items.
+
+    Scale shape: the eval set is benchmark-sized — BROADCAST by
+    construction (the one side of this problem that never grows with the
+    corpus); the training scan is map-only against it, and the per-vector
+    argmax is a partial-aggregable max_by, no window over the corpus.
+    Ties on the ROUNDED cosine break to the smallest eval id on both
+    engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    ev = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), S.as_double(F.col("embedding")).alias("qv")
+    )
+    tr = e.filter(F.col("vec_id") % 20 != 0).select(
+        "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "label",
+        "eval_id",
+        F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("cos_r"),
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max_by(
+            "eval_id", F.struct(F.col("cos_r"), (-F.col("eval_id")).alias("neg"))
+        ).alias("matched_eval_id"),
+        F.max("cos_r").alias("cos_sim"),
+    )
+    return best.filter(F.col("cos_sim") >= 0.4).select(
+        "vec_id", "label", "matched_eval_id", "cos_sim"
+    )
+
+
 def _kcore_oracle(k: int = 11, rounds: int = 5) -> str:
     head = """
     WITH raw AS (

@@ -133,6 +133,9 @@ SHUFFLE_BUDGET = {
     # KS: the (type,value) grid aggregate + the per-type cumsum window
     # (the window rides the grid, not the event stream)
     "events_drift_ks": 2,
+    # eval set broadcast (benchmark-sized by construction); the only
+    # exchange is the per-vector argmax aggregate
+    "decontaminate_semantic": 1,
 }
 
 

@@ -293,3 +293,26 @@ def test_kmeans_matches_numpy_recurrence(spark):
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_semantic_decontamination_flags_planted_leak(spark, sf_dir, tmp_path):
+    """A training vector that IS an eval vector (vec_id 21 copies vec 20's
+    embedding) must be flagged with cos 1.0 against exactly that eval id;
+    an orthogonal vector must not be flagged."""
+    import os
+
+    from ingest_fast_spark.queries.llm import decontaminate_semantic
+
+    dim = 8
+    ev = [1.0] + [0.0] * (dim - 1)          # vec_id 20 -> eval set (20 % 20 == 0)
+    leak = [1.0] + [0.0] * (dim - 1)        # vec_id 21 -> training, exact copy
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)  # vec_id 22 -> training, orthogonal
+    df = spark.createDataFrame(
+        [(20, ev, 0), (21, leak, 1), (22, ortho, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in decontaminate_semantic(spark, d).collect()}
+    assert set(out) == {21}
+    assert out[21]["matched_eval_id"] == 20 and out[21]["cos_sim"] == 1.0
