@@ -386,6 +386,86 @@ def ahash_near_dups(hashed: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho')."""
+    import numpy as np
+
+    i = np.arange(n)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    d[0] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+def phash_pixels(px) -> int:
+    """DCT perceptual hash (pHash) of a decoded pixel array: grayscale →
+    nearest-sample to 32×32 → orthonormal 2D DCT-II (two numpy matmuls
+    against the 32×32 basis) → keep the top-left 8×8 low-frequency block
+    → threshold each AC coefficient on the MEDIAN of the 63 ACs (DC is
+    excluded from both the median and the hash; its bit is 0) → pack
+    MSB-first into a signed 64-bit int.
+
+    Complements aHash: aHash thresholds spatial brightness (robust to
+    re-encode, sensitive to global gradients), pHash thresholds the
+    frequency spectrum — invariant to brightness/contrast scaling and far
+    more robust to smoothing/sharpening, the fingerprint real crawl-image
+    dedup stacks key on. Deterministic: IEEE matmul on identical pixel
+    input is bit-stable, and lossless decoders (PNG/GIF/BMP, flat-quant
+    JPEG) give identical pixels across formats."""
+    import numpy as np
+
+    a = np.asarray(px)
+    g = a.astype(np.float64).mean(axis=2) if a.ndim == 3 else a.astype(np.float64)
+    h, w = g.shape
+    rows = (np.arange(32) * h) // 32
+    cols = (np.arange(32) * w) // 32
+    small = g[rows][:, cols]
+    d = _dct_matrix(32)
+    spec = d @ small @ d.T
+    block = spec[:8, :8].copy()
+    ac = np.concatenate([block.ravel()[1:]])
+    med = np.median(ac)
+    bits = (block.ravel() > med)
+    bits[0] = False  # DC carries only global brightness — excluded
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def phash_images(df: DataFrame) -> DataFrame:
+    """DCT perceptual-hash operator: mapInPandas over binary payloads →
+    (doc_id, phash). Same contract as ``ahash_images``: pure-Python pixel
+    decoders, honest raise on undecodable formats, NULL payload → NULL
+    hash. Map-only; downstream groups on the hash or its bands."""
+
+    def hash_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                if b is None:
+                    out.append(None)
+                    continue
+                raw = bytes(b)
+                meta = parse_image_header(raw)
+                dec = _PIXEL_DECODERS.get(meta["format"]) if meta else None
+                if dec is None:
+                    raise ValueError(
+                        "no pixel decoder for payload (PNG/JPEG/GIF/BMP "
+                        "supported without PIL)"
+                    )
+                out.append(phash_pixels(dec(raw)["pixels"]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

@@ -104,6 +104,7 @@ _SHOWCASE_ORDER = [
     "embed_topk_ivf_adc",
     "embed_topk_ivf_pq_residual",
     "dedup_winnowing",
+    "multimodal_dedup_phash",
     "sketch_cms_report",
     "events_drift_ks",
     "graph_kcore",

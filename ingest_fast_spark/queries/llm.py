@@ -841,6 +841,77 @@ def multimodal_dedup_ahash(spark, sf_dir):
 
 
 @register(
+    "multimodal_dedup_phash",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 5) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY doc_id % 5) AS cluster_size
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_dedup_phash(spark, sf_dir):
+    """DCT perceptual-hash image dedup attested ACROSS CODECS: each
+    document gets the same 16×16 vertical-split pattern (position =
+    ``doc_id % 5``) but encoded by a format that rotates with
+    ``doc_id % 3`` — 24-bit BMP, GIF89a (LZW), or paletted PNG. The
+    oracle states cluster = the pattern residue class ONLY: a green row
+    proves all three lossless decoders reconstruct identical pixels AND
+    that the 32×32-DCT pHash is stable over them — the exact property
+    (re-encode invariance) a crawl-image dedup stack keys on. Distinct
+    patterns must land in distinct clusters (the 8×8 low-frequency block
+    separates a 2-column shift at 16px — verified by the planted
+    structure itself).
+
+    Scale shape: synthesis, decode, and hash are chained map-only
+    mapInPandas passes (payload bytes never leave their executor);
+    clustering is one shuffle on the 64-bit hash."""
+    from pyspark.sql import Window
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            pal = [(0, 0, 0), (255, 255, 255)]
+            for i in ids:
+                p = i % 5
+                split = 2 * (p + 1)
+                idx = [(0 if c < split else 1) for r in range(16) for c in range(16)]
+                f = i % 3
+                if f == 0:
+                    row = [pal[0]] * split + [pal[1]] * (16 - split)
+                    payloads.append(M.make_bmp(16, 16, rgb_rows=[row] * 16))
+                elif f == 1:
+                    payloads.append(M.make_gif(16, 16, palette=pal, indices=idx))
+                else:
+                    payloads.append(
+                        M.make_png_palette(16, 16, palette=pal, indices=idx)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/mixed",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    hashed = d.mapInPandas(gen, M.PAYLOAD_SCHEMA).transform(M.phash_images)
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+@register(
     "encode_decode_roundtrip",
     oracle=r"""
     SELECT doc_id,

@@ -1039,3 +1039,62 @@ def test_make_wav_roundtrips_through_header_and_features(spark):
         400, 0.25, 0.25, 1.0,
     )
     assert r["silence_ratio"] == 0.0
+
+
+def test_phash_cross_format_invariance():
+    """The SAME pixel grid as truecolor BMP, paletted PNG, and GIF hashes
+    to the SAME 64-bit DCT pHash — the re-encode invariance crawl-image
+    dedup keys on (all three decoders are lossless)."""
+    w, h = 16, 16
+    grid = [[(r * 37 + c * 11) % 256 for c in range(w)] for r in range(h)]
+    rows = [[(v, v, v) for v in row] for row in grid]
+    pal = [(v, v, v) for v in range(256)]
+    idx = [v for row in grid for v in row]
+    bmp_px = M.decode_bmp_pixels(M.make_bmp(w, h, rgb_rows=rows))["pixels"]
+    png_px = M.decode_png_pixels(M.make_png_palette(w, h, pal, idx))["pixels"]
+    gif_px = M.decode_gif_pixels(M.make_gif(w, h, palette=pal, indices=idx))["pixels"]
+    hs = {M.phash_pixels(p) for p in (bmp_px, png_px, gif_px)}
+    assert len(hs) == 1
+    v = hs.pop()
+    assert isinstance(v, int) and -(2**63) <= v < 2**63
+
+
+def test_phash_brightness_contrast_invariance():
+    """pHash is invariant to positive affine pixel transforms a*x + b
+    (a>0): scaling multiplies every AC coefficient AND their median by a;
+    the offset lands only in the excluded DC term. aHash does NOT have
+    this property — it's pHash's reason to exist."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(40, 100, size=(32, 32)).astype(np.uint8)
+    h0 = M.phash_pixels(base)
+    # contrast x2 + brightness +30 stays inside [0,255] for this range
+    assert M.phash_pixels((base.astype(np.int64) * 2 + 30).astype(np.uint8)) == h0
+    assert M.phash_pixels(base.astype(np.int64) + 77) == h0
+    # grayscale 2-D input hashes like its 3-channel broadcast
+    assert M.phash_pixels(np.repeat(base[:, :, None], 3, axis=2)) == h0
+
+
+def test_phash_distinctness_and_operator(spark):
+    """Distinct planted vertical-split patterns get distinct pHashes, and
+    the mapInPandas operator returns the same values as the pure function;
+    NULL payload -> NULL hash, undecodable payload raises honestly."""
+    pats = []
+    for p in range(5):
+        split = 2 * (p + 1)
+        row = [(0, 0, 0)] * split + [(255, 255, 255)] * (16 - split)
+        pats.append(M.make_bmp(16, 16, rgb_rows=[row] * 16))
+    expect = [M.phash_pixels(M.decode_bmp_pixels(b)["pixels"]) for b in pats]
+    assert len(set(expect)) == 5
+    df = spark.createDataFrame(
+        [(i, b, "image/bmp", "{}") for i, b in enumerate(pats)] + [(9, None, "image/bmp", "{}")],
+        M.PAYLOAD_SCHEMA,
+    )
+    got = {r["doc_id"]: r["phash"] for r in M.phash_images(df).collect()}
+    assert [got[i] for i in range(5)] == expect
+    assert got[9] is None
+    bad = spark.createDataFrame([(2, b"junk bytes", "image/bmp", "{}")], M.PAYLOAD_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        M.phash_images(bad).collect()
+    assert "pixel decoder" in str(ei.value)
