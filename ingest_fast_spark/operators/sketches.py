@@ -255,3 +255,110 @@ def cms_cells(tokens_df: DataFrame, tok_col: str = "tok") -> DataFrame:
         ).alias("c")
     )
     return cells.groupBy("c.row_i", "c.bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --- HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) -------------------
+#
+# The mergeable distinct-count summary: m = 2^p registers, each holding the
+# max "rank" (trailing-zero run + 1) of the hashes routed to it; the raw
+# estimate is alpha_m * m^2 / sum_j 2^-M_j with the linear-counting
+# correction for the small-cardinality regime. Register union = elementwise
+# MAX, so partial aggregation collapses any input to <= m rows per map task
+# -- the property that makes it THE 100 TB distinct counter. Engine-portable
+# hashing (the md5-derived 60-bit hash used by the whole sketch family) so
+# DuckDB rebuilds the IDENTICAL register file: low p bits route, the
+# remaining 52 bits feed the rank (an equivalent-distribution variant of the
+# paper's leading-zero formulation; documented here so the oracle twin is
+# read as intentional).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers: sigma = 1.04/sqrt(m) = 6.5%
+HLL_MAXRHO = 53  # rank cap when the remaining 52 hash bits are all zero
+# alpha_m * m^2 * 2^53 precomputed in Python and embedded as ONE decimal
+# literal on both engines, so the estimate is a single exactly-rounded IEEE
+# division of two identical doubles (no transcendental parity risk on the
+# raw path).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_EST_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_MAXRHO)
+
+
+def hll_rho(rest):
+    """Rank of the non-routing hash bits: trailing-zero count + 1, computed
+    in pure integer ops ((rest & -rest) isolates the lowest set bit;
+    bit_count of one-less gives the zero run) -- bit-identical across
+    engines, unlike a float log2."""
+    return F.when(rest == 0, F.lit(HLL_MAXRHO)).otherwise(
+        F.bit_count((rest.bitwiseAND(-rest)) - F.lit(1)) + F.lit(1)
+    )
+
+
+def hll_registers(items: DataFrame, item_col: str) -> DataFrame:
+    """Dense register file ``(register, rho)`` -- exactly HLL_M rows, zero
+    registers materialized (the estimate needs them and the driver oracle
+    attests them). groupBy(register).max(rho) partial-aggregates map-side:
+    at most m rows leave any task regardless of input size, and the same
+    MAX merges register files across shards/streams."""
+    h = portable_hash60(F.col(item_col))
+    routed = items.select(
+        (h % HLL_M).alias("register"), F.shiftright(h, HLL_P).alias("rest")
+    )
+    regs = routed.select("register", hll_rho(F.col("rest")).alias("rho")).groupBy(
+        "register"
+    ).agg(F.max("rho").alias("rho"))
+    spine = items.sparkSession.range(HLL_M).select(F.col("id").alias("register"))
+    return spine.join(regs, "register", "left").select(
+        "register", F.coalesce("rho", F.lit(0)).cast("int").alias("rho")
+    )
+
+
+def hll_estimate_micro(regs: DataFrame) -> DataFrame:
+    """One row ``(est_micro,)``: the HLL estimate in exact micro-units.
+    Raw path: EST_NUM / S where S = sum 2^(MAXRHO - rho) is an exact
+    BIGINT (<= m * 2^53 < 2^63) -- one IEEE division, parity-exact.
+    Linear-counting path (raw <= 2.5m and zero registers exist):
+    m * ln(m / V); ln is the one transcendental, stabilized by the
+    micro-unit floor like every other logarithm in the registry."""
+    # F.shiftleft needs a Python-int shift; the per-row amount forces expr()
+    s = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_MAXRHO} - rho)"))
+    v = F.sum((F.col("rho") == 0).cast("long"))
+    agg = regs.agg(s.alias("s"), v.alias("v"))
+    raw = F.lit(HLL_EST_NUM) / F.col("s").cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v").cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (F.col("v") > 0), lc).otherwise(raw)
+    return agg.select(
+        F.floor(est * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("est_micro")
+    )
+
+
+def hll_sql(item_expr: str, from_clause: str) -> str:
+    """DuckDB CTE chain rebuilding the identical register file + estimate.
+    Returns the text of CTEs ``hll_regs`` (register, rho) and ``hll_est``
+    (est_micro) to embed in an oracle query."""
+    h60 = portable_hash60_sql(item_expr)
+    return f"""hll_rr AS (
+      SELECT h % {HLL_M} AS register, h >> {HLL_P} AS rest
+      FROM (SELECT ({h60}) AS h {from_clause})
+    ),
+    hll_mx AS (
+      SELECT register,
+             MAX(CASE WHEN rest = 0 THEN {HLL_MAXRHO}
+                      ELSE bit_count((rest & (-rest)) - 1) + 1 END) AS rho
+      FROM hll_rr GROUP BY register
+    ),
+    hll_regs AS (
+      SELECT g.register, CAST(COALESCE(hll_mx.rho, 0) AS INTEGER) AS rho
+      FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS register) g
+      LEFT JOIN hll_mx USING (register)
+    ),
+    hll_sum AS (
+      SELECT CAST(SUM(1::BIGINT << ({HLL_MAXRHO} - rho)) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM hll_regs
+    ),
+    hll_est AS (
+      SELECT CAST(floor(
+        CASE WHEN ({HLL_EST_NUM!r} / s) <= {2.5 * HLL_M!r} AND v > 0
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+             ELSE {HLL_EST_NUM!r} / s END * 1000000.0 + 0.5) AS BIGINT) AS est_micro
+      FROM hll_sum
+    )"""

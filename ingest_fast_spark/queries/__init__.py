@@ -106,6 +106,7 @@ _SHOWCASE_ORDER = [
     "dedup_winnowing",
     "multimodal_dedup_phash",
     "sketch_cms_report",
+    "sketch_hll_report",
     "events_drift_ks",
     "graph_kcore",
     "decontaminate_semantic",

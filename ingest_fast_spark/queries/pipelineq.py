@@ -2260,3 +2260,78 @@ def quality_c4_rules(spark, sf_dir):
         pass_brace.alias("pass_no_braces"),
         (pass_sent & pass_lorem & pass_brace & (nk >= 1)).alias("pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count report (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+_HLL_SH_CTE = r"""sh AS (
+      SELECT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL)
+    )"""
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import hll_sql
+
+    return f"""
+    WITH {_HLL_SH_CTE},
+    {hll_sql('shingle', 'FROM sh')},
+    ex AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact FROM sh)
+    SELECT r.register, r.rho, ex.n_exact, e.est_micro,
+           abs(e.est_micro - 1000000 * ex.n_exact) <= 195000 * ex.n_exact
+             AS within_3sigma
+    FROM hll_regs r CROSS JOIN ex CROSS JOIN hll_est e
+    """
+
+
+@register("sketch_hll_report", oracle=_hll_oracle())
+def sketch_hll_report(spark, sf_dir):
+    """HyperLogLog distinct-count report (Flajolet, Fusy, Gandouet &
+    Meunier 2007): build the m = 256 register file over the corpus's
+    3-token shingle stream, output every register's rank next to the
+    sketch estimate (exact micro-units) and the true distinct count, plus
+    the 3-sigma accuracy invariant |est - n| <= 3 * 1.04/sqrt(m) * n in
+    pure integer arithmetic. Hashing is the engine-portable md5-derived
+    60-bit hash, so the DuckDB oracle rebuilds the IDENTICAL register
+    file: the driver attests the sketch construction itself (all 256
+    register values), not just the final estimate.
+
+    Why HLL earns a slot next to approx_count_distinct (Spark's built-in
+    HLL++): the built-in's register file is opaque and
+    version-dependent; this one is a portable relational register file a
+    100 TB pipeline can persist, ship across engines, and merge with
+    elementwise MAX across shards/days/streams — the distinct-counting
+    analogue of the Count-Min cells. Scale shape: groupBy(register)
+    partial-aggregates map-side (<= m rows leave any task); the exact
+    side exists only because this is an accuracy report; the register
+    file, estimate, and exact count all broadcast into the 256-row
+    output."""
+    from ..operators import sketches as K
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = D.shingles_df(d)
+    # The shingle stream feeds the register build AND the exact count;
+    # the register file itself (256 rows) feeds the estimate and the
+    # output — checkpoint both tiny frames once.
+    regs = K.hll_registers(sh, "shingle").localCheckpoint(eager=True)
+    est = K.hll_estimate_micro(regs)
+    exact = sh.agg(F.count_distinct("shingle").cast("long").alias("n_exact"))
+    return (
+        regs.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "register",
+            "rho",
+            "n_exact",
+            "est_micro",
+            (
+                F.abs(F.col("est_micro") - F.lit(1000000) * F.col("n_exact"))
+                <= F.lit(195000) * F.col("n_exact")
+            ).alias("within_3sigma"),
+        )
+    )

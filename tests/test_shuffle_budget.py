@@ -136,6 +136,14 @@ SHUFFLE_BUDGET = {
     # eval set broadcast (benchmark-sized by construction); the only
     # exchange is the per-vector argmax aggregate
     "decontaminate_semantic": 1,
+    # HLL: post-checkpoint shape — one exchange for the exact-count leg;
+    # the register build's groupBy(register) partial-aggregates to <= m
+    # rows per map task and lands in the checkpoint, estimate/exact/spine
+    # all broadcast into the 256-row output
+    "sketch_hll_report": 1,
+    # pHash: synthesis+decode+hash are chained map-only mapInPandas; the
+    # one exchange is the window partition on the 64-bit hash
+    "multimodal_dedup_phash": 1,
 }
 
 
