@@ -1402,3 +1402,79 @@ def knn_label_agreement_ivf(
             6,
         ).alias("knn_agreement"),
     )
+
+
+def dbscan_cosine(
+    emb: DataFrame,
+    eps_sim: float = 0.3,
+    min_pts: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) over an
+    embedding column with cosine similarity as the neighborhood relation:
+    a point is CORE when its eps-neighborhood (cosine >= eps_sim,
+    including itself) holds >= min_pts points; clusters are the connected
+    components of the core-core eps-graph; a non-core point within eps of
+    a core point is BORDER (assigned the MIN cluster id among its core
+    neighbors — the deterministic version of the paper's arrival-order
+    rule); everything else is NOISE. Returns (vec_id, role, cluster_id)
+    with cluster_id = min member id, NULL for noise.
+
+    ``pairs`` parameterizes the eps-pair source (the same pair-source
+    injection the dedup cluster layers use): default is the exact blocked
+    GEMM ``cosine_near_dup_pairs`` — right while the normalized corpus
+    broadcast fits executor memory; at 100 TB feed it
+    ``cosine_near_dup_lsh`` pairs (sub-quadratic bucketed candidates,
+    exact verify) and the layers are unchanged. Scale shape: degree
+    count and component rounds shuffle only the eps-EDGE list (near-dup
+    edges are sparse by construction), never the corpus vectors."""
+    from .graph import connected_components
+
+    if pairs is None:
+        pairs = cosine_near_dup_pairs(
+            emb, threshold=eps_sim, id_col=id_col, vec_col=vec_col
+        )
+    # The pair list feeds degree, the core-core subgraph, and the border
+    # join; materialize once (it is the sparse edge list, not the corpus).
+    p = pairs.select("vec_a", "vec_b").localCheckpoint(eager=True)
+    nodes = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("vec_id"))
+    )
+    sym = p.union(p.select("vec_b", "vec_a")).toDF("vec_id", "nbr")
+    deg = sym.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    core = (
+        nodes.join(deg, "vec_id", "left")
+        .filter(F.coalesce("n_nbrs", F.lit(0)) + 1 >= min_pts)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    core_edges = p.join(
+        core.select(F.col("vec_id").alias("vec_a")), "vec_a", "left_semi"
+    ).join(core.select(F.col("vec_id").alias("vec_b")), "vec_b", "left_semi")
+    comp = connected_components(core_edges, src="vec_a", dst="vec_b", nodes=core)
+    core_out = comp.select(
+        F.col("id").alias("vec_id"),
+        F.lit("core").alias("role"),
+        F.col("component").alias("cluster_id"),
+    )
+    border = (
+        sym.join(core.select(F.col("vec_id").alias("nbr")), "nbr")
+        .join(core, "vec_id", "left_anti")
+        .join(comp.select(F.col("id").alias("nbr"), "component"), "nbr")
+        .groupBy("vec_id")
+        .agg(F.min("component").alias("cluster_id"))
+        .select("vec_id", F.lit("border").alias("role"), "cluster_id")
+    )
+    noise = (
+        nodes.join(core, "vec_id", "left_anti")
+        .join(border.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster_id"),
+        )
+    )
+    return core_out.unionByName(border).unionByName(noise)

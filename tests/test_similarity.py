@@ -316,3 +316,57 @@ def test_semantic_decontamination_flags_planted_leak(spark, sf_dir, tmp_path):
     out = {r["vec_id"]: r for r in decontaminate_semantic(spark, d).collect()}
     assert set(out) == {21}
     assert out[21]["matched_eval_id"] == 20 and out[21]["cos_sim"] == 1.0
+
+
+def test_dbscan_planted_geometry(spark):
+    """Two dense orthogonal bundles + genuine outliers: DBSCAN must find
+    exactly two clusters, mark the bundle members core, the one
+    mid-density satellite border, and the isolated vectors noise."""
+    # All cluster geometry lives in the (e0, e1) plane as explicit angles;
+    # eps_sim = 0.7 admits pairs within acos(0.7) ~ 45.6 degrees.
+    def at(deg):
+        v = np.zeros(8)
+        v[0], v[1] = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+        return v.tolist()
+
+    # bundle A at 0..35 deg (mutually within eps), bundle B at 130..165
+    rows = [(i, at(5 * i)) for i in range(8)]
+    rows += [(8 + i, at(130 + 5 * i)) for i in range(8)]
+    # satellite at 75 deg: within eps of ONLY the 30/35-deg members
+    # (2 core neighbors + itself = 3 < minPts) — a true border point
+    rows.append((16, at(75)))
+    # isolated noise: orthogonal to the cluster plane
+    iso1 = np.zeros(8); iso1[5] = 1.0
+    iso2 = np.zeros(8); iso2[6] = -1.0
+    rows += [(17, iso1.tolist()), (18, iso2.tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in S.dbscan_cosine(emb, eps_sim=0.7, min_pts=5).collect()
+    }
+    assert all(out[i] == ("core", 0) for i in range(8))
+    assert all(out[i] == ("core", 8) for i in range(8, 16))
+    assert out[16] == ("border", 0)
+    assert out[17] == ("noise", None) and out[18] == ("noise", None)
+
+
+def test_dbscan_pair_source_injection(spark):
+    """The layers accept an external pair source (the 100 TB path feeds
+    LSH-bucketed pairs): injecting the exact pair list reproduces the
+    default output exactly."""
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, (v / np.linalg.norm(v)).tolist())
+        for i, v in enumerate(rng.normal(size=(40, 8)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    default = {
+        (r["vec_id"], r["role"], r["cluster_id"])
+        for r in S.dbscan_cosine(emb, eps_sim=0.2, min_pts=3).collect()
+    }
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.2)
+    injected = {
+        (r["vec_id"], r["role"], r["cluster_id"])
+        for r in S.dbscan_cosine(emb, eps_sim=0.2, min_pts=3, pairs=pairs).collect()
+    }
+    assert default == injected
