@@ -362,3 +362,53 @@ def hll_sql(item_expr: str, from_clause: str) -> str:
              ELSE {HLL_EST_NUM!r} / s END * 1000000.0 + 0.5) AS BIGINT) AS est_micro
       FROM hll_sum
     )"""
+
+
+# --- KMV / k-minimum-values sketch (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD 2007) ----------------------------------------------------------------
+#
+# The distinct-SET-OPERATION summary: keep the k smallest distinct hash
+# values of a set. Union of two sketches = re-trimmed k-min of their merged
+# values (so sketches are mergeable like HLL registers), but unlike HLL the
+# sketch is a uniform SAMPLE of the distinct space — so it also estimates
+# INTERSECTIONS and Jaccard (count union-sketch members present in both
+# sides / k), which register-max structures cannot. Cardinality estimate:
+# (k-1) * |hash space| / h_(k), exact when the set is smaller than k.
+
+KMV_K = 256
+KMV_EST_NUM = float((KMV_K - 1) << 60)  # (k-1) * 2^60: exact double
+# 3 * 1/sqrt(k-2) in micro-units for the cardinality accuracy invariant
+KMV_3SIG_MICRO = int(3.0 / (KMV_K - 2) ** 0.5 * 1e6)
+
+
+def kmv_sketch(items: DataFrame, item_col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest DISTINCT portable 60-bit hashes of ``items`` as a
+    one-column frame ``h``. Scale shape: a bounded-memory per-partition
+    pass (size-k max-heap — exactly how a streaming KMV is maintained)
+    emits <= k rows per task, so the final distinct + take-ordered
+    reduces <= k * partitions rows regardless of input size."""
+
+    def local_k(batches):
+        import heapq
+
+        import pandas as pd
+
+        heap: list[int] = []  # max-heap via negation
+        inset: set[int] = set()
+        for pdf in batches:
+            for v in pdf["h"]:
+                v = int(v)
+                if v in inset:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -v)
+                    inset.add(v)
+                elif v < -heap[0]:
+                    dropped = -heapq.heappushpop(heap, -v)
+                    inset.discard(dropped)
+                    inset.add(v)
+        if inset:
+            yield pd.DataFrame({"h": sorted(inset)})
+
+    hs = items.select(portable_hash60(F.col(item_col)).alias("h"))
+    return hs.mapInPandas(local_k, "h long").distinct().orderBy("h").limit(k)

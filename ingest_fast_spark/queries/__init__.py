@@ -107,6 +107,8 @@ _SHOWCASE_ORDER = [
     "multimodal_dedup_phash",
     "sketch_cms_report",
     "sketch_hll_report",
+    "sketch_kmv_report",
+    "embedding_dbscan",
     "events_drift_ks",
     "graph_kcore",
     "decontaminate_semantic",
@@ -136,11 +138,10 @@ _SHOWCASE_ORDER = [
     "time_bucket_tumbling",
     "agg_percentiles",
     "udaf_harmonic_mean",
-    "stream_windowed_counts",
-    "dedup_exact",
-    # (dedup_paragraphs / build_vocabulary rotated out to hold the prefix
-    # at exactly 50 after the round-7 pHash + HLL additions; both have
-    # green r1/r2 driver rows)
+    # (stream_windowed_counts / dedup_exact / dedup_paragraphs /
+    # build_vocabulary rotated out to hold the prefix at exactly 50 after
+    # the round-7 pHash + HLL + KMV + DBSCAN additions; all have green
+    # r1/r2/r3 driver rows)
 ]
 
 

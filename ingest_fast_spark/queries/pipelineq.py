@@ -2335,3 +2335,173 @@ def sketch_hll_report(spark, sf_dir):
             ).alias("within_3sigma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set-operation report (Bar-Yossef et al. 2002; Beyer et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_oracle() -> str:
+    from ..operators.dedup import portable_hash60_sql
+    from ..operators.sketches import KMV_3SIG_MICRO, KMV_EST_NUM, KMV_K
+
+    h60 = portable_hash60_sql("shingle")
+    return rf"""
+    WITH t AS (
+      SELECT CAST(substr(source, 4) AS INT) % 2 AS side,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT side, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM t
+    ),
+    hs AS (SELECT DISTINCT side, ({h60}) AS h FROM sh),
+    ska AS (SELECT h FROM hs WHERE side = 0 ORDER BY h LIMIT {KMV_K}),
+    skb AS (SELECT h FROM hs WHERE side = 1 ORDER BY h LIMIT {KMV_K}),
+    un AS (
+      SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    flags AS (
+      SELECT un.h,
+             CAST(ROW_NUMBER() OVER (ORDER BY un.h) AS BIGINT) AS rank,
+             (ska.h IS NOT NULL) AS in_a, (skb.h IS NOT NULL) AS in_b
+      FROM un LEFT JOIN ska ON ska.h = un.h LEFT JOIN skb ON skb.h = un.h
+    ),
+    summ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ku, MAX(h) AS hk,
+             CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS nboth
+      FROM flags
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_union_exact,
+             CAST(SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+      FROM (SELECT shingle, COUNT(DISTINCT side) = 2 AS in_both
+            FROM sh GROUP BY shingle)
+    ),
+    est AS (
+      SELECT CASE WHEN ku < {KMV_K} THEN ku * 1000000
+                  ELSE CAST(floor({KMV_EST_NUM!r} / CAST(hk AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT) END
+               AS est_union_micro,
+             CAST(floor(1000000.0 * nboth / ku + 0.5) AS BIGINT)
+               AS jacc_est_micro
+      FROM summ
+    )
+    SELECT f.rank, f.h, f.in_a, f.in_b,
+           e.est_union_micro, e.jacc_est_micro,
+           x.n_union_exact,
+           CAST(floor(1000000.0 * x.n_inter / x.n_union_exact + 0.5) AS BIGINT)
+             AS jacc_exact_micro,
+           abs(e.est_union_micro - 1000000 * x.n_union_exact)
+             <= {KMV_3SIG_MICRO} * x.n_union_exact AS union_within_3sigma
+    FROM flags f CROSS JOIN est e CROSS JOIN ex x
+    """
+
+
+@register("sketch_kmv_report", oracle=_kmv_oracle())
+def sketch_kmv_report(spark, sf_dir):
+    """KMV (k-minimum-values) sketch set-operation report: split the
+    corpus into two sides by source parity, sketch each side's distinct
+    3-shingle set with its k=256 smallest portable hashes, and estimate
+    the UNION cardinality ((k-1) * 2^60 / h_(k)) and the JACCARD between
+    the sides (union-sketch members present in both sketches / k) next
+    to the exact values, with the 3-sigma cardinality invariant in
+    integer micro-units. All 256 union-sketch members are output with
+    their side-membership flags, so the driver attests the sketch
+    CONTENT, not just the estimates.
+
+    Why KMV completes the sketch family: CMS answers frequency point
+    queries, HLL answers union cardinality, but neither can estimate an
+    INTERSECTION — KMV's k-min set is a uniform sample of the distinct
+    space, so set-expression estimates (Jaccard, containment, overlap of
+    two crawls/days/corpora) fall out of the same 256 values, and the
+    union of two sketches is just the re-trimmed k-min of their merged
+    values (mergeable like HLL registers). Scale shape: a bounded-memory
+    per-partition k-min pass emits <= k rows per task (the streaming KMV
+    update), so the reduce sees k * partitions rows however large the
+    corpus; everything downstream is on <= 3k rows."""
+    from ..operators import sketches as K
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
+    # shingles_df keys on doc_id; join the side flag back, then reduce to
+    # distinct (side, shingle) pairs — the per-side distinct item streams
+    sh = (
+        D.shingles_df(d, k=3)
+        .join(d.select("doc_id", side), "doc_id")
+        .select("side", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ska = K.kmv_sketch(sh.filter(F.col("side") == 0), "shingle").localCheckpoint(
+        eager=True
+    )
+    skb = K.kmv_sketch(sh.filter(F.col("side") == 1), "shingle").localCheckpoint(
+        eager=True
+    )
+    un = (
+        ska.union(skb).distinct().orderBy("h").limit(K.KMV_K).localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    flags = (
+        un.join(ska.select(F.col("h"), F.lit(True).alias("_a")), "h", "left")
+        .join(skb.select(F.col("h"), F.lit(True).alias("_b")), "h", "left")
+        .select(
+            F.row_number().over(Window.orderBy("h")).cast("long").alias("rank"),
+            "h",
+            F.coalesce("_a", F.lit(False)).alias("in_a"),
+            F.coalesce("_b", F.lit(False)).alias("in_b"),
+        )
+    )
+    summ = flags.agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.max("h").alias("hk"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("nboth"),
+    )
+    est = summ.select(
+        F.when(F.col("ku") < K.KMV_K, F.col("ku") * 1000000)
+        .otherwise(
+            F.floor(
+                F.lit(K.KMV_EST_NUM) / F.col("hk").cast("double") * 1000000.0 + 0.5
+            ).cast("long")
+        )
+        .alias("est_union_micro"),
+        F.floor(1000000.0 * F.col("nboth") / F.col("ku") + 0.5)
+        .cast("long")
+        .alias("jacc_est_micro"),
+    )
+    ex = sh.groupBy("shingle").agg(
+        (F.count_distinct("side") == 2).alias("both")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_exact"),
+        F.sum(F.col("both").cast("long")).alias("n_inter"),
+    )
+    return (
+        flags.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "rank",
+            "h",
+            "in_a",
+            "in_b",
+            "est_union_micro",
+            "jacc_est_micro",
+            "n_union_exact",
+            F.floor(1000000.0 * F.col("n_inter") / F.col("n_union_exact") + 0.5)
+            .cast("long")
+            .alias("jacc_exact_micro"),
+            (
+                F.abs(F.col("est_union_micro") - 1000000 * F.col("n_union_exact"))
+                <= F.lit(K.KMV_3SIG_MICRO) * F.col("n_union_exact")
+            ).alias("union_within_3sigma"),
+        )
+    )

@@ -144,6 +144,14 @@ SHUFFLE_BUDGET = {
     # pHash: synthesis+decode+hash are chained map-only mapInPandas; the
     # one exchange is the window partition on the 64-bit hash
     "multimodal_dedup_phash": 1,
+    # KMV: post-checkpoint shape — the exact union/intersection leg's two
+    # distinct aggregates (the report's reason to exist); the sketches
+    # themselves reduce <= k rows/task into checkpoints
+    "sketch_kmv_report": 2,
+    # DBSCAN: degree agg, core anti/semi joins, border min-cluster agg —
+    # all on the sparse eps-edge list (pairs checkpointed once); corpus
+    # vectors never shuffle
+    "embedding_dbscan": 6,
 }
 
 

@@ -171,3 +171,29 @@ def test_hll_estimate_accuracy_and_small_range_correction(spark):
     )
     est2 = K.hll_estimate_micro(regs2).collect()[0]["est_micro"] / 1e6
     assert abs(est2 - 40) <= 8  # LC is near-exact here; raw HLL would not be
+
+
+def test_kmv_sketch_matches_python_twin_and_merges(spark):
+    """The KMV sketch equals the k smallest distinct md5-hashes computed
+    directly, the sketch of a union equals the re-trimmed merge of the
+    two sides' sketches (mergeability), and a set smaller than k is
+    captured exactly."""
+    import hashlib
+
+    def py_kmv(items, k=K.KMV_K):
+        hs = {int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in items}
+        return sorted(hs)[:k]
+
+    rng = random.Random(17)
+    a = [f"a-{rng.randrange(5000)}" for _ in range(3000)]
+    b = [f"b-{rng.randrange(5000)}" for _ in range(3000)]
+
+    def spark_kmv(items):
+        df = spark.createDataFrame([(t,) for t in items], "s string")
+        return [r["h"] for r in K.kmv_sketch(df, "s").collect()]
+
+    ska, skb, skab = spark_kmv(a), spark_kmv(b), spark_kmv(a + b)
+    assert ska == py_kmv(a)
+    assert sorted(set(ska) | set(skb))[: K.KMV_K] == skab  # mergeable
+    small = [f"s{i}" for i in range(40)]
+    assert spark_kmv(small) == py_kmv(small)  # |S| < k: sketch IS the set
