@@ -76,7 +76,9 @@ def _load_all() -> None:
 #       CC-riding cluster layers (3 oracle-exact *_minhash + 3 xxhash64
 #       *_fast production defaults, rows-only by design), the paletted-PNG
 #       round-trip, the IVF×ADC fusion (+ residual-PQ study twin), the
-#       winnowing fingerprint dedup, and the Count-Min accuracy report;
+#       winnowing fingerprint dedup, the DCT pHash cross-codec dedup, the
+#       CMS/HLL/KMV sketch reports, DBSCAN, the KS drift test, k-core,
+#       semantic decontamination, and Kneser-Ney scoring;
 #   (2) queries whose oracle or underlying operator changed this round
 #       (zipf NULLIF, mojibake pair-table oracle, PNG/GIF/JPEG decoder
 #       edits, the pair-source refactor, the new recall-report leg);
@@ -112,6 +114,7 @@ _SHOWCASE_ORDER = [
     "events_drift_ks",
     "graph_kcore",
     "decontaminate_semantic",
+    "doc_kn_logppl",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -132,7 +135,6 @@ _SHOWCASE_ORDER = [
     "q1_pricing_summary",
     "q5_region_revenue",
     "join_asof",
-    "sessionize",
     "topk_per_group",
     "window_running_agg",
     "time_bucket_tumbling",

@@ -2505,3 +2505,110 @@ def sketch_kmv_report(spark, sf_dir):
             ).alias("union_within_3sigma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen &
+# Goodman 1999 "An empirical study of smoothing techniques")
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+
+@register(
+    "doc_kn_logppl",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    tt AS (SELECT doc_id, t FROM t WHERE len(t) >= 2),
+    b AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(2, len(t)),
+                 i -> {{'w1': t[i-1], 'w2': t[i]}})) AS p
+        FROM tt)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY w1, w2),
+    lft AS (SELECT w1, COUNT(*) AS cp, COUNT(DISTINCT w2) AS n1p
+            FROM b GROUP BY w1),
+    cont AS (SELECT w2, COUNT(DISTINCT w1) AS ncont FROM b GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS ntypes FROM cb),
+    sc AS (
+      SELECT b.doc_id,
+             ln(greatest(cb.cb - {_KN_D}, 0) / lft.cp
+                + {_KN_D} * lft.n1p / lft.cp * cont.ncont / tot.ntypes) AS lp
+      FROM b
+      JOIN cb USING (w1, w2)
+      JOIN lft USING (w1)
+      JOIN cont ON cont.w2 = b.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(-AVG(lp), 6) AS kn_logppl
+    FROM sc GROUP BY doc_id
+    """,
+)
+def doc_kn_logppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring — the smoothing real LM
+    quality filters (KenLM/CCNet) actually use, one rung above the plain
+    interpolated bigram: p(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
+    + D*N1+(w1.)/c(w1.) * Pcont(w2), where the CONTINUATION probability
+    Pcont(w2) = N1+(.w2)/N1+(..) counts the distinct contexts w2 follows
+    rather than its raw frequency — the fix for high-frequency
+    low-versatility tokens ('Francisco' follows only 'San') that raw
+    backoff over-scores. Every factor is a corpus count, so the whole
+    score is oracle-exact.
+
+    Scale shape mirrors doc_bigram_logppl: pairs build map-only from the
+    token array; the count tables shuffle on bigram/unigram keys
+    (vocabulary-bounded, far below corpus size); the continuation and
+    total-types tables broadcast."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = T.tokens(F.col("text"))
+    tt = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    b = tt.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("t")),
+                lambda i: F.struct(
+                    F.element_at("t", i - 1).alias("w1"),
+                    F.element_at("t", i).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    # Every KN statistic is derivable from the bigram-TYPE table (cp =
+    # sum of counts per w1, N1+ = type count per w1/w2, ntypes = |cb|),
+    # so the corpus bigram stream aggregates exactly once and no
+    # count_distinct expansion ever runs; cb (vocabulary²-bounded) feeds
+    # four consumers, hence the one materialization.
+    cb = (
+        b.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    lft = cb.groupBy("w1").agg(
+        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    tot = cb.agg(F.count(F.lit(1)).alias("ntypes"))
+    lp = F.log(
+        F.greatest(F.col("cb") - F.lit(_KN_D), F.lit(0.0)) / F.col("cp")
+        + F.lit(_KN_D) * F.col("n1p") / F.col("cp") * F.col("ncont") / F.col("ntypes")
+    )
+    return (
+        b.join(cb, ["w1", "w2"])
+        .join(lft, "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.round(-F.avg(lp), 6).alias("kn_logppl"),
+        )
+    )

@@ -152,6 +152,10 @@ SHUFFLE_BUDGET = {
     # all on the sparse eps-edge list (pairs checkpointed once); corpus
     # vectors never shuffle
     "embedding_dbscan": 6,
+    # Kneser-Ney: one bigram-type aggregate (checkpointed; every KN count
+    # derives from it, no count_distinct expansion), the scoring join's
+    # bigram shuffle, the doc rollup
+    "doc_kn_logppl": 3,
 }
 
 
