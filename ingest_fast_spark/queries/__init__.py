@@ -115,6 +115,7 @@ _SHOWCASE_ORDER = [
     "graph_kcore",
     "decontaminate_semantic",
     "doc_kn_logppl",
+    "embedding_jl_distortion",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -138,12 +139,11 @@ _SHOWCASE_ORDER = [
     "topk_per_group",
     "window_running_agg",
     "time_bucket_tumbling",
-    "agg_percentiles",
     "udaf_harmonic_mean",
     # (stream_windowed_counts / dedup_exact / dedup_paragraphs /
-    # build_vocabulary rotated out to hold the prefix at exactly 50 after
-    # the round-7 pHash + HLL + KMV + DBSCAN additions; all have green
-    # r1/r2/r3 driver rows)
+    # build_vocabulary / sessionize / agg_percentiles rotated out to hold
+    # the prefix at exactly 50 after the round-7 additions; all have
+    # green r1-r3 driver rows)
 ]
 
 

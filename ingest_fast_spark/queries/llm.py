@@ -4896,3 +4896,115 @@ def embedding_dbscan(spark, sf_dir):
         eps_sim=_DBSCAN_EPS,
         min_pts=_DBSCAN_MINPTS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection distortion report
+# ---------------------------------------------------------------------------
+
+_JL_K = 32  # target dimension; sd of the norm ratio = sqrt(2/k) = 0.25
+_JL_2SD_MICRO = 500000  # 2 * sqrt(2/32) in micro-units
+
+
+def _jl_planes() -> list[list[float]]:
+    """Deterministic Gaussian projection rows, scaled 1/sqrt(k) so
+    E[||Rv||^2] = ||v||^2 — embedded as double literals on both engines
+    (same repr round-trip as the LSH hyperplanes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(20260815)
+    return (rng.standard_normal((_JL_K, 64)) / np.sqrt(_JL_K)).tolist()
+
+
+def _jl_oracle() -> str:
+    planes = _jl_planes()
+    sq = " + ".join(
+        "(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in row)
+        + "]) * list_dot_product(v, ["
+        + ", ".join(repr(x) for x in row)
+        + "]))"
+        for row in planes
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    r AS (
+      SELECT vec_id,
+             CAST(floor(({sq}) / list_dot_product(v, v) * 1000000.0 + 0.5)
+                  AS BIGINT) AS ratio_micro
+      FROM e
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN abs(ratio_micro - 1000000) <= {_JL_2SD_MICRO}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_within_2sd
+      FROM r
+    )
+    SELECT r.vec_id, r.ratio_micro, s.n_total, s.n_within_2sd,
+           s.n_within_2sd * 10 >= s.n_total * 9 AS jl_bound_ok
+    FROM r CROSS JOIN s
+    """
+
+
+@register("embedding_jl_distortion", oracle=_jl_oracle())
+def embedding_jl_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection distortion report: project
+    64-dim embeddings to k=32 with a fixed Gaussian matrix (rows scaled
+    1/sqrt(k)) and report every vector's squared-norm ratio
+    ||Rv||^2/||v||^2 in micro-units, plus the concentration check the JL
+    lemma promises (ratio sd = sqrt(2/k) = 0.25; >= 90% of vectors within
+    2 sd attested as a boolean). Norm preservation extends to pairwise
+    distances by linearity (R(u-v) = Ru - Rv), so this one report
+    certifies the projection for downstream ANN/clustering use — the
+    cheap-and-unbiased counterpart to the trained reductions already in
+    the registry (PQ codebooks, ZCA whitening, int8 quantization):
+    data-independent, no codebook to ship, composable with any of them.
+
+    ORACLE-CHECKED: the projection matrix is embedded as identical double
+    literals on both engines. Scale shape: entirely map-only per vector
+    (the matrix folds into the plan; 32 HOF dot products per row) plus
+    one 2-long-column summary aggregate that broadcasts back."""
+    from ..operators.similarity import as_double
+
+    planes = _jl_planes()
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", as_double(F.col("embedding")).alias("v"))
+
+    def dot(row):
+        lits = F.array(*[F.lit(x) for x in row])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lits, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sq = dot(planes[0]) * dot(planes[0])
+    for row in planes[1:]:
+        d = dot(row)
+        sq = sq + d * d
+    den = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    r = e.select(
+        "vec_id",
+        F.floor(sq / den * 1000000.0 + 0.5).cast("long").alias("ratio_micro"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            (F.abs(F.col("ratio_micro") - 1000000) <= _JL_2SD_MICRO).cast("long")
+        ).alias("n_within_2sd"),
+    )
+    return r.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "ratio_micro",
+        "n_total",
+        "n_within_2sd",
+        (F.col("n_within_2sd") * 10 >= F.col("n_total") * 9).alias("jl_bound_ok"),
+    )

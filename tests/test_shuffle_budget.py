@@ -156,6 +156,9 @@ SHUFFLE_BUDGET = {
     # derives from it, no count_distinct expansion), the scoring join's
     # bigram shuffle, the doc rollup
     "doc_kn_logppl": 3,
+    # JL projection: map-only (the 32x64 matrix folds into the plan); the
+    # summary is a single-partition aggregate, not a hash exchange
+    "embedding_jl_distortion": 0,
 }
 
 

@@ -30,6 +30,16 @@ QUERIES = [
     # round-7 additions
     "embed_topk_ivf_adc",
     "multimodal_png_palette_roundtrip",
+    "dedup_winnowing",
+    "sketch_cms_report",
+    "sketch_hll_report",
+    "sketch_kmv_report",
+    "multimodal_dedup_phash",
+    "embedding_dbscan",
+    "doc_kn_logppl",
+    "events_drift_ks",
+    "graph_kcore",
+    "decontaminate_semantic",
 ]
 
 
