@@ -1598,3 +1598,180 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= min_shared)
     )
+
+
+def substring_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 15,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring SCRUB — the step Lee et al. 2022 actually ship:
+    not just finding shared spans (``substring_span_pairs``) but REMOVING
+    them from the corpus. Keep-first rule: every maximal shared token
+    span of >= min_span tokens is cut from the LATER document
+    (doc_a < doc_b keeps the lower id intact); overlapping spans from
+    different earlier partners merge into one removal interval. Returns
+    ``(doc_id, n_tokens, n_removed, clean_text)`` for EVERY input doc —
+    the cleaned corpus, with clean_text rebuilt from the surviving
+    normalized tokens (the dedup operates on the lowercased token
+    stream, like the rest of the family).
+
+    Same blocking as the span finder (positional k-gram equi-join,
+    diagonal gaps-and-islands), plus: per-island start positions map the
+    span into doc_b coordinates (pb = pa - diag), a per-doc interval
+    merge (classic running-max-end gaps-and-islands — the window rides
+    the sparse span list, never the corpus), and a map-only HOF rebuild
+    of the token array. Docs with no shared spans pass through untouched
+    via the left join."""
+    from pyspark.sql import Window
+
+    g = positional_kgrams(df, text_col, id_col, k).select(
+        "doc_id", "pos", F.xxhash64("gram").alias("g")
+    )
+    if max_doc_freq is not None:
+        freq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
+        g = g.join(freq.filter(F.col("df_") <= max_doc_freq), "g").drop("df_")
+    g = g.localCheckpoint(eager=True)  # feeds both join sides
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    m = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run"), F.min("pa").alias("pa_start")
+    )
+    # Half-open removal intervals in doc_b token coordinates, converted
+    # to 1-based (posexplode positions are 0-based; the HOF rebuild and
+    # the oracle both index tokens 1-based).
+    spans = (
+        islands.filter(F.col("run") + F.lit(k - 1) >= min_span)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("pa_start") - F.col("diag") + F.lit(1)).alias("s"),
+            (
+                F.col("pa_start") - F.col("diag") + F.lit(1) + F.col("run")
+                + F.lit(k - 1)
+            ).alias("e"),
+        )
+        .distinct()
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "new_grp", (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("int")
+    )
+    merged = (
+        flagged.withColumn(
+            "g2", F.sum("new_grp").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "g2")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ints = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    keep_pos = F.when(
+        F.col("ivs").isNull(), F.sequence(F.lit(1), F.size("t"))
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda j: ~F.exists(
+                F.col("ivs"), lambda iv: (j >= iv["s"]) & (j < iv["e"])
+            ),
+        )
+    )
+    return (
+        base.join(ints, "doc_id", "left")
+        .select("doc_id", "t", keep_pos.alias("kp"))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size("kp")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(F.col("kp"), lambda j: F.element_at(F.col("t"), j)), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
+def substring_scrub_oracle_sql(k: int = 8, min_span: int = 15) -> str:
+    """DuckDB SQL computing EXACTLY ``substring_scrub``."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS pos,
+             unnest(list_transform(generate_series(1, greatest(len(t) - {k - 1}, 0)),
+                                   i -> array_to_string(t[i:i+{k - 1}], ' '))) AS g
+      FROM toks
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS grp
+      FROM m
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, diag, COUNT(*) AS run, MIN(pa) AS pa_start
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    ),
+    spans AS (
+      SELECT DISTINCT doc_b AS doc_id, pa_start - diag AS s,
+             pa_start - diag + run + {k - 1} AS e
+      FROM islands WHERE run + {k - 1} >= {min_span}
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_grp
+      FROM spans
+    ),
+    grouped AS (
+      SELECT doc_id, s, e,
+             SUM(new_grp) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g2
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM grouped GROUP BY doc_id, g2
+    ),
+    ints AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
+      FROM merged GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT b.doc_id, len(b.t) AS n_tokens,
+             CASE WHEN i.ivs IS NULL
+                  THEN list_transform(generate_series(1, len(b.t)), j -> b.t[j])
+                  ELSE list_transform(
+                         list_filter(generate_series(1, len(b.t)),
+                           j -> len(list_filter(i.ivs,
+                                  iv -> j >= iv.s AND j < iv.e)) = 0),
+                         j -> b.t[j]) END AS ct
+      FROM toks b LEFT JOIN ints i USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(ct) AS BIGINT) AS n_removed,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+           COALESCE(array_to_string(ct, ' '), '') AS clean_text
+    FROM cleaned
+    """

@@ -116,6 +116,7 @@ _SHOWCASE_ORDER = [
     "decontaminate_semantic",
     "doc_kn_logppl",
     "embedding_jl_distortion",
+    "dedup_substring_scrub",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -138,10 +139,9 @@ _SHOWCASE_ORDER = [
     "join_asof",
     "topk_per_group",
     "window_running_agg",
-    "time_bucket_tumbling",
     "udaf_harmonic_mean",
     # (stream_windowed_counts / dedup_exact / dedup_paragraphs /
-    # build_vocabulary / sessionize / agg_percentiles rotated out to hold
+    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling rotated out to hold
     # the prefix at exactly 50 after the round-7 additions; all have
     # green r1-r3 driver rows)
 ]

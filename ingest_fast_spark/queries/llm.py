@@ -5008,3 +5008,21 @@ def embedding_jl_distortion(spark, sf_dir):
         "n_within_2sd",
         (F.col("n_within_2sd") * 10 >= F.col("n_total") * 9).alias("jl_bound_ok"),
     )
+
+
+@register("dedup_substring_scrub", oracle=D.substring_scrub_oracle_sql())
+def dedup_substring_scrub(spark, sf_dir):
+    """Exact-substring SCRUB (Lee et al. 2022, the shipped step): remove
+    every >= 15-token span shared with an EARLIER document from the later
+    one, emitting the cleaned corpus (doc_id, n_tokens, n_removed,
+    clean_text). The rest of the dedup family reports pairs, clusters,
+    and keep/drop decisions; this is the one operator whose output IS the
+    deduplicated dataset — overlapping spans from different partners
+    merge into single removal intervals, untouched docs pass through
+    verbatim. ORACLE-CHECKED end to end including the rebuilt text.
+
+    Scale shape: span discovery is the positional-k-gram equi-join
+    (blocking on 8-gram hashes, fan-out tracks true duplication); the
+    interval-merge window rides the sparse span list; the text rebuild
+    is map-only HOFs over the token array."""
+    return D.substring_scrub(load_table(spark, sf_dir, "documents"))

@@ -223,3 +223,33 @@ def test_winnow_pairs_density_and_hot_fp_guard(spark):
 
 def rows_df(docs):
     return [{"text": r["text"]} for r in docs.collect()]
+
+
+def test_substring_scrub_removes_planted_quote_keep_first(spark):
+    """A 20-token verbatim quote copied from an earlier doc is cut from
+    the LATER doc only; overlapping spans from two earlier partners merge
+    into one removal; a full copy empties; unrelated docs pass through."""
+    words = [f"w{i}" for i in range(40)]
+    quote = words[5:25]  # 20 tokens
+    docs = [
+        (1, " ".join(words)),                                # source: intact
+        (2, " ".join(["x1", "x2", "x3"] + quote + ["y1", "y2"])),  # quote inside
+        (3, " ".join(words)),                                # full copy of 1
+        (4, "completely unrelated tokens only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from ingest_fast_spark.operators.dedup import substring_scrub
+
+    out = {r["doc_id"]: r for r in substring_scrub(df).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["clean_text"] == " ".join(words)
+    assert out[2]["n_removed"] == 20
+    assert out[2]["clean_text"] == "x1 x2 x3 y1 y2"
+    assert out[3]["n_removed"] == 40 and out[3]["clean_text"] == ""
+    assert out[4]["n_removed"] == 0
+    # overlap merge: doc 5 shares [0..25) with doc 1 and [15..40) with
+    # doc 3's copy -- one merged removal of all 40 tokens, not 50
+    df2 = spark.createDataFrame(
+        docs[:3] + [(5, " ".join(words))], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in substring_scrub(df2).collect()}
+    assert out2[5]["n_removed"] == 40 and out2[5]["clean_text"] == ""

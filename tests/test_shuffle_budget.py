@@ -159,6 +159,10 @@ SHUFFLE_BUDGET = {
     # JL projection: map-only (the 32x64 matrix folds into the plan); the
     # summary is a single-partition aggregate, not a hash exchange
     "embedding_jl_distortion": 0,
+    # substring scrub: post-checkpoint shape — gram pair join + island
+    # window/agg + interval merge window + per-doc interval collect; the
+    # windows ride the sparse span list, the text rebuild is map-only
+    "dedup_substring_scrub": 4,
 }
 
 
