@@ -138,6 +138,20 @@ HEADLINE = [
     "multimodal_png_palette_roundtrip",
     "embed_topk_ivf_adc",
     "embed_topk_ivf_pq_residual",
+    # round-7 second wave: sketch family completion, density clustering,
+    # LM smoothing, projection certification, the dedup scrub
+    "dedup_winnowing",
+    "sketch_cms_report",
+    "sketch_hll_report",
+    "sketch_kmv_report",
+    "multimodal_dedup_phash",
+    "embedding_dbscan",
+    "doc_kn_logppl",
+    "embedding_jl_distortion",
+    "dedup_substring_scrub",
+    "events_drift_ks",
+    "graph_kcore",
+    "decontaminate_semantic",
 ]
 
 
