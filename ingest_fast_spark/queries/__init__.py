@@ -117,6 +117,7 @@ _SHOWCASE_ORDER = [
     "doc_kn_logppl",
     "embedding_jl_distortion",
     "dedup_substring_scrub",
+    "stream_hll_registers",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -138,10 +139,9 @@ _SHOWCASE_ORDER = [
     "q5_region_revenue",
     "join_asof",
     "topk_per_group",
-    "window_running_agg",
     "udaf_harmonic_mean",
     # (stream_windowed_counts / dedup_exact / dedup_paragraphs /
-    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling rotated out to hold
+    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling / window_running_agg rotated out to hold
     # the prefix at exactly 50 after the round-7 additions; all have
     # green r1-r3 driver rows)
 ]

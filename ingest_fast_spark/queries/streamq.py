@@ -336,6 +336,59 @@ def stream_quality_gate(spark, sf_dir):
     return _run(gated, "q_gate", output_mode="append")
 
 
+def _stream_hll_oracle() -> str:
+    from ..operators.sketches import hll_sql
+
+    return f"""
+    WITH ev AS (
+      SELECT CAST(event_id AS VARCHAR) AS item FROM events
+      WHERE event_id IS NOT NULL
+    ),
+    {hll_sql('item', 'FROM ev')}
+    SELECT r.register, r.rho, e.est_micro
+    FROM hll_regs r CROSS JOIN hll_est e
+    """
+
+
+@register("stream_hll_registers", oracle=_stream_hll_oracle())
+def stream_hll_registers(spark, sf_dir):
+    """Streaming HyperLogLog: the streaming aggregation state IS the
+    register file — route each event id to its register map-side, then
+    ``groupBy(register).max(rho)`` in complete mode maintains the HLL
+    incrementally across micro-batches (register union = MAX is exactly
+    Spark's streaming-agg state merge, so no custom stateful processor is
+    needed and the state is bounded at m=256 rows FOREVER, whatever the
+    stream's volume). The running distinct-count over an unbounded
+    ingest, in one declarative line.
+
+    AvailableNow over the static dir converges to the batch register
+    file, so the oracle is the SAME DuckDB sketch rebuild as the batch
+    sketch_hll_report; the dense fill + estimate run batch-side on the
+    256-row finished table."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as K
+    from ..operators.dedup import portable_hash60
+
+    ev = SE.stream_events(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    h = portable_hash60(F.col("event_id").cast("string"))
+    routed = ev.select(
+        (h % K.HLL_M).alias("register"), F.shiftright(h, K.HLL_P).alias("rest")
+    )
+    regs = (
+        routed.select("register", K.hll_rho(F.col("rest")).alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    done = _run(regs, "q_hll", output_mode="complete")
+    spine = spark.range(K.HLL_M).select(F.col("id").alias("register"))
+    dense = spine.join(done, "register", "left").select(
+        "register", F.coalesce("rho", F.lit(0)).cast("int").alias("rho")
+    )
+    est = K.hll_estimate_micro(dense)
+    return dense.crossJoin(F.broadcast(est))
+
+
 # Reuse the batch gate's oracle for the streaming twin (registered after
 # the function so the registry key exists either way).
 from . import ORACLES as _ORACLES  # noqa: E402
