@@ -49,6 +49,12 @@ REPRESENTATIVE = [
     "dedup_soft_weights_minhash",
     "dedup_cluster_keep_best_fast",
     "split_cluster_safe_fast",
+    # round-7 second wave
+    "sketch_hll_report",        # register MAX union across layouts
+    "sketch_kmv_report",        # per-partition k-min heaps merge order-free
+    "dedup_substring_scrub",    # island windows + interval merge + HOF rebuild
+    "embedding_dbscan",         # GEMM eps-pairs + CC + min-id border rule
+    "doc_kn_logppl",            # avg over FP summation order (like bigram)
 ]
 
 TABLES = (
