@@ -382,3 +382,65 @@ def test_int8_quantization_error_bound(spark, vecs):
         assert all(-127 <= c <= 127 for c in r["codes"]), r["codes"]
         bound = (r["scale"] / 2) * math.sqrt(d) + 1e-9
         assert r["l2_err"] <= bound, (r["l2_err"], bound)
+
+
+# --- substring scrub vs brute-force span removal ------------------------------
+
+
+def py_scrub(docs: dict, k: int, min_span: int) -> dict:
+    """Reference scrub: per (a < b), every maximal run of >= min_span
+    consecutive shared k-grams in matching diagonals marks its tokens for
+    removal in b; merged per doc; cleaned = surviving tokens."""
+    grams = {
+        d: {i: tuple(t[i : i + k]) for i in range(len(t) - k + 1)}
+        for d, t in docs.items()
+    }
+    remove: dict = {d: set() for d in docs}
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            # matches on each diagonal pa - pb
+            diags: dict = {}
+            for pa, ga in grams[a].items():
+                for pb, gb in grams[b].items():
+                    if ga == gb:
+                        diags.setdefault(pa - pb, set()).add(pa)
+            for diag, pas in diags.items():
+                pas = sorted(pas)
+                run = [pas[0]]
+                for p in pas[1:] + [None]:
+                    if p is not None and p == run[-1] + 1:
+                        run.append(p)
+                        continue
+                    span = len(run) + k - 1
+                    if span >= min_span:
+                        s = run[0] - diag
+                        remove[b].update(range(s, s + span))
+                    run = [p] if p is not None else []
+    out = {}
+    for d, t in docs.items():
+        kept = [tok for i, tok in enumerate(t) if i not in remove[d]]
+        out[d] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+@given(st.lists(doc_tokens, min_size=1, max_size=6))
+@_settings
+def test_substring_scrub_matches_reference(spark, corpora):
+    from ingest_fast_spark.operators.dedup import substring_scrub
+
+    k, min_span = 3, 4
+    docs = {i: toks for i, toks in enumerate(corpora)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in substring_scrub(df, k=k, min_span=min_span).collect()
+    }
+    # tokens_col of '' yields [''] (one empty token) — mirror that edge
+    ref = py_scrub(
+        {i: (t if t else [""]) for i, t in docs.items()}, k, min_span
+    )
+    assert got == ref
