@@ -175,6 +175,48 @@ SHOWCASE = [
         "passes (synthesize, decode) — zero exchanges, payload bytes "
         "never leave their executor.",
     ),
+    (
+        "sketch_hll_report",
+        "HyperLogLog register build: groupBy(register).max(rho) partial-"
+        "aggregates map-side, so at most m=256 rows leave any task "
+        "regardless of corpus size; estimate/exact legs broadcast into "
+        "the 256-row output.",
+    ),
+    (
+        "sketch_kmv_report",
+        "KMV: the per-partition k-min heap pass bounds every task's "
+        "output at k=256 rows before the distinct+take-ordered reduce; "
+        "the only corpus-sized exchanges are the exact union/Jaccard "
+        "legs the report exists to compare against.",
+    ),
+    (
+        "embedding_dbscan",
+        "DBSCAN: degree count, core semi-joins, CC rounds, and the "
+        "border min-cluster aggregate all ride the sparse eps-EDGE list "
+        "(checkpointed once); corpus vectors never shuffle — the GEMM "
+        "pair source broadcasts the normalized matrix.",
+    ),
+    (
+        "doc_kn_logppl",
+        "Kneser-Ney: one bigram-type aggregate feeds ALL four KN "
+        "statistics (no count_distinct expansion over the corpus "
+        "stream); vocabulary-bounded count tables join AQE-planned, the "
+        "doc rollup is the only other exchange.",
+    ),
+    (
+        "embedding_jl_distortion",
+        "JL projection: the 32x64 Gaussian matrix folds into the plan "
+        "as literals — 32 HOF dot products per row, entirely map-only, "
+        "zero hash exchanges; the summary is a single-partition "
+        "aggregate broadcast back.",
+    ),
+    (
+        "dedup_substring_scrub",
+        "Substring scrub: positional-gram equi-join blocks the span "
+        "discovery; island and interval-merge windows ride the sparse "
+        "span list (never the corpus); the cleaned-text rebuild is "
+        "map-only array HOFs after a left join.",
+    ),
 ]
 
 
