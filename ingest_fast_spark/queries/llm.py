@@ -5026,3 +5026,91 @@ def dedup_substring_scrub(spark, sf_dir):
     interval-merge window rides the sparse span list; the text rebuild
     is map-only HOFs over the token array."""
     return D.substring_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def _dbscan_lsh_oracle(nbits: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of the LSH-fed DBSCAN: the SAME hyperplane literals
+    produce the same band keys and candidate pairs (cf. _emb_lsh_oracle),
+    then the identical core/border/noise chain runs over them."""
+    planes = S._hyperplanes(64, nbits)
+    bits_per_band = nbits // bands
+    keys = []
+    for bnd in range(bands):
+        terms = " + ".join(
+            "(CASE WHEN ROUND(list_dot_product(v, ["
+            + ", ".join(repr(x) for x in planes[bnd * bits_per_band + j])
+            + f"]), 6) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+        keys.append(f"({terms}) AS k{bnd}")
+    any_band = " OR ".join(f"a.k{i} = b.k{i}" for i in range(bands))
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    sk AS (SELECT vec_id, v, {', '.join(keys)} FROM e),
+    cand AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM sk a JOIN sk b ON a.vec_id <> b.vec_id AND ({any_band})
+    ),
+    p AS (
+      SELECT s, d FROM cand
+      JOIN e a ON a.vec_id = cand.s JOIN e b ON b.vec_id = cand.d
+      WHERE {_DBSCAN_COS} >= {_DBSCAN_EPS}
+    ),
+    dg AS (SELECT s AS vec_id, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY s),
+    core AS (
+      SELECT e.vec_id FROM e LEFT JOIN dg USING (vec_id)
+      WHERE COALESCE(n, 0) + 1 >= {_DBSCAN_MINPTS}
+    ),
+    ce AS (
+      SELECT s, d FROM p
+      JOIN core ca ON ca.vec_id = p.s
+      JOIN core cb ON cb.vec_id = p.d
+    ),
+    walk(id, comp) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT ce.d, w.comp FROM walk w JOIN ce ON ce.s = w.id
+    ),
+    comp AS (SELECT id AS vec_id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+    brd AS (
+      SELECT p.s AS vec_id, MIN(c.cluster_id) AS cluster_id
+      FROM p JOIN comp c ON c.vec_id = p.d
+      WHERE p.s NOT IN (SELECT vec_id FROM core)
+      GROUP BY p.s
+    )
+    SELECT e.vec_id,
+           CASE WHEN cc.cluster_id IS NOT NULL THEN 'core'
+                WHEN brd.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cc.cluster_id, brd.cluster_id) AS cluster_id
+    FROM e
+    LEFT JOIN comp cc USING (vec_id)
+    LEFT JOIN brd USING (vec_id)
+    """
+
+
+@register("embedding_dbscan_lsh", oracle=_dbscan_lsh_oracle())
+def embedding_dbscan_lsh(spark, sf_dir):
+    """The 100 TB DBSCAN twin: same core/border/noise layers fed by
+    LSH-bucketed eps-pairs instead of the exact GEMM source (the same
+    pair-source swap as dedup_soft_weights_minhash vs its baseline) —
+    candidate generation is an equi-join on band keys, sub-quadratic and
+    shuffle-bounded, with exact cosine verify on candidates. LSH recall
+    <100% at this eps means neighborhoods are undercounted relative to
+    the exact variant (density clustering degrades gracefully: missed
+    edges demote borderline cores), and BOTH engines derive the identical
+    candidate set from the shared hyperplane literals, so the twin stays
+    oracle-exact about ITS OWN semantics while embedding_dbscan remains
+    the exact recall oracle."""
+    pairs = S.cosine_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=_DBSCAN_EPS
+    )
+    return S.dbscan_cosine(
+        load_table(spark, sf_dir, "embeddings"),
+        eps_sim=_DBSCAN_EPS,
+        min_pts=_DBSCAN_MINPTS,
+        pairs=pairs,
+    )
