@@ -111,6 +111,7 @@ _SHOWCASE_ORDER = [
     "sketch_hll_report",
     "sketch_kmv_report",
     "embedding_dbscan",
+    "embedding_dbscan_lsh",
     "events_drift_ks",
     "graph_kcore",
     "decontaminate_semantic",
@@ -128,7 +129,6 @@ _SHOWCASE_ORDER = [
     "multimodal_jpeg_roundtrip",
     "multimodal_dedup_ahash",
     "split_cluster_safe",
-    "embed_topk_ivf",
     "embed_topk_pq_adc",
     # (3) oldest driver attestation
     "fast_parse_triples",
