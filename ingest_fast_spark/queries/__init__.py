@@ -119,6 +119,7 @@ _SHOWCASE_ORDER = [
     "embedding_jl_distortion",
     "dedup_substring_scrub",
     "stream_hll_registers",
+    "privacy_k_anonymity",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -136,12 +137,11 @@ _SHOWCASE_ORDER = [
     "fast_enrich_sameas",
     "fast_viaf_update",
     "q1_pricing_summary",
-    "q5_region_revenue",
     "join_asof",
     "topk_per_group",
     "udaf_harmonic_mean",
     # (stream_windowed_counts / dedup_exact / dedup_paragraphs /
-    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling / window_running_agg rotated out to hold
+    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling / window_running_agg / q5_region_revenue rotated out to hold
     # the prefix at exactly 50 after the round-7 additions; all have
     # green r1-r3 driver rows)
 ]

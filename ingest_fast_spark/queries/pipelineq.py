@@ -2612,3 +2612,93 @@ def doc_kn_logppl(spark, sf_dir):
             F.round(-F.avg(lp), 6).alias("kn_logppl"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002) over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BAND = 5000
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band
+      FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        AND c_acctbal IS NOT NULL
+    ),
+    g AS (
+      SELECT nation, segment, bal_band, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM q GROUP BY nation, segment, bal_band
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violating_groups,
+             CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN group_size
+                           ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+             CAST(SUM(group_size) AS BIGINT) AS n_rows
+      FROM g
+    )
+    SELECT g.nation, g.segment, g.bal_band, g.group_size,
+           g.group_size < {_KANON_K} AS violates_k,
+           s.n_violating_groups, s.n_rows_at_risk,
+           CAST(floor(1000000.0 * s.n_rows_at_risk / s.n_rows + 0.5) AS BIGINT)
+             AS risk_share_micro
+    FROM g CROSS JOIN s
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002): group the released table by its
+    quasi-identifier combination (nation x market segment x account-
+    balance band) and flag every equivalence class smaller than k=5 — a
+    record in such a class is re-identifiable by linking the QIs against
+    an external dataset. Output: every class with its size and violation
+    flag, plus the corpus-level risk share (rows in violating classes /
+    total, micro-units) — the number a release gate thresholds on before
+    shipping a dataset containing user-derived columns. Complements the
+    pattern-based PII redaction (text_pii_redact): redaction removes
+    direct identifiers, k-anonymity measures what the REMAINING columns
+    still leak in combination.
+
+    Scale shape: one hash aggregate on the QI key (map-side partial) and
+    a 3-long-column summary that broadcasts back into the class rows."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+        & F.col("c_acctbal").isNotNull()
+    )
+    g = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias("bal_band"),
+        )
+        .groupBy("nation", "segment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    s = g.agg(
+        F.sum((F.col("group_size") < _KANON_K).cast("long")).alias(
+            "n_violating_groups"
+        ),
+        F.sum(
+            F.when(F.col("group_size") < _KANON_K, F.col("group_size")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+        F.sum("group_size").alias("n_rows"),
+    )
+    return g.crossJoin(F.broadcast(s)).select(
+        "nation",
+        "segment",
+        "bal_band",
+        "group_size",
+        (F.col("group_size") < _KANON_K).alias("violates_k"),
+        "n_violating_groups",
+        "n_rows_at_risk",
+        F.floor(1000000.0 * F.col("n_rows_at_risk") / F.col("n_rows") + 0.5)
+        .cast("long")
+        .alias("risk_share_micro"),
+    )

@@ -163,6 +163,9 @@ SHUFFLE_BUDGET = {
     # window/agg + interval merge window + per-doc interval collect; the
     # windows ride the sparse span list, the text rebuild is map-only
     "dedup_substring_scrub": 4,
+    # k-anonymity: the QI-class hash aggregate (map-side partial) + the
+    # summary re-aggregate; summary broadcasts back into the class rows
+    "privacy_k_anonymity": 2,
 }
 
 
