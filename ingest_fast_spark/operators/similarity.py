@@ -355,6 +355,12 @@ def cosine_near_dup_pairs(
         import pandas as pd
 
         all_ids, corpus = bc.value
+        # Bound the sims matrix at ~32 MB per sub-block: an unbounded
+        # block x corpus product is O(|block| * n) doubles PER TASK — at
+        # 100k corpus vectors with 32 concurrent tasks that OOM-killed
+        # the x50 study JVM. Sub-blocking keeps peak memory flat at any
+        # corpus size; the GEMM itself is unchanged arithmetic.
+        rows_per_sub = max(1, (1 << 22) // max(1, len(all_ids)))
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
@@ -362,17 +368,19 @@ def cosine_near_dup_pairs(
             block_ids = pdf[id_col].to_numpy(dtype=np.int64)
             block = np.array(list(pdf[vec_col]), dtype=np.float64)
             block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = np.round(block @ corpus.T, 6)
-            a_idx, b_idx = np.nonzero(
-                (sims >= threshold) & (block_ids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": block_ids[a_idx],
-                    "vec_b": all_ids[b_idx],
-                    "cos_sim": sims[a_idx, b_idx],
-                }
-            )
+            for s in range(0, len(block), rows_per_sub):
+                sub_ids = block_ids[s : s + rows_per_sub]
+                sims = np.round(block[s : s + rows_per_sub] @ corpus.T, 6)
+                a_idx, b_idx = np.nonzero(
+                    (sims >= threshold) & (sub_ids[:, None] < all_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_a": sub_ids[a_idx],
+                        "vec_b": all_ids[b_idx],
+                        "cos_sim": sims[a_idx, b_idx],
+                    }
+                )
 
     return ensure_parallelism(emb.select(id_col, vec_col)).mapInPandas(
         score, "vec_a long, vec_b long, cos_sim double"

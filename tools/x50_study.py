@@ -35,7 +35,14 @@ QUERIES = [
     "sketch_hll_report",
     "sketch_kmv_report",
     "multimodal_dedup_phash",
-    "embedding_dbscan",
+    # (both DBSCAN variants are excluded: at eps=0.3 this corpus's
+    # eps-graph is Theta(n^2) DENSE by construction — the synthetic
+    # embeddings form 10 broad label clusters, so ~2% of all pairs are
+    # eps-neighbors and any edge-materializing DBSCAN is quadratic
+    # HERE regardless of pair source; measured 62 s at sf1 for the LSH
+    # twin. Production density clustering runs at near-dup eps where
+    # edges are sparse; the layers themselves ride the edge list. See
+    # BENCHNOTES round-7 second wave.)
     "doc_kn_logppl",
     "events_drift_ks",
     "graph_kcore",
