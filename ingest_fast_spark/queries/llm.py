@@ -4549,8 +4549,9 @@ def graph_label_propagation(spark, sf_dir):
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
       WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
     ),
-    ev AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
-    tr AS (SELECT vec_id, v, label FROM e WHERE vec_id % 20 <> 0),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0 AND vec_id < 2000),
+    tr AS (SELECT vec_id, v, label FROM e
+           WHERE NOT (vec_id % 20 = 0 AND vec_id < 2000)),
     scored AS (
       SELECT a.vec_id, a.label, b.vec_id AS eval_id,
              ROUND({_EMB_COS}, 6) AS cos_r
@@ -4569,10 +4570,13 @@ def decontaminate_semantic(spark, sf_dir):
     """Embedding-space benchmark decontamination (the SemDeDup-style
     companion to the n-gram overlap check ``decontaminate_benchmark``):
     flag training vectors whose cosine against ANY held-out eval vector
-    (vec_id % 20 == 0 stands in for the benchmark set) reaches 0.4, with
-    the best-matching eval item attached. N-gram overlap misses
-    paraphrases; embedding cosine is how production pipelines catch
-    semantically-leaked eval items.
+    (vec_id % 20 == 0 within the first 2000 ids stands in for the
+    benchmark set — the id cap keeps the eval side FIXED-SIZE like a
+    real benchmark instead of growing 5%-of-corpus; the x50 study
+    caught the uncapped variant going quadratic, 548 s at sf5) reaches
+    0.4, with the best-matching eval item attached. N-gram overlap
+    misses paraphrases; embedding cosine is how production pipelines
+    catch semantically-leaked eval items.
 
     Scale shape: the eval set is benchmark-sized — BROADCAST by
     construction (the one side of this problem that never grows with the
@@ -4583,10 +4587,11 @@ def decontaminate_semantic(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
-    ev = e.filter(F.col("vec_id") % 20 == 0).select(
+    is_eval = (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)
+    ev = e.filter(is_eval).select(
         F.col("vec_id").alias("eval_id"), S.as_double(F.col("embedding")).alias("qv")
     )
-    tr = e.filter(F.col("vec_id") % 20 != 0).select(
+    tr = e.filter(~is_eval).select(
         "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
     )
     scored = tr.crossJoin(F.broadcast(ev)).select(
