@@ -389,6 +389,126 @@ def stream_hll_registers(spark, sf_dir):
     return dense.crossJoin(F.broadcast(est))
 
 
+def _stream_hll_windowed_oracle() -> str:
+    from ..operators.dedup import portable_hash60_sql
+    from ..operators.sketches import HLL_EST_NUM, HLL_M, HLL_MAXRHO, HLL_P
+
+    h60 = portable_hash60_sql("item")
+    return f"""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(user_id AS VARCHAR) AS item, user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    rr AS (
+      SELECT window_start, h % {HLL_M} AS register, h >> {HLL_P} AS rest
+      FROM (SELECT window_start, ({h60}) AS h FROM ev)
+    ),
+    mx AS (
+      SELECT window_start, register,
+             MAX(CASE WHEN rest = 0 THEN {HLL_MAXRHO}
+                      ELSE bit_count((rest & (-rest)) - 1) + 1 END) AS rho
+      FROM rr GROUP BY window_start, register
+    ),
+    per AS (
+      SELECT window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_set,
+             CAST(SUM(1::BIGINT << ({HLL_MAXRHO} - rho))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_MAXRHO})
+                  AS BIGINT) AS s,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS v
+      FROM mx GROUP BY window_start
+    ),
+    ex AS (
+      SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM ev GROUP BY window_start
+    )
+    SELECT per.window_start, per.n_set, per.s, per.v,
+           CAST(floor(
+             CASE WHEN ({HLL_EST_NUM!r} / s) <= {2.5 * HLL_M!r} AND v > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                  ELSE {HLL_EST_NUM!r} / s END * 1000000.0 + 0.5) AS BIGINT)
+             AS est_micro,
+           ex.n_exact
+    FROM per JOIN ex USING (window_start)
+    """
+
+
+@register("stream_hll_windowed", oracle=_stream_hll_windowed_oracle())
+def stream_hll_windowed(spark, sf_dir):
+    """Windowed streaming HyperLogLog — distinct users per hour ("DAU" at
+    unbounded scale): the streaming aggregation keys on (window,
+    register) and MAX-merges ranks, so per-window distinct-count state
+    is bounded at m=256 rows per window FOREVER, and windows roll up
+    independently (the sketch composes with time bucketing the way raw
+    COUNT(DISTINCT) cannot — you can also union register files across
+    windows for a rolling-period distinct count). Emits each window's
+    sufficient statistics (n_set, scaled sum s, zero-register count v)
+    plus the estimate in micro-units next to the exact per-window
+    distinct count; AvailableNow converges to the batch register files,
+    which the DuckDB oracle rebuilds identically. This corpus's per-hour
+    user cardinality sits in the linear-counting regime — the correction
+    branch runs in production-like conditions here."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as K
+    from ..operators.dedup import portable_hash60
+
+    ev = SE.stream_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    h = portable_hash60(F.col("user_id").cast("string"))
+    routed = ev.select(
+        F.col("ts"),
+        (h % K.HLL_M).alias("register"),
+        F.shiftright(h, K.HLL_P).alias("rest"),
+    ).select(
+        "ts", "register", K.hll_rho(F.col("rest")).alias("rho")
+    )
+    regs = routed.groupBy(F.window("ts", "1 hour").alias("w"), "register").agg(
+        F.max("rho").alias("rho")
+    )
+    done = _run(regs, "q_hll_win", output_mode="complete").select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "register",
+        "rho",
+    )
+    per = done.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_set"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {K.HLL_MAXRHO} - rho)"))
+            + (F.lit(K.HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << K.HLL_MAXRHO).cast("long")
+        ).alias("s"),
+        (F.lit(K.HLL_M) - F.count(F.lit(1))).cast("long").alias("v"),
+    )
+    raw = F.lit(K.HLL_EST_NUM) / F.col("s").cast("double")
+    lc = F.lit(float(K.HLL_M)) * F.log(
+        F.lit(float(K.HLL_M)) / F.col("v").cast("double")
+    )
+    est = F.when((raw <= F.lit(2.5 * K.HLL_M)) & (F.col("v") > 0), lc).otherwise(raw)
+    from ..catalog import load_table
+
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour")["start"]
+            .cast("timestamp_ntz")
+            .alias("window_start")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return per.join(ex, "window_start").select(
+        "window_start",
+        "n_set",
+        "s",
+        "v",
+        F.floor(est * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("est_micro"),
+        "n_exact",
+    )
+
+
 # Reuse the batch gate's oracle for the streaming twin (registered after
 # the function so the registry key exists either way).
 from . import ORACLES as _ORACLES  # noqa: E402
