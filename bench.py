@@ -149,6 +149,10 @@ HEADLINE = [
     "doc_kn_logppl",
     "embedding_jl_distortion",
     "dedup_substring_scrub",
+    "embedding_dbscan_lsh",
+    "stream_hll_registers",
+    "stream_hll_windowed",
+    "privacy_k_anonymity",
     "events_drift_ks",
     "graph_kcore",
     "decontaminate_semantic",

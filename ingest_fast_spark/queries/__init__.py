@@ -121,6 +121,7 @@ _SHOWCASE_ORDER = [
     "stream_hll_registers",
     "privacy_k_anonymity",
     "stream_hll_windowed",
+    "privacy_l_diversity",
     # (2) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
@@ -138,10 +139,9 @@ _SHOWCASE_ORDER = [
     "fast_enrich_sameas",
     "fast_viaf_update",
     "q1_pricing_summary",
-    "topk_per_group",
     "udaf_harmonic_mean",
     # (stream_windowed_counts / dedup_exact / dedup_paragraphs /
-    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling / window_running_agg / q5_region_revenue / join_asof rotated out to hold
+    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling / window_running_agg / q5_region_revenue / join_asof / topk_per_group rotated out to hold
     # the prefix at exactly 50 after the round-7 additions; all have
     # green r1-r3 driver rows)
 ]

@@ -2704,3 +2704,84 @@ def privacy_k_anonymity(spark, sf_dir):
         .cast("long")
         .alias("risk_share_micro"),
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+             c_mktsegment AS segment
+      FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        AND c_acctbal IS NOT NULL
+    ),
+    g AS (
+      SELECT nation, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT segment) AS BIGINT) AS n_sensitive
+      FROM q GROUP BY nation, bal_band
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violating_groups,
+             CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN group_size
+                           ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+      FROM g
+    )
+    SELECT g.nation, g.bal_band, g.group_size, g.n_sensitive,
+           g.n_sensitive < {_LDIV_L} AS violates_l,
+           s.n_violating_groups, s.n_rows_at_risk
+    FROM g CROSS JOIN s
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2006) — the attribute-
+    disclosure companion to privacy_k_anonymity: a QI class can satisfy
+    k-anonymity yet still leak if (nearly) all its members share the
+    SAME sensitive value, so here every (nation x balance-band) class
+    must contain >= l=3 distinct market segments. Output: every class
+    with its size, distinct-sensitive count, and violation flag, plus
+    corpus totals. Identity disclosure (k) and attribute disclosure (l)
+    are different failure modes; a release gate checks both.
+
+    Scale shape: one aggregate on the QI key (count_distinct over the
+    5-value sensitive column stays cheap) and a broadcast summary."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+        & F.col("c_acctbal").isNotNull()
+    )
+    g = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias("bal_band"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .groupBy("nation", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct("segment").cast("long").alias("n_sensitive"),
+        )
+    )
+    s = g.agg(
+        F.sum((F.col("n_sensitive") < _LDIV_L).cast("long")).alias(
+            "n_violating_groups"
+        ),
+        F.sum(
+            F.when(F.col("n_sensitive") < _LDIV_L, F.col("group_size")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+    )
+    return g.crossJoin(F.broadcast(s)).select(
+        "nation",
+        "bal_band",
+        "group_size",
+        "n_sensitive",
+        (F.col("n_sensitive") < _LDIV_L).alias("violates_l"),
+        "n_violating_groups",
+        "n_rows_at_risk",
+    )

@@ -166,6 +166,13 @@ SHUFFLE_BUDGET = {
     # k-anonymity: the QI-class hash aggregate (map-side partial) + the
     # summary re-aggregate; summary broadcasts back into the class rows
     "privacy_k_anonymity": 2,
+    # l-diversity: the count_distinct expand adds one exchange pair over
+    # the k-anonymity shape (5-value sensitive column — cheap expand)
+    "privacy_l_diversity": 4,
+    # windowed HLL (batch legs of the finished stream table): per-window
+    # sufficient-statistics agg + the exact per-window distinct leg +
+    # the window join
+    "stream_hll_windowed": 3,
 }
 
 
