@@ -444,3 +444,75 @@ def test_substring_scrub_matches_reference(spark, corpora):
         {i: (t if t else [""]) for i, t in docs.items()}, k, min_span
     )
     assert got == ref
+
+
+# --- DBSCAN vs brute-force reference ------------------------------------------
+
+
+def py_dbscan(vecs: dict, eps: float, min_pts: int):
+    """Reference DBSCAN with the operator's deterministic conventions:
+    rounded cosine >= eps, neighborhood includes self, clusters = CC of
+    core-core edges labeled by min member id, border -> min core-neighbor
+    cluster."""
+    import numpy as np
+
+    ids = sorted(vecs)
+    m = np.array([vecs[i] for i in ids], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    nbr = {
+        a: {b for j, b in enumerate(ids) if b != a and sims[i, j] >= eps}
+        for i, a in enumerate(ids)
+    }
+    core = {a for a in ids if len(nbr[a]) + 1 >= min_pts}
+    parent = {a: a for a in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in nbr[a] & core:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for a in core:
+        comp.setdefault(find(a), []).append(a)
+    cluster = {a: min(comp[find(a)]) for a in core}
+    out = {}
+    for a in ids:
+        if a in core:
+            out[a] = ("core", cluster[a])
+        else:
+            cn = [cluster[b] for b in nbr[a] if b in core]
+            out[a] = ("border", min(cn)) if cn else ("noise", None)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=2,
+        max_size=18,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9]),
+    st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_dbscan_matches_reference(spark, raw, eps, min_pts):
+    from ingest_fast_spark.operators.similarity import dbscan_cosine
+
+    vecs = {i: [float(x) for x in v] for i, v in enumerate(raw)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_cosine(df, eps_sim=eps, min_pts=min_pts).collect()
+    }
+    assert got == py_dbscan(vecs, eps, min_pts)
