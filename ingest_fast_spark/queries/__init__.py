@@ -77,8 +77,11 @@ def _load_all() -> None:
 #       *_fast production defaults, rows-only by design), the paletted-PNG
 #       round-trip, the IVF×ADC fusion (+ residual-PQ study twin), the
 #       winnowing fingerprint dedup, the DCT pHash cross-codec dedup, the
-#       CMS/HLL/KMV sketch reports, DBSCAN, the KS drift test, k-core,
-#       semantic decontamination, and Kneser-Ney scoring;
+#       CMS/HLL/KMV sketch reports (+ the streaming and windowed HLL
+#       twins), DBSCAN (exact + LSH-fed twin), the KS drift test, k-core,
+#       semantic decontamination, Kneser-Ney scoring, the JL projection
+#       certificate, the substring scrub, and the k-anonymity /
+#       l-diversity release audits;
 #   (2) queries whose oracle or underlying operator changed this round
 #       (zipf NULLIF, mojibake pair-table oracle, PNG/GIF/JPEG decoder
 #       edits, the pair-source refactor, the new recall-report leg);
