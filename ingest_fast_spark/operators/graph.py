@@ -358,6 +358,193 @@ def label_propagation(
     return labels
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: ``(n, hops)`` — the minimum hop count from ANY
+    source node, for every node reachable within ``max_hops``. The
+    lineage/provenance primitive of a data lake ("which tables are
+    within k derivation steps of this source?") and the crawl-frontier
+    primitive of a web pipeline ("pages within k links of the seed
+    set"). Directed; callers symmetrize for undirected reachability.
+
+    Frontier expansion, not matrix iteration: round h joins ONLY the
+    previous frontier (nodes first reached at h-1) against the edge
+    list, then anti-joins the visited set — so per-round shuffle volume
+    is proportional to the frontier, which on real graphs peaks and
+    shrinks rather than staying corpus-sized. Visited state is one row
+    per reached node, localCheckpointed per round; an empty frontier
+    short-circuits (every later round would also be empty), which keeps
+    the fixed ``max_hops`` bound oracle-friendly without paying for
+    rounds past exhaustion. No collect anywhere — the early-exit probe
+    is a LIMIT-1 job.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).cast("long").alias("n"))
+        .distinct()
+        .select("n", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("n")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.select(F.col("n").alias("src")), "src")
+            .select(F.col("dst").alias("n"))
+            .distinct()
+            .join(dist.select("n"), "n", "left_anti")
+            .select("n", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("n")
+    return dist
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): ``(n, auth, hub)`` with
+    L1-normalized scores. The hub/authority split is what PageRank
+    can't express — in a citation or link graph it separates the
+    curated index pages (hubs) from the canonical sources (authorities),
+    the standard seed-quality signal for crawl prioritization.
+
+    Kleinberg's update order: auth ← Eᵀ·hub, THEN hub ← E·auth using the
+    NEW authorities; each vector is normalized to sum 1 per round (L1 —
+    the choice that keeps the oracle a plain SUM, no sqrt). Per round:
+    two edges⋈scores shuffles on a node key plus two 1-row total
+    aggregates cross-joined back broadcast — no driver collect; score
+    state is one row per node, localCheckpointed per round, same
+    contract as ``pagerank`` above so the oracle unrolls as CTEs.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = nodes.select("n", F.lit(1.0).alias("a"))
+    hub = nodes.select("n", F.lit(1.0).alias("h"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.select(F.col("n").alias("src"), F.col("h").alias("hw")), "src")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.sum("hw").alias("raw"))
+        )
+        a_full = nodes.join(a_raw, "n", "left").select(
+            "n", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        a_tot = a_full.agg(F.sum("raw").alias("t"))  # 1 row
+        auth = (
+            a_full.crossJoin(F.broadcast(a_tot))
+            .select("n", (F.col("raw") / F.col("t")).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.select(F.col("n").alias("dst"), F.col("a").alias("aw")), "dst")
+            .groupBy(F.col("src").alias("n"))
+            .agg(F.sum("aw").alias("raw"))
+        )
+        h_full = nodes.join(h_raw, "n", "left").select(
+            "n", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        h_tot = h_full.agg(F.sum("raw").alias("t"))  # 1 row
+        hub = (
+            h_full.crossJoin(F.broadcast(h_tot))
+            .select("n", (F.col("raw") / F.col("t")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return auth.join(hub, "n").select("n", "a", "h")
+
+
+def neighbor_similarity(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    min_common: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every node pair that
+    shares >= ``min_common`` neighbors, emit common-neighbor count,
+    Jaccard overlap, and Adamic–Adar (Σ 1/ln(deg(w)) over shared
+    neighbors w — rare shared neighbors count more). The classic
+    "suggest an edge" / "are these two entities the same" score over a
+    co-occurrence or citation graph.
+
+    The pair generation is the friends-of-friends self-join keyed on the
+    SHARED neighbor, so its cost is Σ_w deg(w)² — quadratic in the
+    hottest node. ``max_degree`` is the standard hub guard: nodes above
+    the cap are dropped as shared-neighbor pivots BEFORE the self-join
+    (a celebrity node connected to everyone predicts nothing anyway —
+    its 1/ln(deg) weight is already ≈0). With the cap, per-key fanout is
+    bounded and the join shuffles cleanly on w at any corpus size;
+    degrees for the Jaccard denominator are computed on the UNCAPPED
+    graph so the scores stay exact.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+    )
+    adj = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )  # (s = node, d = neighbor), symmetric
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # pivot on the shared neighbor w: adjacency re-keyed as (w, member)
+    piv = adj.select(F.col("d").alias("w"), F.col("s").alias("m"))
+    if max_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_degree).select(F.col("s").alias("w"))
+        piv = piv.join(keep, "w", "left_semi")
+    piv = piv.join(
+        deg.select(F.col("s").alias("w"), F.col("deg").alias("wdeg")), "w"
+    )
+    a, b = piv.alias("a"), piv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.m") < F.col("b.m")))
+        .groupBy(F.col("a.m").alias("u"), F.col("b.m").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("a.wdeg").cast("double"))).alias("adamic_adar"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(deg.select(F.col("s").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("s").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (F.col("common") / (F.col("du") + F.col("dv") - F.col("common")).cast("double")).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,

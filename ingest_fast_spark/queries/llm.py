@@ -4670,6 +4670,188 @@ def graph_kcore(spark, sf_dir):
     )
 
 
+def _bfs_oracle(max_hops: int = 4, n_sources: int = 5, mod: int = 5000) -> str:
+    head = f"""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey % {mod} AS s, o_orderkey % {mod} AS d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % {mod}) <> (o_orderkey % {mod})
+    ),
+    e AS (SELECT DISTINCT s, d FROM
+          (SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw)),
+    d0 AS (SELECT CAST(n AS BIGINT) AS n, CAST(0 AS BIGINT) AS hops
+           FROM range({n_sources}) t(n)),
+    f0 AS (SELECT n FROM d0)"""
+    body = ""
+    for i in range(1, max_hops + 1):
+        body += f""",
+    f{i} AS (SELECT DISTINCT e.d AS n FROM e JOIN f{i-1} ON e.s = f{i-1}.n
+             WHERE e.d NOT IN (SELECT n FROM d{i-1})),
+    d{i} AS (SELECT n, hops FROM d{i-1}
+             UNION ALL SELECT n, CAST({i} AS BIGINT) FROM f{i})"""
+    return head + body + f"""
+    SELECT n AS node, hops FROM d{max_hops}"""
+
+
+@register("graph_bfs_hops", oracle=_bfs_oracle(max_hops=4, n_sources=5, mod=5000))
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS reachability: minimum hop distance from a 5-node
+    seed set over the symmetrized 5000-node mod-graph (avg degree ~6 at
+    sf0.01 — sparse enough that hops 1-4 each add a real frontier).
+    The lineage primitive ("what's within k derivation steps") and the
+    crawl primitive ("pages within k links of the seeds").
+
+    Scale shape (operators/graph.bfs_hops): round h joins only the
+    PREVIOUS frontier against the edge list then anti-joins the visited
+    set, so per-round shuffle volume tracks the frontier (peaks then
+    shrinks), never the corpus; visited state is one row per reached
+    node, localCheckpointed; an exhausted frontier short-circuits via a
+    LIMIT-1 probe, no collect. Oracle: the same expansion unrolled as
+    CTEs with NOT IN as the anti-join."""
+    from ..operators.graph import bfs_hops
+
+    o = load_table(spark, sf_dir, "orders")
+    raw = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select(
+            (F.col("o_custkey") % 5000).alias("src"),
+            (F.col("o_orderkey") % 5000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_hops(edges, spark.range(5), max_hops=4).select(
+        F.col("n").alias("node"), "hops"
+    )
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 50) <> (o_orderkey % 50)
+    ),
+    nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM edges
+                                      UNION ALL SELECT dst FROM edges)),
+    a0 AS (SELECT n, CAST(1 AS DOUBLE) AS a FROM nodes),
+    h0 AS (SELECT n, CAST(1 AS DOUBLE) AS h FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    ar{i} AS (SELECT e.dst AS n, SUM(p.h) AS raw
+              FROM edges e JOIN h{i-1} p ON e.src = p.n GROUP BY e.dst),
+    af{i} AS (SELECT nodes.n, COALESCE(ar{i}.raw, CAST(0 AS DOUBLE)) AS raw
+              FROM nodes LEFT JOIN ar{i} ON nodes.n = ar{i}.n),
+    a{i} AS (SELECT n, raw / (SELECT SUM(raw) FROM af{i}) AS a FROM af{i}),
+    hr{i} AS (SELECT e.src AS n, SUM(p.a) AS raw
+              FROM edges e JOIN a{i} p ON e.dst = p.n GROUP BY e.src),
+    hf{i} AS (SELECT nodes.n, COALESCE(hr{i}.raw, CAST(0 AS DOUBLE)) AS raw
+              FROM nodes LEFT JOIN hr{i} ON nodes.n = hr{i}.n),
+    h{i} AS (SELECT n, raw / (SELECT SUM(raw) FROM hf{i}) AS h FROM hf{i})"""
+    return head + body + f"""
+    SELECT a{iters}.n AS node, ROUND(a{iters}.a, 6) AS auth,
+           ROUND(h{iters}.h, 6) AS hub
+    FROM a{iters} JOIN h{iters} ON a{iters}.n = h{iters}.n"""
+
+
+@register("graph_hits", oracle=_hits_oracle(3))
+def graph_hits(spark, sf_dir):
+    """Fixed-3-iteration HITS hubs & authorities (Kleinberg 1999, L1
+    normalization) over the directed 50-node mod-graph — the same
+    substrate as ``graph_pagerank`` so the two centralities are directly
+    comparable. HITS separates the curated index pages (hubs) from the
+    canonical sources (authorities), the crawl-seed-quality signal a
+    single PageRank score conflates.
+
+    Scale shape (operators/graph.hits): per round two edges⋈scores
+    shuffles on a node key + two 1-row L1 totals broadcast back — no
+    driver collect, score state one row per node, localCheckpointed;
+    Kleinberg's sequential order (auth from old hubs, hubs from NEW
+    auths) so the oracle unrolls the identical recurrence as CTEs."""
+    from ..operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select(
+            (F.col("o_custkey") % 50).alias("src"),
+            (F.col("o_orderkey") % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return hits(edges, iterations=3).select(
+        F.col("n").alias("node"),
+        F.round("a", 6).alias("auth"),
+        F.round("h", 6).alias("hub"),
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey % 3000 AS s, o_orderkey % 3000 AS d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 3000) <> (o_orderkey % 3000)
+    ),
+    adj AS (SELECT DISTINCT s, d FROM
+            (SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw)),
+    deg AS (SELECT s, COUNT(*) AS deg FROM adj GROUP BY s),
+    piv AS (SELECT adj.d AS w, adj.s AS m, wd.deg AS wdeg
+            FROM adj JOIN deg wd ON wd.s = adj.d
+            WHERE wd.deg <= 64),
+    pairs AS (
+      SELECT a.m AS u, b.m AS v, COUNT(*) AS common,
+             SUM(CAST(1 AS DOUBLE) / ln(a.wdeg)) AS aa
+      FROM piv a JOIN piv b ON a.w = b.w AND a.m < b.m
+      GROUP BY a.m, b.m HAVING COUNT(*) >= 2
+    )
+    SELECT u, v, CAST(common AS BIGINT) AS common,
+           ROUND(common / CAST(du.deg + dv.deg - common AS DOUBLE), 6) AS jaccard,
+           ROUND(aa, 6) AS adamic_adar
+    FROM pairs JOIN deg du ON du.s = pairs.u JOIN deg dv ON dv.s = pairs.v
+    """,
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Link prediction by neighborhood overlap on the 3000-node
+    mod-graph: pairs sharing >= 2 neighbors scored by common-neighbor
+    count, Jaccard, and Adamic–Adar (rare shared neighbors weigh more,
+    Adamic & Adar 2003) — the "suggest an edge / same entity?" primitive
+    over a co-occurrence graph.
+
+    Scale shape (operators/graph.neighbor_similarity): the friends-of-
+    friends self-join is keyed on the SHARED neighbor, cost Σ deg(w)²,
+    so a 64-degree hub cap bounds per-key fanout before the join (a
+    celebrity pivot predicts nothing — its 1/ln(deg) weight is ≈0);
+    Jaccard denominators use UNCAPPED degrees so scores stay exact.
+    Counts are all-integer; the two double scores are rounded at 6."""
+    from ..operators.graph import neighbor_similarity
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select(
+            (F.col("o_custkey") % 3000).alias("src"),
+            (F.col("o_orderkey") % 3000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    out = neighbor_similarity(edges, max_degree=64, min_common=2)
+    return out.select(
+        "u",
+        "v",
+        "common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 @register(
     "token_zipf_slope",
     oracle=rf"""
