@@ -2785,3 +2785,108 @@ def privacy_l_diversity(spark, sf_dir):
         "n_violating_groups",
         "n_rows_at_risk",
     )
+
+
+# ---------------------------------------------------------------------------
+# Physical layout: dense global ids + Z-order clustering (operators/layout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "assign_global_ids",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS global_id
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def assign_global_ids(spark, sf_dir):
+    """Dense, contiguous, order-preserving global row ids — the example-id
+    stamp a training pipeline applies before sharding — WITHOUT the
+    single-reducer ``row_number() OVER (ORDER BY ...)`` the oracle uses
+    (correct SQL, fatal plan: an empty PARTITION BY funnels all 100 TB
+    through one task).
+
+    Scale shape (operators/layout.assign_dense_ids): range-exchange on
+    the key pinned by an eager localCheckpoint, per-partition counts
+    (driver sees ONE long per partition, never rows), then a
+    partition-local row_number plus the broadcast cumulative offset —
+    every stage is as wide as the shuffle width. The plan audit pins the
+    absence of a SinglePartition exchange; the oracle proves the
+    distributed recipe equals the naive total order exactly.
+    """
+    from ..operators.layout import assign_dense_ids
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return assign_dense_ids(d.select("doc_id", "source"), "doc_id")
+
+
+def _zorder_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB twin of sources/layout._interleave_bits for two columns
+    (x in the even bit positions, y in the odd — j-major, identical bit
+    layout to the Spark expression). Positions are disjoint so + == OR."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    z = _zorder_sql("((l_partkey * 37) % 4096)", "((l_suppkey * 149) % 4096)", bits=12)
+    return f"""
+    WITH keyed AS (
+      SELECT {z} >> 16 AS z_bucket,
+             (l_partkey * 37) % 4096 AS x, (l_suppkey * 149) % 4096 AS y
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    )
+    SELECT z_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM keyed GROUP BY z_bucket
+    """
+
+
+@register("layout_zorder_report", oracle=_zorder_oracle())
+def layout_zorder_report(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustering — the key behind
+    Delta/Iceberg OPTIMIZE ZORDER: interleave the low 12 bits of two
+    dimensions so rows close in (x, y) land close in z, then split the
+    24-bit keyspace into 256 static z-range buckets (file surrogates;
+    ``z >> 16`` — a static split, NO sort and no single-partition
+    exchange) and report each bucket's min/max on both dimensions. The
+    payoff the report shows: every bucket's bbox is a ~256×256 tile of
+    the 4096² space, so a predicate on EITHER dimension prunes ~15/16
+    of the files — a 1-D sort gets tight x-ranges but full-width
+    y-ranges.
+
+    Scale shape: the key is pure integer whole-stage-codegen arithmetic
+    (sources/layout._interleave_bits — the SAME key expression the
+    write path ``write_zorder_layout`` clusters files by, so this report
+    is the oracle attestation of that layout's key math), one map-side-
+    combinable aggregate over 256 groups; all-integer output so the
+    oracle (the identical expression via _zorder_sql) matches exactly.
+    """
+    from ..sources.layout import _interleave_bits
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    # Odd multipliers are bijections mod 4096: dense key sequences spread
+    # over the full 12-bit range at ANY scale factor (raw suppkey at
+    # sf0.01 spans <7 bits, leaving the interleave's high bits empty).
+    xk = (F.col("l_partkey") * 37) % 4096
+    yk = (F.col("l_suppkey") * 149) % 4096
+    keyed = li.select(
+        F.shiftright(_interleave_bits([xk, yk], bits=12), 16).alias("z_bucket"),
+        xk.alias("x"),
+        yk.alias("y"),
+    )
+    return keyed.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )

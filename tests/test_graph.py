@@ -291,3 +291,100 @@ def test_kcore_whole_graph_survives_when_k_below_min_degree(spark):
     tri = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     out = {r["n"]: r["core_degree"] for r in kcore(tri, k=2, rounds=3).collect()}
     assert out == {0: 2, 1: 2, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# BFS hops / HITS / neighbor similarity
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_path_graph_hops_and_horizon(spark):
+    from ingest_fast_spark.operators.graph import bfs_hops
+
+    # Path 0-1-2-3-4-5 (undirected), source {0}, horizon 3: node 4 and 5
+    # are beyond max_hops and must be absent.
+    raw = [(i, i + 1) for i in range(5)]
+    e = spark.createDataFrame(raw + [(b, a) for a, b in raw], "src long, dst long")
+    src = spark.createDataFrame([(0,)], "n long")
+    got = {r["n"]: r["hops"] for r in bfs_hops(e, src, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_source_takes_min_and_short_circuits(spark):
+    from ingest_fast_spark.operators.graph import bfs_hops
+
+    # Two components; sources in both; one exhausts after 1 hop — the
+    # early exit must not lose the other component's frontier.
+    raw = [(0, 1), (1, 2), (10, 11)]
+    e = spark.createDataFrame(raw + [(b, a) for a, b in raw], "src long, dst long")
+    src = spark.createDataFrame([(2,), (10,)], "n long")
+    got = {r["n"]: r["hops"] for r in bfs_hops(e, src, max_hops=4).collect()}
+    assert got == {2: 0, 10: 0, 1: 1, 11: 1, 0: 2}
+
+
+def test_hits_two_node_graph_concentrates(spark):
+    from ingest_fast_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["n"]: (r["a"], r["h"]) for r in hits(e, iterations=2).collect()}
+    assert got[2][0] == 1.0 and got[1][0] == 0.0  # all authority on the sink
+    assert got[1][1] == 1.0 and got[2][1] == 0.0  # all hubness on the source
+
+
+def test_hits_l1_mass_is_one(spark):
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1), (3, 4)], "src long, dst long"
+    )
+    out = hits(e, iterations=3)
+    row = out.agg(F.sum("a").alias("sa"), F.sum("h").alias("sh")).first()
+    assert abs(row["sa"] - 1.0) < 1e-9 and abs(row["sh"] - 1.0) < 1e-9
+
+
+def test_neighbor_similarity_matches_bruteforce(spark):
+    import math
+    from itertools import combinations
+
+    from ingest_fast_spark.operators.graph import neighbor_similarity
+
+    raw = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (4, 5), (1, 5)]
+    adj: dict[int, set[int]] = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for u, v in combinations(sorted(adj), 2):
+        common = adj[u] & adj[v]
+        if len(common) >= 1:
+            jac = len(common) / len(adj[u] | adj[v])
+            aa = sum(1.0 / math.log(len(adj[w])) for w in common)
+            expected[(u, v)] = (len(common), round(jac, 9), round(aa, 9))
+    e = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        (r["u"], r["v"]): (r["common"], round(r["jaccard"], 9), round(r["adamic_adar"], 9))
+        for r in neighbor_similarity(e, min_common=1).collect()
+    }
+    assert got == expected
+
+
+def test_neighbor_similarity_hub_cap_drops_celebrity_pivot(spark):
+    from ingest_fast_spark.operators.graph import neighbor_similarity
+
+    # Star: hub 0 connected to 1..9; plus one triangle edge 1-2. With the
+    # cap below 9, the hub can't pivot — only the (1,2)-through-0 pairs
+    # vanish; pairs sharing low-degree neighbors survive.
+    raw = [(0, i) for i in range(1, 10)] + [(1, 2)]
+    e = spark.createDataFrame(raw, "src long, dst long")
+    uncapped = {(r["u"], r["v"]) for r in neighbor_similarity(e, min_common=1).collect()}
+    capped = {
+        (r["u"], r["v"])
+        for r in neighbor_similarity(e, max_degree=5, min_common=1).collect()
+    }
+    assert (1, 2) in uncapped  # share hub 0
+    # pairs pivoting only through the hub are gone:
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    # pairs pivoting through low-degree nodes survive: (0,1) share 2, (0,2) share 1
+    assert (0, 1) in capped and (0, 2) in capped

@@ -105,3 +105,37 @@ def test_zorder_layout_skips_on_every_dimension(spark, sf_dir, tmp_path):
     # ...while the linear layout cannot skip on the non-lead column.
     assert lin_value > 0.8 * n_files
     assert z_value < lin_value
+
+
+# ---------------------------------------------------------------------------
+# Dense global ids (operators/layout.assign_dense_ids)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ingest_fast_spark.operators.layout import assign_dense_ids  # noqa: E402
+
+
+def test_dense_ids_equal_total_order(spark):
+    # Shuffled input, unique keys: ids must be the dense 1..N rank of key.
+    keys = [37, 2, 99, 15, 1, 64, 8, 50, 23, 77, 3, 91]
+    df = spark.createDataFrame([(k, f"v{k}") for k in keys], "k long, v string")
+    out = assign_dense_ids(df.repartition(5), "k", num_partitions=4).collect()
+    got = {r["k"]: r["global_id"] for r in out}
+    expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expected
+
+
+def test_dense_ids_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k long")
+    out = assign_dense_ids(df, "k", num_partitions=8).collect()
+    assert {(r["k"], r["global_id"]) for r in out} == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_dense_ids_plan_has_no_single_partition_exchange(spark, sf_dir):
+    # The whole point vs row_number() OVER (ORDER BY ...): nothing in the
+    # plan may funnel through one partition.
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_dense_ids(d, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan

@@ -325,3 +325,20 @@ def test_fix_mojibake_no_udf_no_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_fix_mojibake")
     assert "EvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_global_ids_no_single_partition_exchange(spark, sf_dir):
+    """Dense global ids must never funnel through one reducer — the
+    distributed offsets recipe is the whole point vs the oracle's
+    row_number() OVER (ORDER BY ...)."""
+    plan = plan_of(spark, sf_dir, "assign_global_ids")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # bounded offsets broadcast back
+
+
+def test_zorder_report_stays_jvm_and_partial(spark, sf_dir):
+    """The Morton key is integer Column arithmetic: no Python eval; the
+    256-group aggregate must be a partial+final pair."""
+    plan = plan_of(spark, sf_dir, "layout_zorder_report")
+    assert "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
