@@ -2576,3 +2576,169 @@ def sessions_max_concurrency(spark, sf_dir):
             F.min("t").alias("peak_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series smoothing & decomposition
+# ---------------------------------------------------------------------------
+
+_EWMA_A = 0.3
+_EWMA_K = 8
+# (1-a) * a^j weights and 1 - a^n normalizers as exact double literals —
+# Python repr round-trips bit-exactly, so both engines parse the SAME
+# doubles and every product/sum below is IEEE-identical cross-engine.
+_EWMA_W = [repr((1 - _EWMA_A) * _EWMA_A**j) for j in range(_EWMA_K)]
+_EWMA_DENOM = [repr(1 - _EWMA_A**n) for n in range(1, _EWMA_K + 1)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"(COALESCE(lag(value, {j}) OVER w, CAST(0 AS DOUBLE)) * {w})"
+        for j, w in enumerate(_EWMA_W)
+    )
+    denom_case = " ".join(
+        f"WHEN {n} THEN {d}" for n, d in enumerate(_EWMA_DENOM, start=1)
+    )
+    return f"""
+    SELECT event_id, user_id, value,
+           floor(1e6 * (({num}) / (CASE least(
+             ROW_NUMBER() OVER w, {_EWMA_K}) {denom_case} END)) + 0.5) / 1e6
+             AS ewma
+    FROM events
+    WHERE value IS NOT NULL AND user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("events_ewma", oracle=_ewma_oracle())
+def events_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average (alpha=0.3) over the
+    event stream — the standard smoother behind rate limiting, anomaly
+    baselines, and metric dashboards. The textbook recurrence
+    s_t = (1-a)x_t + a·s_{t-1} is unbounded-memory; the distributed form
+    truncates to the last K=8 lags (the dropped tail carries a^8 ≈ 0.007%
+    of the weight) and renormalizes by 1 - a^n over the n lags that exist
+    — so early rows are unbiased, not damped toward zero.
+
+    Scale shape: ONE hash exchange (the per-user window partition); the
+    8 lag() frames share it; weights and normalizers are exact double
+    literals folded into codegen. Every product and sum is evaluated in
+    the same order on both engines over bit-identical constants, so the
+    only rounding is the final display floor at 1e-6."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    for j, wj in enumerate(_EWMA_W):
+        term = F.coalesce(F.lag("value", j).over(w), F.lit(0.0)) * F.lit(float(wj))
+        num = term if num is None else num + term
+    navail = F.least(F.row_number().over(w), F.lit(_EWMA_K))
+    denom = F.element_at(
+        F.array(*[F.lit(float(d)) for d in _EWMA_DENOM]), navail
+    )
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.floor(F.lit(1e6) * (num / denom) + F.lit(0.5)) / F.lit(1e6)).alias("ewma"),
+    )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+      SELECT *,
+             datediff('day', DATE '2024-01-01', day) % 7 AS dow,
+             CASE WHEN COUNT(*) OVER w7 = 7
+                  THEN CAST(SUM(cents) OVER w7 AS BIGINT) END AS trend7
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+      SELECT *, 7 * cents - trend7 AS detr7 FROM tr
+    ),
+    sea AS (
+      SELECT *,
+             CAST(CAST(SUM(detr7) OVER ws AS BIGINT) AS DOUBLE)
+               / COUNT(detr7) OVER ws AS seasonal7
+      FROM dt
+      WINDOW ws AS (PARTITION BY event_type, dow)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(dow AS BIGINT) AS dow,
+           cents / 100.0 AS total,
+           CAST(trend7 AS DOUBLE) / 700.0 AS trend,
+           seasonal7 / 700.0 AS seasonal,
+           (CAST(detr7 AS DOUBLE) - seasonal7) / 700.0 AS residual
+    FROM sea
+    """,
+)
+def timeseries_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the per-type daily
+    series: trend = centered 7-day moving average (NULL at the edges
+    where the window is short), weekly seasonal index = mean detrended
+    value per day-of-week, residual = what neither explains — the
+    corpus-health view that separates 'weekends are slow' from 'Tuesday
+    was anomalous'.
+
+    Exact-parity engineering: daily totals are summed as integer CENTS,
+    the MA is kept as the 7-day integer SUM (trend×7), and detrending
+    happens in that ×7 integer space — so every aggregation is exact
+    integer arithmetic regardless of partition order, and the only
+    doubles are final divisions of identical integers. Day-of-week is
+    datediff-mod-7 (engine-neutral, no locale). Scale shape: one
+    map-side-combinable daily aggregate, then two windows over the
+    BOUNDED daily series (365 rows/type/year no matter the corpus
+    size); rows-based MA assumes the daily series is dense, which a
+    corpus-scale event stream always is."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("dow"),
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("cents").over(w7)).alias(
+            "trend7"
+        ),
+    )
+    dt = tr.withColumn("detr7", F.lit(7) * F.col("cents") - F.col("trend7"))
+    ws = Window.partitionBy("event_type", "dow")
+    sea = dt.withColumn(
+        "seasonal7",
+        F.sum("detr7").over(ws).cast("double") / F.count("detr7").over(ws),
+    )
+    return sea.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        (F.col("cents") / F.lit(100.0)).alias("total"),
+        (F.col("trend7").cast("double") / F.lit(700.0)).alias("trend"),
+        (F.col("seasonal7") / F.lit(700.0)).alias("seasonal"),
+        (
+            (F.col("detr7").cast("double") - F.col("seasonal7")) / F.lit(700.0)
+        ).alias("residual"),
+    )
