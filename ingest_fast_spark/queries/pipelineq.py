@@ -2890,3 +2890,179 @@ def layout_zorder_report(spark, sf_dir):
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi–Sunter) + DP-noised release
+# ---------------------------------------------------------------------------
+
+# Match/unmatch field probabilities and their log2 evidence weights as
+# exact shared literals: both engines only ever ADD these constants, so
+# the score is bit-identical however partitions combine.
+import math as _math
+
+_FS_FIELDS = {  # field -> (m, u)
+    "seg": (0.9, 0.2),
+    "bal": (0.8, 0.1),
+    "name3": (0.95, 0.01),
+}
+_FS_W = {
+    f: (
+        repr(_math.log2(m / u)),
+        repr(_math.log2((1 - m) / (1 - u))),
+    )
+    for f, (m, u) in _FS_FIELDS.items()
+}
+
+
+def _fs_oracle() -> str:
+    score = " + ".join(
+        f"(CASE WHEN agree_{f} THEN {w_a} ELSE {w_d} END)"
+        for f, (w_a, w_d) in _FS_W.items()
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             CAST(floor(c_acctbal / 2500) AS BIGINT) AS band
+      FROM customer
+      WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             (a.c_mktsegment = b.c_mktsegment) AS agree_seg,
+             (abs(a.c_acctbal - b.c_acctbal) < 50) AS agree_bal,
+             (right(a.c_name, 3) = right(b.c_name, 3)) AS agree_name3
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.band = b.band
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT key_a, key_b, agree_seg, agree_bal, agree_name3,
+           floor(1e6 * ({score}) + 0.5) / 1e6 AS fs_score,
+           CASE WHEN ({score}) >= 6 THEN 'match'
+                WHEN ({score}) >= 0 THEN 'possible'
+                ELSE 'non-match' END AS tier
+    FROM pairs WHERE ({score}) >= 0
+    """
+
+
+@register("record_linkage_fs", oracle=_fs_oracle())
+def record_linkage_fs(spark, sf_dir):
+    """Probabilistic record linkage (Fellegi & Sunter 1969): blocked
+    candidate pairs scored by summed log2 evidence weights — each field
+    contributes log2(m/u) when it agrees and log2((1-m)/(1-u)) when it
+    doesn't (m = P(agree | same entity), u = P(agree | different)) —
+    then tiered into match / possible / non-match. The probabilistic
+    complement to the deterministic edit-distance ER composite
+    (``customer_entity_resolution``): fields carry different evidence,
+    and a rare agreement (name tail, u=0.01) outweighs a common one
+    (segment, u=0.2).
+
+    Scale shape: the compound blocking key (nation × acctbal-band) keeps
+    candidate generation an equi-join with bounded per-block fanout —
+    never all-pairs; agreement tests and the score are codegen Column
+    expressions; the m/u weights are exact double literals shared with
+    the oracle, so the only FP op is adding three constants."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull() & F.col("c_acctbal").isNotNull()
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2500).cast("long").alias("band"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("agree_seg"),
+        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 50).alias("agree_bal"),
+        (F.substring(F.col("a.c_name"), -3, 3) == F.substring(F.col("b.c_name"), -3, 3)).alias("agree_name3"),
+    )
+    score = None
+    for f, (w_a, w_d) in _FS_W.items():
+        term = F.when(F.col(f"agree_{f}"), F.lit(float(w_a))).otherwise(
+            F.lit(float(w_d))
+        )
+        score = term if score is None else score + term
+    tier = (
+        F.when(score >= 6, F.lit("match"))
+        .when(score >= 0, F.lit("possible"))
+        .otherwise(F.lit("non-match"))
+    )
+    return (
+        pairs.withColumn("fs_score", F.floor(F.lit(1e6) * score + F.lit(0.5)) / F.lit(1e6))
+        .withColumn("tier", tier)
+        .filter(score >= 0)
+        .select("key_a", "key_b", "agree_seg", "agree_bal", "agree_name3", "fs_score", "tier")
+    )
+
+
+_DP_EPS = 1.0
+_DP_M = 2147483648  # 2^31
+
+
+def _dp_oracle() -> str:
+    h = D.portable_hash60_sql("source || '|' || lang")
+    return f"""
+    WITH g AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY source, lang
+    ),
+    u AS (
+      SELECT *, (({h}) % {_DP_M} + 0.5) / {_DP_M}.0 AS unif FROM g
+    )
+    SELECT source, lang, n_docs,
+           floor(1e6 * (n_docs
+             - (1.0 / {_DP_EPS}) * CASE WHEN unif >= 0.5 THEN 1 ELSE -1 END
+               * ln(1 - 2 * abs(unif - 0.5))) + 0.5) / 1e6 AS noised_count,
+           {_DP_EPS} AS epsilon
+    FROM u
+    """
+
+
+@register("privacy_dp_histogram", oracle=_dp_oracle())
+def privacy_dp_histogram(spark, sf_dir):
+    """Differentially-private histogram release (Dwork et al. 2006): per
+    (source, lang) counts plus Laplace(sensitivity/epsilon) noise — the
+    third leg of the privacy audit family (k-anonymity says which groups
+    are too small to release, l-diversity which leak attributes; DP
+    releases ALL groups by calibrating noise to the count's unit
+    sensitivity instead of suppressing).
+
+    The noise is sampled by inverse-CDF from an engine-portable uniform
+    (md5-derived 60-bit hash of the group key, operators/dedup
+    .portable_hash60 — the same primitive the portable MinHash uses), so
+    the 'random' draw is deterministic, auditable, and bit-identical in
+    the oracle; a production release would swap in a CSPRNG draw per
+    group — the calibration, not the source of randomness, is what's
+    under test. Scale shape: one map-side-combinable count plus pure
+    codegen arithmetic; groups are bounded (sources × langs), rows never
+    leave their executors."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    g = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    h = D.portable_hash60(F.concat_ws("|", F.col("source"), F.col("lang")))
+    unif = (h % F.lit(_DP_M) + F.lit(0.5)) / F.lit(float(_DP_M))
+    lap = (
+        F.lit(1.0 / _DP_EPS)
+        * F.when(unif >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(unif - F.lit(0.5)))
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        (F.floor(F.lit(1e6) * (F.col("n_docs") - lap) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "noised_count"
+        ),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )
