@@ -1775,3 +1775,142 @@ def substring_scrub_oracle_sql(k: int = 8, min_span: int = 15) -> str:
            COALESCE(array_to_string(ct, ' '), '') AS clean_text
     FROM cleaned
     """
+
+
+# --- Weighted MinHash: consistent weighted sampling over term frequencies ---
+
+_CWS_M = 2147483648  # 2^31: uniform-draw modulus for the Gumbel keys
+
+
+def weighted_minhash_pairs(
+    docs: DataFrame,
+    num_seeds: int = 16,
+    min_collisions: int = 4,
+    max_bucket: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates under WEIGHTED similarity: per (doc, seed),
+    sample one token with probability proportional to its term frequency
+    via consistent sampling — key(t) = -ln(u(t, seed)) / tf(t), take the
+    argmin (the Efraimidis–Spirakis A-ES reduction; because u depends
+    only on (token, seed), two documents sharing a token draw the SAME
+    key numerator, which is what makes collisions meaningful — the
+    'consistent' in consistent weighted sampling, cf. Ioffe 2010 /
+    Moulton & Jiang 2018). Documents that collide on >= min_collisions
+    of the seeds are near-dup candidates; the collision fraction
+    estimates probability-Jaccard, which — unlike set MinHash over
+    shingles — distinguishes 'spam spam spam spam' from one 'spam'.
+
+    Engine-portable by construction: u comes from the md5-derived 60-bit
+    hash (portable_hash60), so the oracle re-derives the identical
+    samples and the driver checks the sampling rule itself, not just
+    pair counts. Scale shape: tf is one (doc, token) map-side-combinable
+    count; the seed explode multiplies by a CONSTANT; the per-(doc,
+    seed) argmin is a partial-aggregable min_by (never a window over the
+    corpus); candidate generation is an equi-join on the (seed, token)
+    bucket with a ``max_bucket`` hot-bucket guard mirrored in the oracle
+    — a stopword that wins the argmin for thousands of docs would
+    otherwise create a quadratic bucket.
+    """
+    d = ensure_parallelism(
+        docs.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+    )
+    # 3-token shingles WITH multiplicity (no array_distinct): the weight
+    # is the shingle's repeat count — the thing set-MinHash throws away.
+    toks = tokens_col(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = d.select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    seeded = tf.select(
+        "doc_id",
+        "token",
+        "tf",
+        F.explode(F.sequence(F.lit(1), F.lit(num_seeds))).alias("seed"),
+    )
+    u = (
+        portable_hash60(F.concat_ws("|", F.col("token"), F.col("seed").cast("string")))
+        % F.lit(_CWS_M)
+        + F.lit(0.5)
+    ) / F.lit(float(_CWS_M))
+    k = -F.log(u) / F.col("tf")
+    samp = (
+        seeded.withColumn("k", k)
+        .groupBy("doc_id", "seed")
+        .agg(F.min_by("token", F.struct(F.col("k"), F.col("token"))).alias("token"))
+    )
+    # Hot-bucket guard: per-(seed, token) membership cap, windowed BY
+    # BUCKET (each reducer counts one bucket, no global sort).
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("seed", "token")
+    ok = (
+        samp.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+        .filter(F.col("n_collisions") >= min_collisions)
+        .withColumn("est_similarity", F.col("n_collisions") / F.lit(float(num_seeds)))
+    )
+
+
+def weighted_minhash_oracle_sql(
+    num_seeds: int = 16, min_collisions: int = 4, max_bucket: int = 20
+) -> str:
+    """DuckDB twin of ``weighted_minhash_pairs`` (identical samples)."""
+    h = portable_hash60_sql("token || '|' || CAST(seed AS VARCHAR)")
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS token
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    ks AS (
+      SELECT doc_id, token, seed,
+             -ln((({h}) % {_CWS_M} + 0.5) / {_CWS_M}.0) / tf AS k
+      FROM tf CROSS JOIN (SELECT unnest(range(1, {num_seeds + 1})) AS seed) s
+    ),
+    samp AS (
+      SELECT doc_id, seed, token FROM ks
+      QUALIFY row_number() OVER (PARTITION BY doc_id, seed
+                                 ORDER BY k, token) = 1
+    ),
+    ok AS (
+      SELECT * FROM samp
+      QUALIFY COUNT(*) OVER (PARTITION BY seed, token) <= {max_bucket}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_collisions,
+           COUNT(*) / {float(num_seeds)} AS est_similarity
+    FROM ok a JOIN ok b ON a.seed = b.seed AND a.token = b.token
+                       AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_collisions}
+    """

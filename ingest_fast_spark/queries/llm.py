@@ -113,6 +113,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register("dedup_weighted_minhash", oracle=D.weighted_minhash_oracle_sql())
+def dedup_weighted_minhash(spark, sf_dir):
+    """Weighted MinHash near-dup candidates by consistent weighted
+    sampling (operators/dedup.weighted_minhash_pairs): per (doc, seed)
+    one token is sampled ∝ its term frequency via the shared-numerator
+    Gumbel trick, and docs colliding on >= 4 of 16 seeds are candidates.
+    The WEIGHTED companion to set-MinHash (``dedup_minhash_lsh``):
+    repetition counts, so 'spam spam spam spam' and one 'spam' no longer
+    hash identically. ORACLE-CHECKED end to end — the md5-portable
+    uniforms make DuckDB re-derive the identical samples, proving the
+    sampling rule itself. Bucketed candidate generation with a
+    hot-bucket cap mirrored in the oracle; the per-(doc, seed) argmin is
+    a partial-aggregable min_by, never a window over the corpus."""
+    return D.weighted_minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_winnowing",
     oracle=f"""

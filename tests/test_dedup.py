@@ -253,3 +253,39 @@ def test_substring_scrub_removes_planted_quote_keep_first(spark):
     )
     out2 = {r["doc_id"]: r for r in substring_scrub(df2).collect()}
     assert out2[5]["n_removed"] == 40 and out2[5]["clean_text"] == ""
+
+
+def test_weighted_minhash_identical_docs_collide_fully(spark):
+    from ingest_fast_spark.operators.dedup import weighted_minhash_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now then")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_collisions"]
+        for r in weighted_minhash_pairs(docs, num_seeds=16, min_collisions=4).collect()
+    }
+    assert got == {(1, 2): 16}  # identical docs agree on every seed
+
+
+def test_weighted_minhash_repetition_changes_samples(spark):
+    """The weighted sampler must distinguish repetition — the case where
+    set-MinHash is blind: doc B repeats one shingle of A many times, so
+    its samples concentrate there and collisions drop below identity."""
+    from ingest_fast_spark.operators.dedup import weighted_minhash_pairs
+
+    base = "one two three four five six seven eight nine ten"
+    spam = base + " spam ham jam" * 40
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, spam)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_collisions"]
+        for r in weighted_minhash_pairs(
+            docs, num_seeds=16, min_collisions=1, max_bucket=100
+        ).collect()
+    }
+    assert got[(1, 2)] == 16
+    assert got.get((1, 3), 0) < 16 and got.get((2, 3), 0) < 16
