@@ -514,3 +514,152 @@ def stream_hll_windowed(spark, sf_dir):
 from . import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["stream_quality_gate"] = _ORACLES["quality_quarantine"]
+
+
+def _stream_cms_windowed_oracle() -> str:
+    from ..operators.dedup import _MINHASH_P, portable_hash60_sql
+    from ..operators.sketches import CMS_W, _cms_fams
+
+    fams = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_cms_fams()))
+    h60 = portable_hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+             (({h60}) % {_MINHASH_P}) AS h
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    fam(i, a, b) AS (VALUES {fams}),
+    cells AS (
+      SELECT window_start, fam.i,
+             ((fam.a * ev.h + fam.b) % {_MINHASH_P}) % {CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev CROSS JOIN fam GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             MIN(h) AS h
+      FROM ev GROUP BY window_start, user_id
+      QUALIFY row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n_exact DESC, user_id) <= 3
+    ),
+    est AS (
+      SELECT top.window_start, top.user_id, top.n_exact,
+             MIN(cells.cnt) AS n_est
+      FROM top CROSS JOIN fam
+      JOIN cells ON cells.window_start = top.window_start AND cells.i = fam.i
+       AND cells.bucket = ((fam.a * top.h + fam.b) % {_MINHASH_P}) % {CMS_W}
+      GROUP BY top.window_start, top.user_id, top.n_exact
+    )
+    SELECT window_start, user_id, n_exact, n_est, n_est - n_exact AS overcount
+    FROM est
+    """
+
+
+@register("stream_cms_windowed", oracle=_stream_cms_windowed_oracle())
+def stream_cms_windowed(spark, sf_dir):
+    """Windowed streaming Count-Min — per-hour hot-user frequency at
+    bounded state: the streaming aggregation keys on (window, hash row,
+    bucket), so per-window frequency state is capped at d×w = 4×256
+    counters FOREVER however many users appear, and counters are
+    SUM-mergeable across micro-batches because CMS is a linear sketch
+    (the same mergeable-state argument as the HLL twin, for frequencies
+    instead of cardinalities). AvailableNow converges the streaming
+    counter table to the batch sketch, which the DuckDB oracle rebuilds
+    identically; each window's 3 hottest users (by exact count) are then
+    probed — est = min over the d rows — so the report shows the
+    overcount the sketch actually incurs next to ground truth.
+
+    Scale shape: map-side partial aggregation collapses the event stream
+    to ≤ d×w cells per task before the exchange; the top-3 probe leg is
+    a bounded row_number window per hour bucket; the probe join is on
+    (window, row, bucket) — all bounded keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.dedup import _MINHASH_P, portable_hash60
+    from ..operators.sketches import CMS_D, cms_bucket
+
+    ev = SE.stream_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    h = (portable_hash60(F.col("user_id").cast("string")) % _MINHASH_P).alias("h")
+    cells_in = ev.select(F.col("ts"), h).select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        cms_bucket(F.col("h"), i).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    )
+    cells_stream = cells_in.groupBy(
+        F.window("ts", "1 hour").alias("w"), "c.row_i", "c.bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cells = _run(cells_stream, "q_cms_win", output_mode="complete").select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("row_i"),
+        F.col("bucket"),
+        "cnt",
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.window("ts", "1 hour")["start"]
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            "user_id",
+        )
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    wtop = Window.partitionBy("window_start").orderBy(
+        F.desc("n_exact"), F.asc("user_id")
+    )
+    top = (
+        ex.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+        .withColumn(
+            "h", portable_hash60(F.col("user_id").cast("string")) % _MINHASH_P
+        )
+    )
+    probes = top.select(
+        "window_start",
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        cms_bucket(F.col("h"), i).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            cells,
+            (probes["window_start"] == cells["window_start"])
+            & (probes["p.row_i"] == cells["row_i"])
+            & (probes["p.bucket"] == cells["bucket"]),
+        )
+        .groupBy(probes["window_start"], "user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return est.select(
+        "window_start",
+        "user_id",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+    )
