@@ -5322,3 +5322,115 @@ def embedding_dbscan_lsh(spark, sf_dir):
         min_pts=_DBSCAN_MINPTS,
         pairs=pairs,
     )
+
+
+@register(
+    "search_phrase_positional",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS pos
+      FROM toks
+    ),
+    tri AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS phrase
+      FROM toks
+    ),
+    q AS (
+      SELECT phrase, string_split(phrase, ' ') AS w
+      FROM (SELECT phrase, COUNT(*) AS c FROM tri GROUP BY phrase
+            QUALIFY row_number() OVER (ORDER BY c DESC, phrase) <= 3)
+    ),
+    m1 AS (
+      SELECT q.phrase, q.w, p.doc_id, p.pos
+      FROM pos p JOIN q ON p.tok = q.w[1]
+    ),
+    m2 AS (
+      SELECT m1.phrase, m1.w, m1.doc_id, m1.pos
+      FROM m1 JOIN pos p2
+        ON p2.doc_id = m1.doc_id AND p2.pos = m1.pos + 1 AND p2.tok = m1.w[2]
+    ),
+    m3 AS (
+      SELECT m2.phrase, m2.doc_id
+      FROM m2 JOIN pos p3
+        ON p3.doc_id = m2.doc_id AND p3.pos = m2.pos + 2 AND p3.tok = m2.w[3]
+    )
+    SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m3 GROUP BY phrase, doc_id
+    """,
+)
+def search_phrase_positional(spark, sf_dir):
+    """Positional phrase search — the inverted-index capability BM25's
+    bag-of-words scoring cannot express: find documents containing an
+    exact 3-word phrase by joining the positional postings of its terms
+    on (doc, pos), (doc, pos+1), (doc, pos+2). Query phrases are the
+    corpus's 3 most frequent trigrams (count desc, phrase asc — a
+    deterministic, corpus-derived workload, same device as the
+    heavy-hitters report).
+
+    Scale shape: the postings list (doc, pos, token) is the one corpus-
+    sized frame; each phrase term's postings are FILTERED by the
+    broadcast 3-row query table before any positional join, so the
+    (doc, pos)-keyed joins only move postings of the query terms — the
+    standard phrase-query plan of a distributed search engine, never an
+    all-terms self-join. The driver-side collect is the 3-row phrase
+    list (bounded by construction)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )  # 0-based; only used relatively
+    tri = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.array_join(F.slice("t", i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("phrase")
+    )
+    top = (
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("phrase"))
+        .limit(3)
+        .collect()
+    )  # bounded: 3 rows
+    q = spark.createDataFrame(
+        [(r["phrase"], *r["phrase"].split(" ")) for r in top],
+        "phrase string, w1 string, w2 string, w3 string",
+    )
+    m1 = pos.join(F.broadcast(q), pos["tok"] == q["w1"]).select(
+        "phrase", "w2", "w3", "doc_id", "pos"
+    )
+    p2 = pos.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pp2"), F.col("tok").alias("t2")
+    )
+    m2 = m1.join(
+        p2,
+        (F.col("d2") == F.col("doc_id"))
+        & (F.col("pp2") == F.col("pos") + 1)
+        & (F.col("t2") == F.col("w2")),
+    ).select("phrase", "w3", "doc_id", "pos")
+    p3 = pos.select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("pp3"), F.col("tok").alias("t3")
+    )
+    m3 = m2.join(
+        p3,
+        (F.col("d3") == F.col("doc_id"))
+        & (F.col("pp3") == F.col("pos") + 2)
+        & (F.col("t3") == F.col("w3")),
+    )
+    return m3.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
