@@ -2742,3 +2742,181 @@ def timeseries_seasonal_decompose(spark, sf_dir):
             (F.col("detr7").cast("double") - F.col("seasonal7")) / F.lit(700.0)
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution + incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_credit",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+        AND user_id IS NOT NULL
+    ),
+    joined AS (
+      SELECT p.pid, p.cents, t.event_type, t.ts, t.event_id
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.ts <= p.pts AND t.ts > p.pts - INTERVAL 24 HOURS
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts, event_id) AS rn,
+             COUNT(*)     OVER (PARTITION BY pid) AS n
+      FROM joined
+    ),
+    credited AS (
+      SELECT event_type AS channel,
+             CAST(floor(cents * (CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN rn = 1 OR rn = n THEN 0.4
+               ELSE 0.2 / (n - 2) END) * 10000 + 0.5) AS BIGINT) AS micro
+      FROM ranked
+      UNION ALL
+      SELECT 'direct', cents * 10000
+      FROM p WHERE pid NOT IN (SELECT pid FROM joined)
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(micro) AS BIGINT) AS credit_micro_cents
+    FROM credited GROUP BY channel
+    """,
+)
+def attribution_credit(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: every purchase's
+    revenue is credited to the user's click/view/signup touchpoints in
+    the 24h lookback — 40% to the first touch, 40% to the last, 20%
+    split over the middles (degenerating to 100%/50-50 for 1–2 touches),
+    and 'direct' when no touch precedes. The marketing-analytics
+    composite of a range join + per-conversion ranking.
+
+    Exact-parity engineering: per-row credit is floored to integer
+    micro-cents BEFORE summation, so group totals are exact integer
+    sums whatever the partition order. Scale shape: the touch⋈purchase
+    range join is an equi-join on user_id with a bounded time predicate
+    (per-user event lists, never a cartesian); rankings window over one
+    PURCHASE's touches (bounded per conversion, no corpus-wide sort)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    t = e.filter(
+        F.col("event_type").isin("click", "view", "signup")
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
+    joined = p.join(
+        t,
+        (t["user_id"] == p["puser"])
+        & (t["ts"] <= p["pts"])
+        & (t["ts"] > p["pts"] - F.expr("INTERVAL 24 HOURS")),
+    ).select("pid", "cents", "event_type", "ts", "event_id")
+    wrn = Window.partitionBy("pid").orderBy("ts", "event_id")
+    wn = Window.partitionBy("pid")
+    ranked = joined.select(
+        "pid",
+        "cents",
+        "event_type",
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    frac = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credited = ranked.select(
+        F.col("event_type").alias("channel"),
+        F.floor(F.col("cents") * frac * 10000 + F.lit(0.5)).cast("long").alias("micro"),
+    ).unionByName(
+        p.join(joined.select("pid").distinct(), "pid", "left_anti").select(
+            F.lit("direct").alias("channel"),
+            (F.col("cents") * 10000).alias("micro"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("micro").alias("credit_micro_cents"),
+    )
+
+
+@register(
+    "ivm_incremental_agg",
+    oracle="""
+    WITH edited AS (
+      SELECT o_orderpriority,
+             CAST(floor((o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END)
+                        * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderpriority, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM edited GROUP BY o_orderpriority
+    """,
+)
+def ivm_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: a grouped aggregate is maintained
+    under a CDC changeset ALGEBRAICALLY — base aggregate plus signed
+    per-group deltas (insert +1/+cents, delete -1/-cents, update as
+    delete+insert) — never by rescanning the base table. The edit rule
+    is the same deterministic synthetic changeset as
+    ``cdc_snapshot_diff`` (inserts: %11 keys; deletes: %13; updates:
+    +100 totalprice on %7), applied to orders; the oracle recomputes the
+    aggregate directly from the edited table, proving the delta algebra
+    equals full recomputation.
+
+    Scale shape: at 100 TB this is the difference between touching the
+    changeset (hours of data) and the base (the whole lake): the
+    maintained result is base_agg ∪ deltas → one re-aggregate over
+    |groups| + |changeset| rows. All-integer (counts + cents) so parity
+    is exact."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c")
+    )
+    # Signed deltas from the edit rule — each row carries (dn, dc).
+    deletes = o.filter(k % 13 == 0).select(
+        "o_orderpriority", F.lit(-1).cast("long").alias("n"), (-cents).alias("c")
+    )
+    upd_old = o.filter((k % 7 == 0) & (k % 13 != 0)).select(
+        "o_orderpriority", F.lit(-1).cast("long").alias("n"), (-cents).alias("c")
+    )
+    upd_new = o.filter((k % 7 == 0) & (k % 13 != 0)).select(
+        "o_orderpriority",
+        F.lit(1).cast("long").alias("n"),
+        F.floor((F.col("o_totalprice") + 100) * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    inserts = o.filter(k % 11 == 0).select(
+        "o_orderpriority", F.lit(1).cast("long").alias("n"), cents.alias("c")
+    )
+    merged = base.unionByName(deletes).unionByName(upd_old).unionByName(
+        upd_new
+    ).unionByName(inserts)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("c").alias("total_cents"))
+        .filter(F.col("n_orders") > 0)
+    )
