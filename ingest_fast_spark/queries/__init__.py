@@ -125,28 +125,31 @@ _SHOWCASE_ORDER = [
     "privacy_k_anonymity",
     "stream_hll_windowed",
     "privacy_l_diversity",
-    # (2) round-7 changed
+    # (2) round-7 third-wave additions (no driver row exists yet — these
+    #     take priority over re-attesting queries with past-green rows)
+    "graph_bfs_hops",
+    "graph_hits",
+    "graph_common_neighbors",
+    "assign_global_ids",
+    "layout_zorder_report",
+    "events_ewma",
+    "timeseries_seasonal_decompose",
+    "record_linkage_fs",
+    "privacy_dp_histogram",
+    "dedup_weighted_minhash",
+    "stream_cms_windowed",
+    "search_phrase_positional",
+    "attribution_credit",
+    "ivm_incremental_agg",
+    # (3) round-7 changed
     "ann_recall_floors",
     "ann_recall_report",
-    "token_zipf_slope",
-    "text_fix_mojibake",
-    "multimodal_png_roundtrip",
-    "multimodal_gif_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_dedup_ahash",
-    "split_cluster_safe",
-    "embed_topk_pq_adc",
-    # (3) oldest driver attestation
-    "fast_parse_triples",
-    "fast_table_end_to_end",
-    "fast_enrich_sameas",
-    "fast_viaf_update",
-    "q1_pricing_summary",
-    "udaf_harmonic_mean",
-    # (stream_windowed_counts / dedup_exact / dedup_paragraphs /
-    # build_vocabulary / sessionize / agg_percentiles / time_bucket_tumbling / window_running_agg / q5_region_revenue / join_asof / topk_per_group rotated out to hold
-    # the prefix at exactly 50 after the round-7 additions; all have
-    # green r1-r3 driver rows)
+    # (the rest of the earlier section-2/3 rotation — token_zipf_slope /
+    # text_fix_mojibake / the multimodal roundtrips / split_cluster_safe /
+    # embed_topk_pq_adc / fast_* / q1_pricing_summary / udaf_harmonic_mean —
+    # rotated out to hold the prefix at exactly 50 after the third wave;
+    # all have green r1-r6 driver rows plus this round's full-registry
+    # selfcheck, where every changed oracle is re-proven)
 ]
 
 
