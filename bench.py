@@ -156,6 +156,22 @@ HEADLINE = [
     "events_drift_ks",
     "graph_kcore",
     "decontaminate_semantic",
+    # round-7 third wave: graph analytics, layout infrastructure,
+    # time series, probabilistic linkage, weighted sampling, streaming CMS
+    "graph_bfs_hops",
+    "graph_hits",
+    "graph_common_neighbors",
+    "assign_global_ids",
+    "layout_zorder_report",
+    "events_ewma",
+    "timeseries_seasonal_decompose",
+    "record_linkage_fs",
+    "privacy_dp_histogram",
+    "dedup_weighted_minhash",
+    "stream_cms_windowed",
+    "search_phrase_positional",
+    "attribution_credit",
+    "ivm_incremental_agg",
 ]
 
 
@@ -211,6 +227,12 @@ SCALE_QUERIES = [
     "dedup_cluster_keep_best_fast",
     "split_cluster_safe_fast",
     "dedup_soft_weights_minhash",
+    # round-7 third wave: the shared-neighbor self-join (quadratic in the
+    # hottest pivot — the hub cap is what the growth row checks), the
+    # weighted-sampling pair finder, and the global-id range exchange
+    "graph_common_neighbors",
+    "dedup_weighted_minhash",
+    "assign_global_ids",
 ]
 
 

@@ -298,6 +298,82 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002): PageRank whose teleport
+    mass returns to a SEED distribution instead of uniform — rank
+    concentrates around the seeds, giving "importance relative to THIS
+    set": the recommendation / related-entities / trusted-seed primitive
+    plain PageRank can't express. p0 is uniform over the seed set; both
+    the teleport term and the dangling mass redistribute to p0, so
+    non-seed dead ends leak no rank away from the neighborhood.
+
+    Same execution contract as ``pagerank``: one edges⋈ranks shuffle per
+    round, 1-row broadcast aggregates for dangling mass, rank state one
+    row per node localCheckpointed, fixed rounds so the oracle unrolls
+    as CTEs.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("n")
+    ).distinct()
+    n_seeds = seeds.count()  # bounded: the seed set is query-sized
+    p0 = nodes.join(seeds, "n", "left_semi").select(
+        "n", (F.lit(1.0) / F.lit(float(n_seeds))).alias("p0")
+    )
+    base = nodes.join(p0, "n", "left").select(
+        "n", F.coalesce("p0", F.lit(0.0)).alias("p0")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
+    d = F.lit(damping)
+    ranks = base.select("n", F.col("p0").alias("r"))
+    for _ in range(iterations):
+        rd = ranks.join(deg, ranks["n"] == deg["src"], "left")
+        dangling = rd.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )  # 1 row
+        contrib = (
+            e.join(
+                rd.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("n").alias("csrc"), (F.col("r") / F.col("outdeg")).alias("w")
+                ),
+                F.col("src") == F.col("csrc"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("w").alias("c"))
+        )
+        ranks = (
+            base.join(contrib, base["n"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "n",
+                (
+                    (F.lit(1.0) - d) * F.col("p0")
+                    + d * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("p0"))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

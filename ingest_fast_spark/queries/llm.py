@@ -2625,6 +2625,68 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("n").alias("node"), F.round("r", 6).alias("pagerank"))
 
 
+def _ppr_oracle(iters: int = 3, n_seeds: int = 3) -> str:
+    head = f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 50) <> (o_orderkey % 50)
+    ),
+    nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM edges
+                                      UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    base AS (SELECT n, CASE WHEN n < {n_seeds}
+                            THEN CAST(1 AS DOUBLE) / {float(n_seeds)}
+                            ELSE CAST(0 AS DOUBLE) END AS p0 FROM nodes),
+    r0 AS (SELECT n, p0 AS r FROM base)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    dang{i} AS (SELECT COALESCE(SUM(r), CAST(0 AS DOUBLE)) AS dm
+                FROM r{i-1} WHERE n NOT IN (SELECT src FROM deg)),
+    contrib{i} AS (
+      SELECT e.dst AS n, SUM(p.r / deg.outdeg) AS c
+      FROM edges e JOIN r{i-1} p ON e.src = p.n JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT base.n,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * base.p0
+             + CAST(0.85 AS DOUBLE) * (COALESCE(contrib{i}.c, CAST(0 AS DOUBLE))
+                        + (SELECT dm FROM dang{i}) * base.p0) AS r
+      FROM base LEFT JOIN contrib{i} ON base.n = contrib{i}.n
+    )"""
+    return head + body + f"""
+    SELECT n AS node, ROUND(r, 6) AS ppr FROM r{iters}"""
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle(3, 3))
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (Haveliwala 2002) over the 50-node mod-graph
+    with seeds {0,1,2}: teleport AND dangling mass return to the seed
+    distribution, so rank concentrates in the seeds' neighborhood —
+    "importance relative to THIS set", the related-entities /
+    recommendation primitive uniform PageRank conflates away. Directly
+    comparable to ``graph_pagerank`` on the same substrate.
+
+    Scale shape (operators/graph.personalized_pagerank): identical to
+    pagerank — one edges⋈ranks shuffle per round, 1-row broadcast
+    dangling aggregate, localCheckpointed node-keyed rank state; the
+    seed set is query-sized (its count is the one bounded driver
+    value), and the oracle unrolls the identical recurrence."""
+    from ..operators.graph import personalized_pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(
+        (F.col("o_custkey") % 50).alias("src"), (F.col("o_orderkey") % 50).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = personalized_pagerank(edges, spark.range(3), iterations=3, damping=0.85)
+    return ranks.select(F.col("n").alias("node"), F.round("r", 6).alias("ppr"))
+
+
 @register(
     "sample_weighted",
     oracle="""

@@ -2920,3 +2920,95 @@ def ivm_incremental_agg(spark, sf_dir):
         .agg(F.sum("n").alias("n_orders"), F.sum("c").alias("total_cents"))
         .filter(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ref AS (
+      SELECT *,
+             CAST(CAST(SUM(cents) OVER wt AS BIGINT) AS DOUBLE)
+               / COUNT(*) OVER wt AS mu
+      FROM daily WINDOW wt AS (PARTITION BY event_type)
+    ),
+    dev AS (
+      SELECT *, cents - mu - 0.05 * mu AS d FROM ref
+    ),
+    cs AS (
+      SELECT *, SUM(d) OVER wo AS c
+      FROM dev
+      WINDOW wo AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cum AS (
+      SELECT *, MIN(c) OVER wo AS run_min
+      FROM cs
+      WINDOW wo AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           cents / 100.0 AS total,
+           floor(1e6 * (c - least(CAST(0 AS DOUBLE), run_min)) + 0.5) / 1e6
+             AS cusum,
+           (c - least(CAST(0 AS DOUBLE), run_min)) > 0.5 * mu AS flagged
+    FROM cum
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection (Page 1954) on the per-type daily
+    series: the one-sided recurrence S_t = max(0, S_{t-1} + (x_t - μ -
+    k)) is solved in CLOSED FORM via the reflection identity S_t =
+    cum_t - min(0, min_{j<=t} cum_j) — so the sequential recurrence
+    becomes two ordered window passes (a running sum and a running min
+    of it), fully parallel per series and expressible identically in
+    both engines. Days where S_t exceeds h = 0.5μ flag a sustained
+    upward shift (allowance k = 0.05μ absorbs noise).
+
+    Parity: daily totals are exact integer cents; μ is one exact
+    division; the running sums evaluate in the SAME day order on both
+    engines, so every intermediate double is bit-identical — ordered
+    windows dodge the aggregation-order FP problem that plagues
+    groupBy sums. Scale shape: one daily aggregate, then windows over
+    the bounded per-type daily series (365 rows/type/year at any
+    corpus size)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wt = Window.partitionBy("event_type")
+    ref = daily.withColumn(
+        "mu", F.sum("cents").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+    )
+    dev = ref.withColumn(
+        "d", F.col("cents") - F.col("mu") - F.lit(0.05) * F.col("mu")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.withColumn("c", F.sum("d").over(wo)).withColumn(
+        "run_min", F.min(F.col("c")).over(wo)
+    )
+    s = F.col("c") - F.least(F.lit(0.0), F.col("run_min"))
+    return cum.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents") / F.lit(100.0)).alias("total"),
+        (F.floor(F.lit(1e6) * s + F.lit(0.5)) / F.lit(1e6)).alias("cusum"),
+        (s > F.lit(0.5) * F.col("mu")).alias("flagged"),
+    )

@@ -217,6 +217,47 @@ SHOWCASE = [
         "span list (never the corpus); the cleaned-text rebuild is "
         "map-only array HOFs after a left join.",
     ),
+    (
+        "assign_global_ids",
+        "Dense global ids: NO SinglePartition exchange anywhere — the "
+        "range exchange is pinned behind a checkpoint scan, the "
+        "row_number windows BY PARTITION ID, and the cumulative offsets "
+        "come back as a BroadcastHashJoin of one row per partition.",
+    ),
+    (
+        "graph_bfs_hops",
+        "Multi-source BFS: each round is one frontier⋈edges hash join "
+        "plus a LeftAnti against the visited set, both reading "
+        "checkpointed state (Scan ExistingRDD) — shuffle volume tracks "
+        "the frontier, never the corpus.",
+    ),
+    (
+        "graph_common_neighbors",
+        "Friends-of-friends: the self-join keys on the shared neighbor "
+        "after the degree cap's left-semi prune, so per-key fanout is "
+        "bounded; Jaccard degrees join back as two node-keyed hash "
+        "joins on the bounded pair list.",
+    ),
+    (
+        "dedup_weighted_minhash",
+        "Consistent weighted sampling: tf is one partial+final hash "
+        "aggregate; the per-(doc, seed) argmin is a partial-aggregable "
+        "min_by (objectHashAggregate, no window over the corpus); "
+        "candidates come from the (seed, shingle) equi-join after the "
+        "hot-bucket window prunes — no cartesian anywhere.",
+    ),
+    (
+        "search_phrase_positional",
+        "Positional phrase query: the 3-row query table broadcasts into "
+        "the postings scan FIRST, so the (doc, pos+k) positional joins "
+        "only ever shuffle postings of the query terms.",
+    ),
+    (
+        "layout_zorder_report",
+        "Z-order report: the Morton key is a single codegen'd integer "
+        "expression over the scan; one partial+final aggregate over 256 "
+        "static buckets — no sort, no range exchange, no Python.",
+    ),
 ]
 
 
