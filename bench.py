@@ -172,6 +172,8 @@ HEADLINE = [
     "search_phrase_positional",
     "attribution_credit",
     "ivm_incremental_agg",
+    "events_cusum_changepoint",
+    "graph_personalized_pagerank",
 ]
 
 

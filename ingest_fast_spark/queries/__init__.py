@@ -141,10 +141,10 @@ _SHOWCASE_ORDER = [
     "search_phrase_positional",
     "attribution_credit",
     "ivm_incremental_agg",
-    # (3) round-7 changed
-    "ann_recall_floors",
-    "ann_recall_report",
-    # (the rest of the earlier section-2/3 rotation — token_zipf_slope /
+    "events_cusum_changepoint",
+    "graph_personalized_pagerank",
+    # (the rest of the earlier section-2/3 rotation — incl. ann_recall_floors
+    # (driver-green r6) and its rows-only detail twin — token_zipf_slope /
     # text_fix_mojibake / the multimodal roundtrips / split_cluster_safe /
     # embed_topk_pq_adc / fast_* / q1_pricing_summary / udaf_harmonic_mean —
     # rotated out to hold the prefix at exactly 50 after the third wave;
