@@ -174,6 +174,7 @@ HEADLINE = [
     "ivm_incremental_agg",
     "events_cusum_changepoint",
     "graph_personalized_pagerank",
+    "agg_bootstrap_ci",
 ]
 
 

@@ -107,7 +107,6 @@ _SHOWCASE_ORDER = [
     "split_cluster_safe_fast",
     "multimodal_png_palette_roundtrip",
     "embed_topk_ivf_adc",
-    "embed_topk_ivf_pq_residual",
     "dedup_winnowing",
     "multimodal_dedup_phash",
     "sketch_cms_report",
@@ -143,6 +142,9 @@ _SHOWCASE_ORDER = [
     "ivm_incremental_agg",
     "events_cusum_changepoint",
     "graph_personalized_pagerank",
+    "agg_bootstrap_ci",
+    # (embed_topk_ivf_pq_residual — the residual-PQ corpus-trade STUDY twin
+    # of the attested embed_topk_ivf_adc fusion — rotated out for it)
     # (the rest of the earlier section-2/3 rotation — incl. ann_recall_floors
     # (driver-green r6) and its rows-only detail twin — token_zipf_slope /
     # text_fix_mojibake / the multimodal roundtrips / split_cluster_safe /

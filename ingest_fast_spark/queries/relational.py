@@ -3012,3 +3012,106 @@ def events_cusum_changepoint(spark, sf_dir):
         (F.floor(F.lit(1e6) * s + F.lit(0.5)) / F.lit(1e6)).alias("cusum"),
         (s > F.lit(0.5) * F.col("mu")).alias("flagged"),
     )
+
+
+# Poisson(1) CDF thresholds as exact shared literals: the bootstrap weight
+# of a row is the number of thresholds its uniform exceeds (inverse CDF).
+_POIS1_CDF = [
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402",
+]
+_BOOT_REPS = 32
+
+
+def _bootstrap_oracle() -> str:
+    from ..operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep AS VARCHAR)")
+    ks = " + ".join(f"(CASE WHEN unif >= {c} THEN 1 ELSE 0 END)" for c in _POIS1_CDF)
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    drawn AS (
+      SELECT o_orderpriority, cents, rep,
+             (({h}) % 2147483648 + 0.5) / 2147483648.0 AS unif
+      FROM o CROSS JOIN (SELECT unnest(range(1, {_BOOT_REPS + 1})) AS rep) r
+    ),
+    reps AS (
+      SELECT o_orderpriority, rep,
+             CAST(SUM(cents * ({ks})) AS BIGINT) AS t
+      FROM drawn GROUP BY o_orderpriority, rep
+    ),
+    pt AS (
+      SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS total_cents FROM o
+      GROUP BY o_orderpriority
+    )
+    SELECT pt.o_orderpriority, pt.total_cents,
+           list_sort(list(reps.t))[2]  AS ci_low_cents,
+           list_sort(list(reps.t))[{_BOOT_REPS - 1}] AS ci_high_cents
+    FROM reps JOIN pt USING (o_orderpriority)
+    GROUP BY pt.o_orderpriority, pt.total_cents
+    """
+
+
+@register("agg_bootstrap_ci", oracle=_bootstrap_oracle())
+def agg_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap confidence intervals (the online/streaming
+    bootstrap — Oza & Russell 2001, Chamandy et al. 2012): each row
+    enters replicate r with weight ~ Poisson(1) drawn by inverse CDF
+    from a deterministic per-(row, replicate) uniform, so the resample
+    never materializes and the whole thing is one weighted aggregate —
+    the only way to bootstrap a total when the data doesn't fit on one
+    machine (classical resampling needs n draws WITH replacement from a
+    global index). 32 replicate totals per group; the CI is the 2nd and
+    31st order statistic (~94% coverage), selected from the SORTED
+    bounded replicate array — exact integers end to end.
+
+    Scale shape: the ×32 replicate explode multiplies a CONSTANT;
+    weights are codegen arithmetic off the md5-portable uniform (the
+    oracle re-derives identical draws); both aggregates are map-side
+    combinable; the order-statistic step touches 32 values per group."""
+    from ..operators.dedup import portable_hash60
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    drawn = o.select(
+        "o_orderpriority",
+        "cents",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_REPS))).alias("rep"),
+    )
+    u = (
+        portable_hash60(
+            F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("rep").cast("string"))
+        )
+        % F.lit(2147483648)
+        + F.lit(0.5)
+    ) / F.lit(2147483648.0)
+    k = None
+    for c in _POIS1_CDF:
+        term = (u >= F.lit(float(c))).cast("long")
+        k = term if k is None else k + term
+    reps = (
+        drawn.withColumn("w", k)
+        .groupBy("o_orderpriority", "rep")
+        .agg(F.sum(F.col("cents") * F.col("w")).alias("t"))
+    )
+    pt = o.groupBy("o_orderpriority").agg(F.sum("cents").alias("total_cents"))
+    ci = reps.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_list("t")).alias("ts")
+    )
+    return ci.join(pt, "o_orderpriority").select(
+        "o_orderpriority",
+        "total_cents",
+        F.element_at("ts", 2).alias("ci_low_cents"),
+        F.element_at("ts", _BOOT_REPS - 1).alias("ci_high_cents"),
+    )
