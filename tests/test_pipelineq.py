@@ -496,3 +496,33 @@ def test_ks_detects_planted_shift_and_matches_scipy_formula(spark):
         )
     )
     assert abs(out["shifted"]["ks"] - round(float(d_direct), 6)) < 1e-9
+
+
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    """Position-based fractions sum to 1 per conversion, so total credited
+    micro-cents must equal total purchase value up to the per-row floor
+    loss (< 0.5 micro-cents per credited touch)."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.catalog import load_table
+    from ingest_fast_spark.queries import QUERIES
+
+    out = QUERIES["attribution_credit"](spark, sf_dir)
+    total = out.agg(
+        F.sum("credit_micro_cents").alias("c"), F.sum("n_credits").alias("n")
+    ).first()
+    e = load_table(spark, sf_dir, "events")
+    expected = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") * 10000
+            ).alias("v")
+        )
+        .first()["v"]
+    )
+    assert abs(total["c"] - expected) <= total["n"], (total["c"], expected)

@@ -173,6 +173,48 @@ SHUFFLE_BUDGET = {
     # sufficient-statistics agg + the exact per-window distinct leg +
     # the window join
     "stream_hll_windowed": 3,
+    # --- round-7 third wave ---
+    # BFS/HITS/PPR are localCheckpointed per round like LPA/kmeans: the
+    # static plan shows only the final fragment (BFS: union of visited
+    # frames; PPR: the checkpointed rank table map-only; HITS: the final
+    # auth⋈hub node-keyed join)
+    "graph_bfs_hops": 1,
+    "graph_hits": 2,
+    "graph_personalized_pagerank": 1,
+    # friends-of-friends on the checkpointed adjacency: degree agg, hub
+    # semi-join, wdeg join, the shared-neighbor self-join, pair agg, and
+    # the two Jaccard degree join-backs — all on node/pair keys
+    "graph_common_neighbors": 7,
+    # ONE range exchange is the whole design (pinned behind the
+    # checkpoint); visible: the offsets broadcast join + pid window
+    "assign_global_ids": 1,
+    "layout_zorder_report": 1,  # the 256-bucket partial+final agg
+    "events_ewma": 1,  # the per-user window; all 8 lags share it
+    # daily cents agg + the day-ordered windows (MA + seasonal share the
+    # per-type partitioning)
+    "timeseries_seasonal_decompose": 2,
+    "events_cusum_changepoint": 2,  # daily agg + ordered cusum windows
+    # the blocked self-join broadcasts at plan time (block tables are
+    # small); at scale AQE plans it as a (nation, band)-keyed shuffle —
+    # allow that without a budget bust
+    "record_linkage_fs": 2,
+    "privacy_dp_histogram": 1,  # the (source, lang) count; noise is map-only
+    # tf agg, per-(doc,seed) min_by agg, hot-bucket window, the (seed,
+    # token) pair self-join sides + pair agg
+    "dedup_weighted_minhash": 7,
+    # postings of query terms only: the broadcast query filter keeps the
+    # positional joins on one (doc)-keyed exchange + final pair agg
+    "search_phrase_positional": 2,
+    # touch⋈purchase user join, the per-purchase rank windows, the
+    # credited union's channel agg, the direct-leg anti join
+    "attribution_credit": 4,
+    "ivm_incremental_agg": 2,  # base agg + the delta re-aggregate
+    # batch legs of the finished stream table: exact (window,user) agg,
+    # the per-window top-3 rank window, the probe⋈cells join
+    "stream_cms_windowed": 3,
+    # replicate totals agg + the order-statistic collect + point-estimate
+    # join (the ×32 explode is map-only)
+    "agg_bootstrap_ci": 3,
 }
 
 
