@@ -175,6 +175,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "graph_personalized_pagerank",
     "agg_bootstrap_ci",
+    "geo_neighbor_join",
 ]
 
 

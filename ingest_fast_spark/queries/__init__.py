@@ -120,7 +120,6 @@ _SHOWCASE_ORDER = [
     "doc_kn_logppl",
     "embedding_jl_distortion",
     "dedup_substring_scrub",
-    "stream_hll_registers",
     "privacy_k_anonymity",
     "stream_hll_windowed",
     "privacy_l_diversity",
@@ -143,6 +142,10 @@ _SHOWCASE_ORDER = [
     "events_cusum_changepoint",
     "graph_personalized_pagerank",
     "agg_bootstrap_ci",
+    "geo_neighbor_join",
+    # (stream_hll_registers rotated out for the geo family debut — its
+    # windowed twin stays in the prefix and attests the same register
+    # mechanism plus time bucketing)
     # (embed_topk_ivf_pq_residual — the residual-PQ corpus-trade STUDY twin
     # of the attested embed_topk_ivf_adc fusion — rotated out for it)
     # (the rest of the earlier section-2/3 rotation — incl. ann_recall_floors

@@ -3066,3 +3066,116 @@ def privacy_dp_histogram(spark, sf_dir):
         ),
         F.lit(_DP_EPS).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial: cell-blocked neighbor join (geohash-style spatial dedup)
+# ---------------------------------------------------------------------------
+
+_GEO_R = 0.02  # neighbor radius in degrees (~2.2 km at the equator)
+_GEO_M = 2147483648
+
+
+def _geo_oracle() -> str:
+    ulat = D.portable_hash60_sql("CAST(c_custkey AS VARCHAR) || '|lat'")
+    ulon = D.portable_hash60_sql("CAST(c_custkey AS VARCHAR) || '|lon'")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS key,
+             (({ulat}) % {_GEO_M} + 0.5) / {_GEO_M}.0 AS lat,
+             (({ulon}) % {_GEO_M} + 0.5) / {_GEO_M}.0 AS lon
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    cells AS (
+      SELECT *, CAST(floor(lon / {_GEO_R}) AS BIGINT) AS cx,
+                CAST(floor(lat / {_GEO_R}) AS BIGINT) AS cy
+      FROM pts
+    ),
+    probe AS (
+      SELECT cells.*, cx + dx.d AS px, cy + dy.d AS py
+      FROM cells
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    )
+    SELECT a.key AS key_a, b.key AS key_b,
+           CAST(floor(1e12 * ((a.lat - b.lat) * (a.lat - b.lat)
+                              + (a.lon - b.lon) * (a.lon - b.lon)) + 0.5)
+                AS BIGINT) AS dist_sq_pico
+    FROM probe a JOIN cells b
+      ON a.px = b.cx AND a.py = b.cy AND a.key < b.key
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) < {_GEO_R} * {_GEO_R}
+    """
+
+
+@register("geo_neighbor_join", oracle=_geo_oracle())
+def geo_neighbor_join(spark, sf_dir):
+    """Spatial neighbor join by grid-cell blocking — the geohash pattern
+    every POI/address dedup runs: bucket points into r-sized cells, probe
+    each point against its 3×3 cell neighborhood (candidates), verify
+    true distance < r. A point pair within r ALWAYS falls in adjacent
+    cells, so the equi-join on cell ids is lossless while reducing the
+    all-pairs O(n²) to O(n · density). Coordinates are synthesized
+    deterministically from the portable hash (a unit-degree city box);
+    the planar degree-space metric keeps the verify trig-free so both
+    engines compute bit-identical distances (at real scale swap in
+    haversine — the blocking is unchanged).
+
+    Scale shape: the 9× probe explode multiplies a constant; the join is
+    an equi-join on cell ids (spatial locality IS the shuffle key — the
+    whole point of geohashing); per-cell fanout is bounded by point
+    density, the spatial analogue of the dedup family's hot-bucket
+    caps."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+    ulat = (
+        D.portable_hash60(F.concat(F.col("c_custkey").cast("string"), F.lit("|lat")))
+        % F.lit(_GEO_M)
+        + F.lit(0.5)
+    ) / F.lit(float(_GEO_M))
+    ulon = (
+        D.portable_hash60(F.concat(F.col("c_custkey").cast("string"), F.lit("|lon")))
+        % F.lit(_GEO_M)
+        + F.lit(0.5)
+    ) / F.lit(float(_GEO_M))
+    pts = c.select(
+        F.col("c_custkey").alias("key"), ulat.alias("lat"), ulon.alias("lon")
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("lon") / _GEO_R).cast("long").alias("cx"),
+        F.floor(F.col("lat") / _GEO_R).cast("long").alias("cy"),
+    )
+    probe = cells.select(
+        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx")
+    ).select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
+    a = probe.select(
+        F.col("key").alias("key_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    b = cells.select(
+        F.col("key").alias("key_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        a.join(
+            b,
+            (F.col("px") == F.col("cx"))
+            & (F.col("py") == F.col("cy"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .filter(d2 < F.lit(_GEO_R * _GEO_R))
+        .select(
+            "key_a",
+            "key_b",
+            F.floor(F.lit(1e12) * d2 + F.lit(0.5)).cast("long").alias("dist_sq_pico"),
+        )
+    )
