@@ -47,6 +47,19 @@ QUERIES = [
     "events_drift_ks",
     "graph_kcore",
     "decontaminate_semantic",
+    # round-7 third wave: the three growth-risky shapes (the shared-
+    # neighbor self-join under its hub cap, the x16-seed weighted
+    # sampler's pair join, the global-id range exchange) plus the
+    # cheap-by-design families to pin their floors
+    "graph_common_neighbors",
+    "dedup_weighted_minhash",
+    "assign_global_ids",
+    "graph_bfs_hops",
+    "search_phrase_positional",
+    "geo_neighbor_join",
+    "agg_bootstrap_ci",
+    "attribution_credit",
+    "stream_cms_windowed",
 ]
 
 
