@@ -176,6 +176,7 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "agg_bootstrap_ci",
     "geo_neighbor_join",
+    "multimodal_bmp_rle_roundtrip",
 ]
 
 

@@ -1516,20 +1516,29 @@ def decode_bmp_pixels(payload: bytes):
         palette_off, palette_entry = 14 + dib, 4
     else:
         raise ValueError(f"unknown BMP DIB header size {dib}")
-    if compression != 0:
-        raise NotImplementedError(f"BMP compression {compression} (only BI_RGB)")
+    if compression not in (0, 1):
+        raise NotImplementedError(f"BMP compression {compression} (only BI_RGB/BI_RLE8)")
     if bpp not in (8, 24):
         raise NotImplementedError(f"BMP bit depth {bpp} (only 8/24)")
+    if compression == 1 and (bpp != 8 or top_down):
+        # The spec defines RLE8 only for bottom-up 8-bit bitmaps.
+        raise ValueError("BI_RLE8 requires bottom-up 8-bit data")
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid BMP dimensions {w}x{h}")
-    stride = (w * (bpp // 8) + 3) & ~3  # rows pad to 4-byte boundaries
-    need = data_off + stride * h
-    if len(b) < need:
-        raise ValueError(f"BMP pixel array is {len(b) - data_off} bytes, expected {stride * h}")
-    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
-    rows = rows.reshape(h, stride)
-    if not top_down:
-        rows = rows[::-1]  # bottom-up storage -> natural row order
+    if compression == 1:
+        rows = _bmp_rle8_indices(b, data_off, w, h)[::-1]  # storage is bottom-up
+        stride = w  # palette path below slices [:, :w]
+    else:
+        stride = (w * (bpp // 8) + 3) & ~3  # rows pad to 4-byte boundaries
+        need = data_off + stride * h
+        if len(b) < need:
+            raise ValueError(
+                f"BMP pixel array is {len(b) - data_off} bytes, expected {stride * h}"
+            )
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = rows.reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]  # bottom-up storage -> natural row order
     if bpp == 24:
         px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     else:
@@ -1554,6 +1563,118 @@ def decode_bmp_pixels(payload: bytes):
         "format": "BMP",
         "pixels": np.ascontiguousarray(px),
     }
+
+
+def _bmp_rle8_indices(b: bytes, off: int, w: int, h: int):
+    """Decompress a BI_RLE8 pixel stream into an (h, w) uint8 index array
+    in STORAGE order (row 0 = bottom row). All four stream constructs are
+    supported: encoded runs (count, value), absolute literals (0, n>=3,
+    bytes, word-aligned), end-of-line (0,0), delta (0,2,dx,dy), and
+    end-of-bitmap (0,1). Skipped cells (after EOL shortfalls or deltas)
+    stay index 0, the conventional fill. Overruns past the row width or
+    image height and truncated streams raise ValueError — never a guessed
+    pixel."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = off
+    n_bytes = len(b)
+    while True:
+        if i + 2 > n_bytes:
+            raise ValueError("truncated BMP RLE8 stream (no end-of-bitmap)")
+        c, v = b[i], b[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if y >= h or x + c > w:
+                raise ValueError("BMP RLE8 run overflows the bitmap")
+            idx[y, x : x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE8 ran past the last row")
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 2 > n_bytes:
+                raise ValueError("truncated BMP RLE8 delta")
+            x, y = x + b[i], y + b[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta outside the bitmap")
+        else:  # absolute mode: v literal bytes, word-aligned
+            end = i + v
+            if end > n_bytes:
+                raise ValueError("truncated BMP RLE8 absolute block")
+            if y >= h or x + v > w:
+                raise ValueError("BMP RLE8 absolute block overflows the bitmap")
+            idx[y, x : x + v] = np.frombuffer(b, dtype=np.uint8, count=v, offset=i)
+            x += v
+            i = end + (v & 1)
+    return idx
+
+
+def make_bmp_rle8(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    idx_rows: list[list[int]],
+    use_delta_gap: bool = False,
+) -> bytes:
+    """A complete, valid BI_RLE8 paletted BMP built with the stdlib —
+    ``idx_rows`` in natural (top-to-bottom) order, encoded bottom-up as
+    the spec requires. The encoder exercises every stream construct a
+    conformant decoder must handle: runs for repeats >= 2, absolute mode
+    for literal stretches >= 3, single (1, v) pairs otherwise, and —
+    with ``use_delta_gap`` — a (0,2,dx,0) delta that skips index-0 cells
+    at a row start instead of encoding them."""
+    import struct
+
+    out = bytearray()
+    for row in idx_rows[::-1]:  # bottom-up storage
+        x = 0
+        w = len(row)
+        if use_delta_gap and w > 2 and row[0] == 0 and row[1] == 0:
+            gap = 0
+            while gap < min(w, 255) and row[gap] == 0:
+                gap += 1
+            out += bytes((0, 2, gap, 0))
+            x = gap
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 2:
+                out += bytes((run, row[x]))
+                x += run
+                continue
+            lit = x
+            while (
+                lit < w
+                and lit - x < 255
+                and not (lit + 1 < w and row[lit + 1] == row[lit])
+            ):
+                lit += 1
+            n = lit - x
+            if n >= 3:
+                out += bytes((0, n)) + bytes(row[x:lit])
+                if n & 1:
+                    out += b"\x00"
+                x = lit
+            else:
+                out += bytes((1, row[x]))
+                x += 1
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    pal = b"".join(bytes((bl, g, r, 0)) for (r, g, bl) in palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(out), 2835, 2835,
+        len(palette), 0,
+    )
+    data_off = 14 + 40 + len(pal)
+    head = struct.pack("<2sIHHI", b"BM", data_off + len(out), 0, 0, data_off)
+    return head + info + pal + bytes(out)
 
 
 def make_bmp(

@@ -104,7 +104,6 @@ _SHOWCASE_ORDER = [
     "dedup_cluster_keep_best_minhash",
     "dedup_cluster_keep_best_fast",
     "split_cluster_safe_minhash",
-    "split_cluster_safe_fast",
     "multimodal_png_palette_roundtrip",
     "embed_topk_ivf_adc",
     "dedup_winnowing",
@@ -143,6 +142,10 @@ _SHOWCASE_ORDER = [
     "graph_personalized_pagerank",
     "agg_bootstrap_ci",
     "geo_neighbor_join",
+    "multimodal_bmp_rle_roundtrip",
+    # (split_cluster_safe_fast rotated out for the RLE8 gate closure: it is
+    # rows-only BY DESIGN — its oracle-exact *_minhash twin and shuffle pins
+    # stay in the prefix — so the swap trades a weaker row for an exact one)
     # (stream_hll_registers rotated out for the geo family debut — its
     # windowed twin stays in the prefix and attests the same register
     # mechanism plus time bucketing)

@@ -746,6 +746,65 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_bmp_rle_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS BIGINT) AS width,
+           CAST(3 + doc_id % 5 AS BIGINT) AS height,
+           'RGB' AS mode,
+           'BMP' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_bmp_rle_roundtrip(spark, sf_dir):
+    """BI_RLE8 compressed-BMP round-trip — closes the RLE honest gate:
+    synthesize a deterministic paletted RLE8 BMP per document (stripe
+    pattern → real runs; every third payload uses the delta-gap escape so
+    ALL four stream constructs — runs, absolute literals, EOL, delta —
+    execute in the driver-attested path), push through the production
+    ``decode_images`` operator (the pure-Python RLE8 decompressor here;
+    PIL where installed), and emit the recovered metadata against the
+    generator's embedded ground truth.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle;
+    payload bytes never leave the executor that made them."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h = 4 + i % 8, 3 + i % 5
+                pal = [(i % 256, (i * 5) % 256, 17), (99, i % 256, 3), (0, 0, 0)]
+                rows = [
+                    [((p // 2 + r + i) % 3) for p in range(w)] for r in range(h)
+                ]
+                if i % 3 == 0:  # route through the delta-gap escape too
+                    rows[0] = [0, 0] + rows[0][2:]
+                payloads.append(
+                    M.make_bmp_rle8(w, h, pal, rows, use_delta_gap=(i % 3 == 0))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)
+
+
+@register(
     "text_html_extract",
     oracle=r"""
     SELECT doc_id,

@@ -1098,3 +1098,70 @@ def test_phash_distinctness_and_operator(spark):
     with pytest.raises(Exception) as ei:
         M.phash_images(bad).collect()
     assert "pixel decoder" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# BI_RLE8 compressed BMP (the round-7 gate closure)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_rle8_roundtrip_all_constructs():
+    import numpy as np
+
+    from ingest_fast_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp_rle8,
+    )
+
+    pal = [(10, 20, 30), (200, 100, 50), (0, 255, 0)]
+    rows = [
+        [0, 0, 0, 1, 1, 1, 1, 2],  # runs + a single
+        [1, 2, 0, 2, 1, 0, 2, 1],  # literal stretch -> absolute mode
+        [2, 2, 2, 2, 2, 2, 2, 2],  # full-row run
+    ]
+    exp = np.array(pal, dtype=np.uint8)[np.array(rows, dtype=np.uint8)]
+    for delta in (False, True):  # delta mode skips the leading zero gap
+        d = decode_bmp_pixels(make_bmp_rle8(8, 3, pal, rows, use_delta_gap=delta))
+        assert (d["width"], d["height"], d["format"]) == (8, 3, "BMP")
+        assert np.array_equal(d["pixels"], exp)
+
+
+def test_bmp_rle8_honest_failures():
+    import pytest
+
+    from ingest_fast_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp_rle8,
+    )
+
+    good = make_bmp_rle8(4, 2, [(1, 2, 3)], [[0, 0, 0, 0], [0, 0, 0, 0]])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(good[:-2])
+    # a run overflowing the row width must raise, not wrap
+    import struct
+
+    (off,) = struct.unpack("<I", good[10:14])
+    bad = bytearray(good)
+    bad[off] = 200  # first run now claims 200 pixels of a 4-wide row
+    with pytest.raises(ValueError, match="overflow"):
+        decode_bmp_pixels(bytes(bad))
+
+
+def test_bmp_rle8_matches_uncompressed_twin():
+    """The same pattern via RLE8 and via the 24-bit uncompressed encoder
+    must decode to identical pixels — cross-encoding invariance, same
+    device as the pHash cross-codec attestation."""
+    import numpy as np
+
+    from ingest_fast_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+        make_bmp_rle8,
+    )
+
+    pal = [(9, 8, 7), (250, 1, 128)]
+    rows = [[(p + r) % 2 for p in range(7)] for r in range(5)]
+    rgb_rows = [[pal[v] for v in row] for row in rows]
+    a = decode_bmp_pixels(make_bmp_rle8(7, 5, pal, rows))
+    b = decode_bmp_pixels(make_bmp(7, 5, rgb_rows=rgb_rows))
+    assert np.array_equal(a["pixels"], b["pixels"])
