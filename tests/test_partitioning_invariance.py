@@ -55,6 +55,13 @@ REPRESENTATIVE = [
     "dedup_substring_scrub",    # island windows + interval merge + HOF rebuild
     "embedding_dbscan",         # GEMM eps-pairs + CC + min-id border rule
     "doc_kn_logppl",            # avg over FP summation order (like bigram)
+    # round-7 third wave
+    "assign_global_ids",        # range exchange + pid rank == total order, any layout
+    "dedup_weighted_minhash",   # argmin tie-breaks + hot-bucket caps across layouts
+    "attribution_credit",       # per-purchase rank ties on (ts, event_id), not file order
+    "events_cusum_changepoint", # ordered running sums over day order, not row order
+    "agg_bootstrap_ci",         # hash-keyed Poisson draws are layout-free
+    "search_phrase_positional", # positions from per-doc arrays, not scan order
 ]
 
 TABLES = (
