@@ -177,6 +177,7 @@ HEADLINE = [
     "agg_bootstrap_ci",
     "geo_neighbor_join",
     "multimodal_bmp_rle_roundtrip",
+    "dedup_weighted_minhash_fast",
 ]
 
 
@@ -237,6 +238,7 @@ SCALE_QUERIES = [
     # weighted-sampling pair finder, and the global-id range exchange
     "graph_common_neighbors",
     "dedup_weighted_minhash",
+    "dedup_weighted_minhash_fast",
     "assign_global_ids",
 ]
 

@@ -129,6 +129,21 @@ def dedup_weighted_minhash(spark, sf_dir):
     return D.weighted_minhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_weighted_minhash_fast")  # rows-only BY DESIGN: xxhash64
+def dedup_weighted_minhash_fast(spark, sf_dir):
+    """xxhash64 scale default of ``dedup_weighted_minhash`` — identical
+    sampling algebra and plan shape, JVM-codegen hashing instead of the
+    md5 chain the oracle needs (the same portable-twin/fast-default split
+    as ``dedup_minhash_lsh`` / ``_fast``). The x50 study measured the md5
+    chain as the dominant cost at sf5: 68 s portable vs ~14 s here. No
+    DuckDB oracle (xxhash64 is Spark-only); the oracle-exact portable
+    twin proves the algebra, and tests pin that both variants recover the
+    identical planted near-dup pairs."""
+    return D.weighted_minhash_pairs(
+        load_table(spark, sf_dir, "documents"), portable=False
+    )
+
+
 @register(
     "dedup_winnowing",
     oracle=f"""

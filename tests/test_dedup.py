@@ -289,3 +289,24 @@ def test_weighted_minhash_repetition_changes_samples(spark):
     }
     assert got[(1, 2)] == 16
     assert got.get((1, 3), 0) < 16 and got.get((2, 3), 0) < 16
+
+
+def test_weighted_minhash_fast_recovers_planted_pairs(spark):
+    """The xxhash64 scale default must find the same planted near-dups as
+    the portable variant (different hash family -> different per-seed
+    samples, same detection behavior on identical docs)."""
+    from ingest_fast_spark.operators.dedup import weighted_minhash_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now then")],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_collisions"]
+            for r in weighted_minhash_pairs(
+                docs, num_seeds=16, min_collisions=4, portable=portable
+            ).collect()
+        }
+        assert got == {(1, 2): 16}, (portable, got)

@@ -53,6 +53,7 @@ QUERIES = [
     # cheap-by-design families to pin their floors
     "graph_common_neighbors",
     "dedup_weighted_minhash",
+    "dedup_weighted_minhash_fast",
     "assign_global_ids",
     "graph_bfs_hops",
     "search_phrase_positional",
