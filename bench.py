@@ -178,6 +178,8 @@ HEADLINE = [
     "geo_neighbor_join",
     "multimodal_bmp_rle_roundtrip",
     "dedup_weighted_minhash_fast",
+    "graph_clustering_coefficient",
+    "sample_reservoir_per_group",
 ]
 
 

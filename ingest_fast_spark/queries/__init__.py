@@ -100,9 +100,7 @@ _SHOWCASE_ORDER = [
     "agg_approx_count_distinct",
     # (1) round-7 new
     "dedup_soft_weights_minhash",
-    "dedup_soft_weights_fast",
     "dedup_cluster_keep_best_minhash",
-    "dedup_cluster_keep_best_fast",
     "split_cluster_safe_minhash",
     "multimodal_png_palette_roundtrip",
     "embed_topk_ivf_adc",
@@ -143,9 +141,12 @@ _SHOWCASE_ORDER = [
     "agg_bootstrap_ci",
     "geo_neighbor_join",
     "multimodal_bmp_rle_roundtrip",
-    # (split_cluster_safe_fast rotated out for the RLE8 gate closure: it is
-    # rows-only BY DESIGN — its oracle-exact *_minhash twin and shuffle pins
-    # stay in the prefix — so the swap trades a weaker row for an exact one)
+    "graph_clustering_coefficient",
+    "sample_reservoir_per_group",
+    # (the three rows-only-BY-DESIGN *_fast cluster twins rotated out for
+    # oracle-exact third-wave debuts: their oracle-exact *_minhash twins and
+    # shuffle pins stay in the prefix, so each swap trades a weaker row for
+    # an exact one)
     # (stream_hll_registers rotated out for the geo family debut — its
     # windowed twin stays in the prefix and attests the same register
     # mechanism plus time bucketing)

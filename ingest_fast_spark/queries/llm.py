@@ -5570,3 +5570,75 @@ def search_phrase_positional(spark, sf_dir):
     return m3.groupBy("phrase", "doc_id").agg(
         F.count(F.lit(1)).alias("n_matches")
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey % 300 AS s, o_orderkey % 300 AS d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 300) <> (o_orderkey % 300)
+    ),
+    adj AS (SELECT DISTINCT s, d FROM
+            (SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw)),
+    deg AS (SELECT s AS n, COUNT(*) AS deg FROM adj GROUP BY s),
+    wedge AS (
+      SELECT a.s AS n, a.d AS u, b.d AS v
+      FROM adj a JOIN adj b ON a.s = b.s AND a.d < b.d
+    ),
+    tri AS (
+      SELECT w.n, COUNT(*) AS n_tri
+      FROM wedge w JOIN adj e ON e.s = w.u AND e.d = w.v
+      GROUP BY w.n
+    )
+    SELECT deg.n AS node, CAST(deg.deg AS BIGINT) AS degree,
+           CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(COALESCE(tri.n_tri, 0)
+                 / (deg.deg * (deg.deg - 1) / CAST(2 AS DOUBLE)), 6) AS lcc
+    FROM deg LEFT JOIN tri ON deg.n = tri.n
+    WHERE deg.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    lcc(n) = closed wedges / possible wedges = triangles(n) / C(deg,2) —
+    the per-node community-density signal (a near-1 node sits inside a
+    clique/boilerplate family; near-0 is a pure hub). Complements the
+    global ``graph_triangle_count``.
+
+    Scale shape: wedges come from the adjacency self-join keyed on the
+    CENTER node (cost Σ deg²/2 — the same hub-sensitive shape as the
+    common-neighbor join, so at 100 TB the identical degree-cap guard
+    applies; the 300-node substrate keeps this exact here), closed by
+    one equi-join against the oriented edge list; counts are all-integer
+    and the one double is a ratio of identical integers, rounded at 6."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select(
+            (F.col("o_custkey") % 300).alias("s"), (F.col("o_orderkey") % 300).alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+    )
+    adj = raw.unionByName(
+        raw.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    deg = adj.groupBy(F.col("s").alias("n")).agg(F.count(F.lit(1)).alias("degree"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d"))
+    ).select(F.col("a.s").alias("n"), F.col("a.d").alias("u"), F.col("b.d").alias("v"))
+    e = adj.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    tri = wedge.join(e, ["u", "v"]).groupBy("n").agg(F.count(F.lit(1)).alias("n_tri"))
+    out = deg.join(tri, "n", "left").filter(F.col("degree") >= 2)
+    lcc = F.coalesce("n_tri", F.lit(0)) / (
+        F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)
+    )
+    return out.select(
+        F.col("n").alias("node"),
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+        F.round(lcc, 6).alias("lcc"),
+    )

@@ -3179,3 +3179,44 @@ def geo_neighbor_join(spark, sf_dir):
             F.floor(F.lit(1e12) * d2 + F.lit(0.5)).cast("long").alias("dist_sq_pico"),
         )
     )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, lang,
+             {D.portable_hash60_sql("CAST(doc_id AS VARCHAR) || '|res'")} AS k
+      FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT doc_id, source, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+               AS rnk
+      FROM keyed) WHERE rnk <= 10
+    """,
+)
+def sample_reservoir_per_group(spark, sf_dir):
+    """Exact-k uniform reservoir sample PER GROUP (distributed
+    reservoir = top-k by a deterministic per-row hash key within each
+    group — every row equally likely, k exact, reproducible): the third
+    leg of the sampling family (stratified = per-group FRACTION,
+    weighted = GLOBAL Efraimidis–Spirakis; this is per-group exact-k).
+
+    Scale shape: the rank<=k predicate pushes into a map-side partial
+    WindowGroupLimit (the same plan virtue ``topk_per_group`` pins), so
+    each input partition forwards at most k rows per group to the
+    exchange — sampling 10 docs/source from 100 TB shuffles O(groups×k),
+    not the corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    from pyspark.sql import Window
+
+    k = D.portable_hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|res")))
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        d.select("doc_id", "source", "lang", k.alias("k"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "source", "lang", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -342,3 +342,11 @@ def test_zorder_report_stays_jvm_and_partial(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "layout_zorder_report")
     assert "EvalPython" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_reservoir_per_group_has_partial_group_limit(spark, sf_dir):
+    """The per-group reservoir must prune to k rows per group BEFORE the
+    shuffle (partial WindowGroupLimit) — the plan virtue that makes
+    sampling 10/group from 100 TB shuffle O(groups*k), not the corpus."""
+    plan = plan_of(spark, sf_dir, "sample_reservoir_per_group")
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
