@@ -215,6 +215,12 @@ SHUFFLE_BUDGET = {
     # replicate totals agg + the order-statistic collect + point-estimate
     # join (the ×32 explode is map-only)
     "agg_bootstrap_ci": 3,
+    # same shape as the portable twin (the hash family is the only change)
+    "dedup_weighted_minhash_fast": 7,
+    # adjacency distinct, degree agg, wedge self-join sides, closing
+    # equi-join, per-node triangle agg — all node/pair keys
+    "graph_clustering_coefficient": 6,
+    "sample_reservoir_per_group": 1,  # the per-source rank window
 }
 
 
