@@ -1493,9 +1493,11 @@ def decode_bmp_pixels(payload: bytes):
     seen in the wild: BITMAPINFOHEADER-or-later 24-bit BGR and 8-bit
     paletted (BGRX color table), bottom-up (positive height) and top-down
     (negative height) row order, 4-byte row padding; plus the legacy
-    BITMAPCOREHEADER 24-bit form. RLE compression and other bit depths
-    raise NotImplementedError (honest gate); truncated pixel arrays and
-    palette-index overflows raise ValueError — never a guessed pixel."""
+    BITMAPCOREHEADER 24-bit form; and BI_RLE8-compressed 8-bit paletted
+    data (all four stream constructs, _bmp_rle8_indices). RLE4 and other
+    bit depths raise NotImplementedError (honest gate); truncated pixel
+    arrays, malformed RLE streams, and palette-index overflows raise
+    ValueError — never a guessed pixel."""
     import struct
 
     import numpy as np

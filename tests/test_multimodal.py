@@ -588,11 +588,18 @@ def test_decode_bmp_pixels_honest_gates():
     for bad in (b"", b"NOTABMP" + b"\x00" * 40, good[:20], good[:-8]):
         with _pytest.raises(ValueError):
             M.decode_bmp_pixels(bad)
-    # RLE8 compression -> NotImplementedError, never a guessed pixel
+    # RLE8 is now a real decode path — but only for bottom-up 8-bit data;
+    # claiming it on a 24-bit bitmap is malformed -> ValueError
     rle = bytearray(good)
     rle[30:34] = struct.pack("<I", 1)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         M.decode_bmp_pixels(bytes(rle))
+    # RLE4 stays an honest NotImplementedError gate
+    rle4 = bytearray(good)
+    rle4[28:30] = struct.pack("<H", 4)
+    rle4[30:34] = struct.pack("<I", 2)
+    with _pytest.raises(NotImplementedError):
+        M.decode_bmp_pixels(bytes(rle4))
     # unsupported bit depth (16bpp) -> NotImplementedError
     b16 = bytearray(good)
     b16[28:30] = struct.pack("<H", 16)
