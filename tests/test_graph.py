@@ -388,3 +388,100 @@ def test_neighbor_similarity_hub_cap_drops_celebrity_pivot(spark):
     assert (3, 4) in uncapped and (3, 4) not in capped
     # pairs pivoting through low-degree nodes survive: (0,1) share 2, (0,2) share 1
     assert (0, 1) in capped and (0, 2) in capped
+
+
+def test_bfs_matches_bruteforce_on_random_graphs(spark):
+    """Multi-source BFS equals a sequential queue BFS on seeded random
+    digraphs (varied density, multiple seeds, unreachable nodes)."""
+    import random
+    from collections import deque
+
+    from ingest_fast_spark.operators.graph import bfs_hops
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 40
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(120)}
+        edges = [(a, b) for a, b in edges if a != b]
+        srcs = sorted(rng.sample(range(n), 3))
+        max_hops = 4
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        dist = {s: 0 for s in srcs}
+        dq = deque(srcs)
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in srcs], "n long")
+        got = {r["n"]: r["hops"] for r in bfs_hops(e, s, max_hops=max_hops).collect()}
+        assert got == dist, (seed, got, dist)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS equals the sequential Kleinberg update (auth from old hubs,
+    hubs from NEW auths, L1 per step) run in numpy, to FP tolerance."""
+    import random
+
+    import numpy as np
+
+    from ingest_fast_spark.operators.graph import hits
+
+    rng = random.Random(9)
+    n = 25
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        A[ix[a], ix[b]] = 1.0
+    h = np.ones(len(nodes))
+    a = np.ones(len(nodes))
+    for _ in range(3):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["n"]: (r["a"], r["h"]) for r in hits(e, iterations=3).collect()}
+    for v in nodes:
+        assert abs(got[v][0] - a[ix[v]]) < 1e-9
+        assert abs(got[v][1] - h[ix[v]]) < 1e-9
+
+
+def test_personalized_pagerank_conserves_mass(spark):
+    """Teleport + dangling mass both return to the seed distribution, so
+    total rank stays exactly 1 every round."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(3)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (5,), (9,)], "n long")
+    out = personalized_pagerank(e, seeds, iterations=3)
+    total = out.agg(F.sum("r").alias("t")).first()["t"]
+    assert abs(total - 1.0) < 1e-9
+    # concentration: every seed holds at least its teleport floor
+    # (each round hands (1-d)*p0 = 0.15/3 = 0.05 to each seed), and the
+    # seed set's share beats uniform-teleport PageRank's share of the
+    # same nodes — the definitional difference between the two.
+    from ingest_fast_spark.operators.graph import pagerank
+
+    ppr = {r["n"]: r["r"] for r in out.collect()}
+    assert all(ppr[s] >= 0.05 - 1e-12 for s in (0, 5, 9))
+    uni = {r["n"]: r["r"] for r in pagerank(e, iterations=3).collect()}
+    seed_share_ppr = sum(ppr[s] for s in (0, 5, 9))
+    seed_share_uni = sum(uni[s] for s in (0, 5, 9))
+    assert seed_share_ppr > seed_share_uni

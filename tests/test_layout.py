@@ -139,3 +139,19 @@ def test_dense_ids_plan_has_no_single_partition_exchange(spark, sf_dir):
     out = assign_dense_ids(d, "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dense_ids_random_keys_match_enumeration(spark):
+    """Property: for random key sets (negative keys, large gaps, any
+    input layout), global_id equals the 1-based position in sorted order."""
+    import random
+
+    for seed in (2, 13, 99):
+        rng = random.Random(seed)
+        keys = rng.sample(range(-10**9, 10**9), rng.randrange(5, 60))
+        df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(7)
+        got = {
+            r["k"]: r["global_id"]
+            for r in assign_dense_ids(df, "k", num_partitions=5).collect()
+        }
+        assert got == {k: i + 1 for i, k in enumerate(sorted(keys))}, seed
