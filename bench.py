@@ -180,6 +180,8 @@ HEADLINE = [
     "dedup_weighted_minhash_fast",
     "graph_clustering_coefficient",
     "sample_reservoir_per_group",
+    "text_readability",
+    "text_rake_keywords",
 ]
 
 

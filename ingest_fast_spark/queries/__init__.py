@@ -152,6 +152,10 @@ _SHOWCASE_ORDER = [
     # mechanism plus time bucketing)
     # (embed_topk_ivf_pq_residual — the residual-PQ corpus-trade STUDY twin
     # of the attested embed_topk_ivf_adc fusion — rotated out for it)
+    # (text_readability / text_rake_keywords — the session's last two
+    # additions — stay OUT of the 50 rather than displace the verdict's
+    # ledger closers; they carry this round's full-registry selfcheck and
+    # rotate into the r8 prefix)
     # (the rest of the earlier section-2/3 rotation — incl. ann_recall_floors
     # (driver-green r6) and its rows-only detail twin — token_zipf_slope /
     # text_fix_mojibake / the multimodal roundtrips / split_cluster_safe /

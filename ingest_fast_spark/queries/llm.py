@@ -5642,3 +5642,207 @@ def graph_clustering_coefficient(spark, sf_dir):
         F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
         F.round(lcc, 6).alias("lcc"),
     )
+
+
+@register(
+    "text_readability",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> length(t) > 0)) AS n_words,
+             greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                      t -> length(trim(t)) > 0)), 1)
+               AS n_sentences,
+             greatest(len(string_split_regex(lower(text), '[aeiouy]+')) - 1, 1)
+               AS n_syllables
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           floor(1e4 * (206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (n_syllables / CAST(n_words AS DOUBLE))) + 0.5) / 1e4
+             AS flesch_ease,
+           floor(1e4 * (0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59) + 0.5)
+             / 1e4 AS fk_grade
+    FROM m WHERE n_words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch Reading Ease + Flesch-Kincaid grade per document (Kincaid
+    et al. 1975) — the classic corpus-QC readability gate (too-low FRE
+    flags machine-generated or degenerate text; graded corpora mix by
+    FK band). Syllables are estimated as vowel-group runs ([aeiouy]+,
+    the standard heuristic within ~10% of dictionary syllabification),
+    sentences as [.!?]+ segments with an empty-segment guard.
+
+    Scale shape: pure regexp/higher-order-function Column arithmetic
+    over one scan — map-only, zero exchanges, whole-stage codegen; the
+    two scores are fixed-form expressions over exact integer counts so
+    both engines compute bit-identical doubles (floor-rounded at 1e-4
+    for display only)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    words = F.size(
+        F.filter(
+            F.split(F.trim(F.lower("text")), r"\s+"), lambda t: F.length(t) > 0
+        )
+    )
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda t: F.length(F.trim(t)) > 0,
+            )
+        ),
+        F.lit(1),
+    )
+    syls = F.greatest(
+        F.size(F.split(F.lower("text"), r"[aeiouy]+")) - 1, F.lit(1)
+    )
+    m = d.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syls.cast("long").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables") / F.col("n_words").cast("double")
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.floor(F.lit(1e4) * fre + F.lit(0.5)) / F.lit(1e4)).alias("flesch_ease"),
+        (F.floor(F.lit(1e4) * fk + F.lit(0.5)) / F.lit(1e4)).alias("fk_grade"),
+    )
+
+
+def _rake_oracle(top_n: int = 20) -> str:
+    from ..functions import text as T
+
+    stops = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS pos
+      FROM toks
+    ),
+    content AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM pos WHERE length(tok) > 0 AND tok NOT IN ({stops})
+    ),
+    occ AS (
+      SELECT doc_id, island,
+             array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+             COUNT(*) AS n_words
+      FROM content GROUP BY doc_id, island
+    ),
+    pw AS (
+      SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w FROM occ
+    ),
+    wstats AS (
+      SELECT w, COUNT(*) AS freq, CAST(SUM(n_words) AS BIGINT) AS deg
+      FROM pw GROUP BY w
+    ),
+    ptypes AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MIN(n_words) AS n_words
+      FROM occ GROUP BY phrase
+    ),
+    scored AS (
+      SELECT p.phrase, p.n_occurrences, CAST(p.n_words AS BIGINT) AS n_words,
+             CAST(SUM(CAST(floor(1e6 * ws.deg / CAST(ws.freq AS DOUBLE) + 0.5)
+                           AS BIGINT)) AS BIGINT) AS score_micro
+      FROM (SELECT phrase, n_occurrences, n_words,
+                   unnest(string_split(phrase, ' ')) AS w FROM ptypes) p
+      JOIN wstats ws ON ws.w = p.w
+      GROUP BY p.phrase, p.n_occurrences, p.n_words
+    )
+    SELECT phrase, n_words, n_occurrences, score_micro FROM scored
+    QUALIFY row_number() OVER (ORDER BY score_micro DESC, phrase) <= {top_n}
+    """
+
+
+@register("text_rake_keywords", oracle=_rake_oracle(20))
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on the position
+    stream), each word scores deg/freq (deg = Σ length of the phrases it
+    appears in — co-occurrence weight; freq = its occurrence count), and
+    a phrase scores the sum of its words — the corpus's top-20 phrases
+    by that score. The unsupervised keyphrase primitive for corpus
+    topic profiling; multi-word phrases outrank their constituent
+    unigrams by construction.
+
+    Parity engineering: per-word scores are floored to integer
+    MICRO-UNITS before the phrase sum, so the summation order across
+    engines cannot matter; the top-20 cut orders on (score desc, phrase)
+    — fully deterministic. Scale shape: islands come from a per-doc
+    window over the token stream (each reducer orders one doc); word
+    stats are a vocabulary-sized aggregate; the phrase-type scoring join
+    is phrase-words ⋈ vocabulary; the final top-20 is a TakeOrdered,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos", "tok")
+    )
+    content = pos.filter(
+        (F.length("tok") > 0) & ~F.col("tok").isin(*T.STOPWORDS["en"])
+    ).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    occ = content.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    pw = occ.select("phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w"))
+    wstats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("deg")
+    )
+    ptypes = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("n_words").cast("long").alias("n_words"),
+    )
+    scored = (
+        ptypes.select(
+            "phrase", "n_occurrences", "n_words", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(wstats, "w")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(1e6) * F.col("deg") / F.col("freq").cast("double") + F.lit(0.5)
+                ).cast("long")
+            ).alias("score_micro")
+        )
+    )
+    return scored.orderBy(F.desc("score_micro"), F.asc("phrase")).limit(20).select(
+        "phrase", "n_words", "n_occurrences", "score_micro"
+    )
