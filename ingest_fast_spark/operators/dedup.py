@@ -32,6 +32,22 @@ def tokens_col(text, lowercase: bool = True):
     return F.split(F.trim(t), r"\s+")
 
 
+def let_col(expr, body):
+    """Let-binding for Column expressions: evaluate ``expr`` ONCE per row
+    and pass the result to ``body`` as a lambda variable.
+
+    Load-bearing wherever a higher-order-function lambda references an
+    expensive outer expression (a tokenization, a hash array): Catalyst's
+    CollapseProject inlines the expression into every reference and
+    codegen does not hoist subexpressions out of lambda bodies, so a
+    direct reference inside the lambda re-evaluates the expression once
+    PER ARRAY ELEMENT — turning an O(n) per-row array builder into
+    O(n^2) (measured: a 20k-token document's positional k-grams took
+    79 s; let-bound, milliseconds). The 1-element transform stays fully
+    inside whole-stage codegen."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content digest: one hash-aggregate, keeps min id as
     the canonical representative."""
@@ -51,17 +67,21 @@ def shingles_df(
     """One row per (doc, distinct k-token shingle). JVM-side only:
     split → transform(sequence) → explode."""
     df = ensure_parallelism(df)  # shingling must not serialize onto one scan task
-    toks = tokens_col(F.col(text_col))
     # Docs shorter than k tokens have NO shingles. The branch is required:
     # Spark's sequence(1, 0) DESCENDS to [1, 0] (it doesn't return empty
     # like DuckDB's generate_series), and slice(toks, 0, k) then throws.
-    shingles = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Token array let-bound: the per-position slice must not re-tokenize
+    # (CollapseProject + in-lambda reference = O(n²), see let_col).
+    shingles = let_col(
+        tokens_col(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles)).alias("shingle"),
@@ -283,16 +303,19 @@ def doc_shingle_sets(
     """(doc_id, shingles: array<string>) — distinct k-shingle set per doc,
     computed once and shared by signature + verification stages."""
     df = ensure_parallelism(df)
-    toks = tokens_col(F.col(text_col))
     # Same short-doc branch as shingles_df: sequence(1, 0) descends.
+    # Token array let-bound (see let_col): slices never re-tokenize.
     shingles = F.array_distinct(
-        F.when(
-            F.size(toks) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.array_join(F.slice(toks, i, k), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        let_col(
+            tokens_col(F.col(text_col)),
+            lambda t: F.when(
+                F.size(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.array_join(F.slice(t, i, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
     )
     return df.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
 
@@ -995,16 +1018,20 @@ def positional_kgrams(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
     """One row per (doc, position, k-token gram) — positions preserved
-    (unlike ``shingles_df``, which is distinct-set semantics)."""
+    (unlike ``shingles_df``, which is distinct-set semantics). The token
+    array is let-bound (``let_col``) so the per-position slice never
+    re-tokenizes the document — megatoken docs stay O(n·k), not O(n²)."""
     df = ensure_parallelism(df)
-    toks = tokens_col(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = let_col(
+        tokens_col(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram")
     )
@@ -1455,8 +1482,113 @@ def minhash_candidate_pairs_portable(
 
 # --- Winnowing fingerprints (Schleimer, Wilkinson & Aiken, SIGMOD 2003) -----
 
-WINNOW_HASH_MOD = 1 << 40  # fingerprint hash space (fits the composite below)
-WINNOW_POS_MOD = 1 << 20  # max fingerprintable gram position per document
+WINNOW_HASH_MOD = 1 << 40  # fingerprint hash space (portable md5 fold)
+# Oracle-side composite radix: h * 2^63 + (2^63-1 - pos) in HUGEINT gives
+# integer order (h asc, pos desc) for ANY position — no positional cap.
+_WINNOW_POS_BIG = 1 << 63
+# Grams per chunk row: a chunk carries ~256 KiB of text, so the in-row
+# hash/window arrays stay a few MB per task regardless of document size.
+WINNOW_CHUNK_GRAMS = 1 << 18
+
+
+def _winnow_chunk_selects(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    w: int,
+    chunk: int,
+    portable: bool,
+):
+    """Map-only winnowing core: one output row per (document, chunk) with
+    the chunk's selected fingerprints as ``sels: array<struct<h,negp>>``.
+
+    The selection is computed IN-ROW with array HOFs — hash every k-char
+    gram of the chunk, take each w-window's minimum struct ``(h, -pos)``
+    (struct order = hash asc, position desc = the MOSS rightmost-tie
+    rule) — so the per-character gram stream never leaves the map task.
+    Long documents are chunked explicitly: chunk ``c`` re-hashes the
+    ``w - 1`` grams before its first owned window end (substr is cheap;
+    positions stay GLOBAL), so every window of the document is computed
+    exactly once by exactly one chunk and arbitrarily long texts are
+    fingerprinted in full — no silent positional cap.
+    """
+    if w < 2 or k < 2:
+        raise ValueError("winnowing needs k >= 2 and w >= 2")
+    if chunk < w:
+        raise ValueError("chunk must be >= w grams")
+    s = df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("s"),
+    )
+    n = (F.length("s") - F.lit(k - 1)).cast("long")  # gram count
+    chunks = (
+        # a doc needs >= w grams to have any window at all
+        s.filter(F.length("s") >= k + w - 1)
+        .select(
+            "doc_id",
+            "s",
+            n.alias("n"),
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(n / F.lit(chunk)).cast("long") - 1)
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            # first gram this chunk must HASH (w-1 before its first owned
+            # window end, so boundary windows see their full history)
+            F.greatest(F.lit(1).cast("long"), F.col("c") * chunk - (w - 2)).alias(
+                "g0"
+            ),
+            F.least((F.col("c") + 1) * chunk, F.col("n")).alias("g1"),
+            "s",
+        )
+        # chunk substring: grams g0..g1 need chars g0 .. g1+k-1
+        .select(
+            "doc_id",
+            "g0",
+            F.col("s").substr(
+                F.col("g0").cast("int"), (F.col("g1") - F.col("g0") + k).cast("int")
+            ).alias("sub"),
+        )
+    )
+    if portable:
+        def gram_hash(g):
+            return portable_hash60(g) % WINNOW_HASH_MOD
+    else:
+        def gram_hash(g):
+            return F.xxhash64(g)
+    # local window ends: j = w .. m maps exactly onto this chunk's owned
+    # global ends (see g0 above: the first owned end is always the w-th
+    # local gram), so no window is computed twice across chunks.
+    #
+    # DOUBLE LET-BINDING, load-bearing (see let_col): (a) the chunk
+    # substring is bound once — otherwise CollapseProject inlines the
+    # substr into the per-gram hash lambda and every gram re-slices the
+    # whole chunk (O(chunk²) byte copies at the 2^18-gram default);
+    # (b) the hash array is bound once — otherwise every window
+    # re-hashes the whole chunk (measured: minutes instead of ms on a
+    # 4k-gram chunk, O(m²) md5 calls).
+    def select_windows(h):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(w), F.size(h)),
+                lambda j: F.array_min(F.slice(h, j - (w - 1), w)),
+            )
+        )
+
+    def hs_of(sub):
+        m = (F.length(sub) - F.lit(k - 1)).cast("int")  # m >= w by slicing
+        return F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.struct(
+                gram_hash(sub.substr(j, F.lit(k))).alias("h"),
+                (-(F.col("g0") + j.cast("long") - 1)).alias("negp"),
+            ),
+        )
+
+    sels = let_col(F.col("sub"), lambda sub: let_col(hs_of(sub), select_windows))
+    return chunks.select("doc_id", sels.alias("sels"))
 
 
 def winnow_fingerprints(
@@ -1465,6 +1597,8 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    chunk: int = WINNOW_CHUNK_GRAMS,
+    portable: bool = True,
 ) -> DataFrame:
     """Per-document winnowing fingerprints: ``(doc_id, fp, pos)``.
 
@@ -1476,65 +1610,32 @@ def winnow_fingerprints(
     ~w/2 x smaller than full shingling WITH a detection floor, which full
     MinHash sampling does not give.
 
-    Engine-portable arithmetic throughout (md5-derived gram hash reduced
-    mod 2^40) so the whole selection — including the rightmost-tie rule —
-    is reproducible in ANSI SQL: the window minimum runs over the
-    composite ``h * 2^20 + (2^20 - 1 - pos)``, whose integer order is
-    (h asc, pos desc); decoding the winning composite recovers (h, pos).
+    Scale shape: the selection is computed ENTIRELY in the map task
+    (array HOFs over chunk substrings — see ``_winnow_chunk_selects``);
+    only the selected ~2/(w+1) fingerprints are exploded, and the single
+    exchange is the cross-chunk DISTINCT riding that reduced stream.
+    Documents of any length are fingerprinted in full via explicit
+    chunking with global positions.
 
-    Scale shape: the gram explode is map-only off the scan; the only
-    shuffle is the per-document window (partitioned by id — bounded,
-    documents cap at 2^20 grams; fingerprint longer texts per chunk
-    upstream). Selection emits ~2/(w+1) of positions before the DISTINCT.
+    ``portable=True`` (default) uses the md5-fold gram hash so the whole
+    selection — including the rightmost-tie rule — is reproducible in
+    ANSI SQL (``winnow_fingerprints_sql``). ``portable=False`` swaps in
+    JVM-codegen ``xxhash64``: identical selection algebra, no oracle —
+    the production default when engine-portability is not needed.
     """
-    from pyspark.sql import Window
-
-    if w < 2 or k < 2:
-        raise ValueError("winnowing needs k >= 2 and w >= 2")
-    s = df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("s"),
-    )
-    grams = (
-        s.filter(F.length("s") >= k)
-        .select(
-            "doc_id",
-            "s",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(F.length("s") - (k - 1), F.lit(WINNOW_POS_MOD - 1)),
-                )
-            ).alias("p"),
-        )
-        .select(
-            "doc_id",
-            "p",
-            (portable_hash60(F.col("s").substr(F.col("p"), F.lit(k))) % WINNOW_HASH_MOD).alias("h"),
-        )
-    )
-    composite = F.col("h") * WINNOW_POS_MOD + (WINNOW_POS_MOD - 1 - F.col("p"))
-    win = Window.partitionBy("doc_id").orderBy("p")
-    sel = (
-        grams.select(
-            "doc_id",
-            F.min(composite).over(win.rowsBetween(-(w - 1), 0)).alias("sel"),
-            F.row_number().over(win).alias("rn"),
-        )
-        .filter(F.col("rn") >= w)
-        .select("doc_id", "sel")
+    sel = _winnow_chunk_selects(df, text_col, id_col, k, w, chunk, portable)
+    return (
+        sel.select("doc_id", F.explode("sels").alias("sel"))
+        .select("doc_id", F.col("sel.h").alias("fp"), (-F.col("sel.negp")).alias("pos"))
+        # same fingerprint can be re-selected by windows on both sides of
+        # a chunk boundary — one distinct over the reduced stream
         .distinct()
-        .select(
-            "doc_id",
-            F.expr(f"sel div {WINNOW_POS_MOD}").alias("fp"),
-            (F.lit(WINNOW_POS_MOD - 1) - F.col("sel") % WINNOW_POS_MOD).alias("pos"),
-        )
     )
-    return sel
 
 
 def winnow_fingerprints_sql(k: int = 8, w: int = 4, table: str = "documents") -> str:
-    """DuckDB twin of ``winnow_fingerprints`` (bit-identical selection)."""
+    """DuckDB twin of ``winnow_fingerprints`` (bit-identical selection,
+    uncapped positions via a HUGEINT composite)."""
     h_expr = portable_hash60_sql(f"substr(s, CAST(p AS INTEGER), {k})")
     return f"""
     winnow_src AS (
@@ -1544,7 +1645,7 @@ def winnow_fingerprints_sql(k: int = 8, w: int = 4, table: str = "documents") ->
     winnow_pos AS (
       SELECT doc_id, s,
              CAST(unnest(generate_series(
-               1, least(greatest(len(s) - {k - 1}, 0), {WINNOW_POS_MOD - 1}))) AS BIGINT) AS p
+               1, greatest(len(s) - {k - 1}, 0))) AS BIGINT) AS p
       FROM winnow_src
     ),
     winnow_grams AS (
@@ -1553,15 +1654,16 @@ def winnow_fingerprints_sql(k: int = 8, w: int = 4, table: str = "documents") ->
     ),
     winnow_win AS (
       SELECT doc_id,
-             min(h * {WINNOW_POS_MOD} + ({WINNOW_POS_MOD - 1} - p)) OVER (
+             min(CAST(h AS HUGEINT) * {_WINNOW_POS_BIG}
+                 + ({_WINNOW_POS_BIG - 1} - p)) OVER (
                PARTITION BY doc_id ORDER BY p
                ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS sel,
              row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
       FROM winnow_grams
     ),
     winnow_fp AS (
-      SELECT DISTINCT doc_id, sel // {WINNOW_POS_MOD} AS fp,
-             {WINNOW_POS_MOD - 1} - (sel % {WINNOW_POS_MOD}) AS pos
+      SELECT DISTINCT doc_id, CAST(sel // {_WINNOW_POS_BIG} AS BIGINT) AS fp,
+             CAST({_WINNOW_POS_BIG - 1} - (sel % {_WINNOW_POS_BIG}) AS BIGINT) AS pos
       FROM winnow_win WHERE rn >= {w}
     )"""
 
@@ -1574,6 +1676,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_doc_freq: int | None = 20,
+    portable: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared winnowing fingerprints.
 
@@ -1581,19 +1684,60 @@ def winnow_pairs(
     ``ngram_jaccard_pairs`` at ~2/(w+1) the size, with the winnowing
     guarantee bounding what the sampling can miss (only matches shorter
     than w + k - 1 chars). ``max_doc_freq`` drops boilerplate fingerprints
-    (hot keys) before the self-join, same skew guard as the shingle path.
+    (hot keys) before pairing, same skew guard as the shingle path.
+
+    Two-exchange, single-lineage plan: the map-only selection emits
+    in-row-distinct fingerprint hashes; ONE repartition("fp") then
+    serves the (doc, fp) distinct (HashPartitioning(fp) satisfies the
+    (doc_id, fp) clustering), the df-guard COUNT window (spill-safe —
+    each reducer counts one bucket, the weighted-MinHash guard shape),
+    and the bucket collect — which is BOUNDED at max_doc_freq docs
+    because it aggregates the already-guarded stream, so no hot-key
+    buffer can form. Pairs explode in-row from the <= max_doc_freq-sized
+    buckets (<= C(max_doc_freq, 2) rows each); the pair rollup is the
+    second exchange. No self-join, no double-computed lineage.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k, w).select("doc_id", "fp").distinct()
+    from pyspark.sql import Window
+
+    sel = _winnow_chunk_selects(df, text_col, id_col, k, w, WINNOW_CHUNK_GRAMS, portable)
+    fp = (
+        sel.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.transform("sels", lambda x: x["h"]))).alias("fp"),
+        )
+        .repartition("fp")
+        .dropDuplicates(["doc_id", "fp"])
+    )
     if max_doc_freq is not None:
-        # Distinct fingerprints grow with the corpus — no broadcast hint;
-        # AQE converts the df-filter join when the frequency table is small.
-        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
-        fp = fp.join(freq.filter(F.col("df_") <= max_doc_freq), "fp").drop("df_")
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+        fp = (
+            fp.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+            .filter(F.col("df_") <= max_doc_freq)
+            .drop("df_")
+        )
+    bucket = (
+        fp.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    n = F.size("docs")
+    pairs = bucket.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("docs"), i + 1, n - i),
+                        lambda d: F.struct(
+                            F.least(F.element_at(F.col("docs"), i), d).alias("doc_a"),
+                            F.greatest(F.element_at(F.col("docs"), i), d).alias("doc_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= min_shared)
@@ -1819,14 +1963,17 @@ def weighted_minhash_pairs(
     )
     # 3-token shingles WITH multiplicity (no array_distinct): the weight
     # is the shingle's repeat count — the thing set-MinHash throws away.
-    toks = tokens_col(F.col(text_col))
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Token array let-bound (see let_col): slices never re-tokenize.
+    sh = let_col(
+        tokens_col(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.array_join(F.slice(t, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     tok = d.select(
         F.col(id_col).alias("doc_id"), F.explode(sh).alias("token")
     )

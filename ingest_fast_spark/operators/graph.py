@@ -599,12 +599,19 @@ def neighbor_similarity(
         deg.select(F.col("s").alias("w"), F.col("deg").alias("wdeg")), "w"
     )
     a, b = piv.alias("a"), piv.alias("b")
+    # Adamic–Adar terms are floored to integer MICRO-UNITS before the
+    # SUM (the repo's cross-engine convention for summed doubles): an
+    # integer sum is partition-order independent, so the score can never
+    # flake across layouts/AQE or drift from a DuckDB oracle at a
+    # rounding boundary the way a float sum reduced in a different order
+    # could.
+    aa_micro = F.floor(F.lit(1000000.0) / F.log(F.col("a.wdeg").cast("double")))
     pairs = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.m") < F.col("b.m")))
         .groupBy(F.col("a.m").alias("u"), F.col("b.m").alias("v"))
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.sum(F.lit(1.0) / F.log(F.col("a.wdeg").cast("double"))).alias("adamic_adar"),
+            (F.sum(aa_micro) / F.lit(1000000.0)).alias("adamic_adar"),
         )
         .filter(F.col("common") >= min_common)
     )
@@ -659,3 +666,67 @@ def kcore(
             .localCheckpoint(eager=True)
         )
     return e.groupBy(F.col("s").alias("n")).agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    lcc(n) = triangles(n) / C(deg(n), 2). Returns ``(node, degree,
+    n_triangles, lcc)`` for every node with degree >= 2.
+
+    The wedge generation is the adjacency self-join keyed on the CENTER
+    node — cost Σ_n deg(n)², quadratic in the hottest node, the same
+    shape as ``neighbor_similarity``'s shared-neighbor pivot. The same
+    hub guard applies: with ``max_degree`` set, nodes above the cap are
+    dropped as wedge CENTERS before the self-join (per-key fanout
+    bounded at C(max_degree, 2), so the join shuffles cleanly at any
+    corpus size) and reported with ``n_triangles``/``lcc`` NULL — an
+    honest "not computed", never a silent 0, because a celebrity hub's
+    lcc is ≈0 by construction and not worth a quadratic stage. Degrees
+    (the denominator AND the cap test) come from the uncapped adjacency,
+    so every emitted lcc is exact.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+    )
+    adj = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees, wedges and the closer
+    )
+    deg = adj.groupBy(F.col("s").alias("n")).agg(F.count(F.lit(1)).alias("degree"))
+    wsrc = adj
+    if max_degree is not None:
+        keep = deg.filter(F.col("degree") <= max_degree).select(F.col("n").alias("s"))
+        wsrc = wsrc.join(keep, "s", "left_semi")
+    a, b = wsrc.alias("a"), wsrc.alias("b")
+    wedge = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d"))
+    ).select(F.col("a.s").alias("n"), F.col("a.d").alias("u"), F.col("b.d").alias("v"))
+    closer = adj.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    tri = wedge.join(closer, ["u", "v"]).groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    out = deg.join(tri, "n", "left").filter(F.col("degree") >= 2)
+    capped = (
+        F.lit(False) if max_degree is None else F.col("degree") > F.lit(max_degree)
+    )
+    n_tri = F.when(capped, F.lit(None).cast("long")).otherwise(
+        F.coalesce("n_tri", F.lit(0)).cast("long")
+    )
+    lcc = F.round(
+        F.coalesce("n_tri", F.lit(0))
+        / (F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)),
+        6,
+    )
+    return out.select(
+        F.col("n").alias("node"),
+        "degree",
+        n_tri.alias("n_triangles"),
+        F.when(capped, F.lit(None).cast("double")).otherwise(lcc).alias("lcc"),
+    )

@@ -21,6 +21,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _shuffle_partitions_conf(spark, default: int = 32) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating platforms that
+    set it to a non-numeric value (e.g. Databricks' "auto")."""
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        n = default
+    return max(2, n)
+
+
 def assign_dense_ids(
     df: DataFrame,
     order_col: str,
@@ -40,23 +50,47 @@ def assign_dense_ids(
     partition's rows — no single-partition exchange anywhere in the
     plan) plus the partition's cumulative offset, broadcast-joined back.
 
-    ``order_col`` must be unique (a key): ties spanning a range boundary
-    would make the global order partition-dependent.
+    ``order_col`` must be unique (a key) and non-NULL: ties or NULLs
+    spanning a range boundary would make the global order
+    partition-dependent. The contract is CHECKED (count vs distinct
+    count on the already-checkpointed frame — one cheap extra job),
+    because a silently run-dependent id is the worst failure mode a
+    stamped example id can have.
     """
     spark = df.sparkSession
-    n_parts = num_partitions or max(
-        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    n_parts = num_partitions or _shuffle_partitions_conf(spark)
     part = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # Bounded collect: one (pid, count) row per partition.
+    # Key-contract check + bounded collect in ONE aggregate pass over the
+    # checkpointed frame: per-partition row count (one long per
+    # partition) plus the global distinct/null tallies for the contract.
     counts = sorted(
-        (r["_pid"], r["c"])
-        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        (r["_pid"], r["c"], r["d"], r["nn"])
+        for r in part.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct(F.col(order_col)).alias("d"),
+            F.count(F.col(order_col)).alias("nn"),
+        )
+        .collect()
     )
+    # Within a range partition all rows share the key range, so per-
+    # partition uniqueness + non-NULL implies global uniqueness except
+    # for EQUAL keys split across a boundary — which repartitionByRange
+    # never does (equal keys hash to one range).
+    bad = [(p, c, d, nn) for p, c, d, nn in counts if d != c or nn != c]
+    if bad:
+        p, c, d, nn = bad[0]
+        raise ValueError(
+            f"assign_dense_ids: order_col {order_col!r} violates the key "
+            f"contract (partition {p}: {c} rows, {d} distinct, {nn} "
+            "non-NULL) — duplicate or NULL keys would make the ids "
+            "run-dependent"
+        )
+    counts = [(p, c) for p, c, _, _ in counts]
     offsets, acc = [], 0
     for pid, c in counts:
         offsets.append((pid, acc))

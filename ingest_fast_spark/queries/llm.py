@@ -185,6 +185,22 @@ def dedup_winnowing(spark, sf_dir):
     )
 
 
+@register("dedup_winnowing_fast")  # rows-only BY DESIGN: xxhash64
+def dedup_winnowing_fast(spark, sf_dir):
+    """xxhash64 scale default of ``dedup_winnowing`` — identical MOSS
+    selection algebra (window-min over (hash asc, pos desc)), identical
+    two-exchange plan shape, JVM-codegen hashing instead of the md5 fold
+    the oracle needs (the portable-twin / fast-default split the MinHash
+    and weighted-MinHash families use). No DuckDB oracle (xxhash64 is
+    Spark-only); the oracle-exact portable twin proves the selection
+    rule, and ``test_dedup.py`` pins that both variants recover the
+    identical planted near-dup pairs."""
+    return D.winnow_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=16, w=4, min_shared=8, max_doc_freq=20, portable=False,
+    )
+
+
 @register("dedup_exact_substring", oracle=D.substring_span_oracle_sql())
 def dedup_exact_substring(spark, sf_dir):
     """Exact-substring dedup (suffix-array family, Lee et al. 2022): per
@@ -3473,17 +3489,25 @@ def text_dedup_sentences_within_doc(spark, sf_dir):
     ``dedup_paragraphs``, the corpus-wide variant that must shuffle on
     paragraph identity). ``array_position`` returns the FIRST index of a
     value, so ``filter(s, (x, i) -> array_position(s, x) == i+1)`` is
-    first-occurrence-wins in one expression on both engines."""
+    first-occurrence-wins in one expression on both engines. The
+    sentence array is let-bound (``dedup.let_col``) so the per-element
+    position probe scans the SPLIT array, never re-splits the text —
+    the probe itself is the O(n²)-in-sentences algorithm both engines
+    share; the binding keeps it O(n²)-in-sentences, not in characters."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    sents = F.split(F.col("text"), r"\.\s+")
-    kept = F.filter(
-        sents, lambda x, i: F.array_position(sents, x) == i + F.lit(1)
+    kd = D.let_col(
+        F.split(F.col("text"), r"\.\s+"),
+        lambda s: F.struct(
+            F.filter(s, lambda x, i: F.array_position(s, x) == i + F.lit(1)).alias("k"),
+            F.size(s).alias("n"),
+        ),
     )
-    return d.select(
+    d2 = d.select("doc_id", kd.alias("kd"))
+    return d2.select(
         "doc_id",
-        F.array_join(kept, ". ").alias("text_clean"),
-        F.size(kept).cast("long").alias("n_kept"),
-        (F.size(sents) - F.size(kept)).cast("long").alias("n_dropped"),
+        F.array_join("kd.k", ". ").alias("text_clean"),
+        F.size("kd.k").cast("long").alias("n_kept"),
+        (F.col("kd.n") - F.size("kd.k")).cast("long").alias("n_dropped"),
     )
 
 
@@ -4960,7 +4984,7 @@ def graph_hits(spark, sf_dir):
             WHERE wd.deg <= 64),
     pairs AS (
       SELECT a.m AS u, b.m AS v, COUNT(*) AS common,
-             SUM(CAST(1 AS DOUBLE) / ln(a.wdeg)) AS aa
+             SUM(FLOOR(1e6 / ln(a.wdeg))) / 1e6 AS aa
       FROM piv a JOIN piv b ON a.w = b.w AND a.m < b.m
       GROUP BY a.m, b.m HAVING COUNT(*) >= 2
     )
@@ -4982,7 +5006,10 @@ def graph_common_neighbors(spark, sf_dir):
     so a 64-degree hub cap bounds per-key fanout before the join (a
     celebrity pivot predicts nothing — its 1/ln(deg) weight is ≈0);
     Jaccard denominators use UNCAPPED degrees so scores stay exact.
-    Counts are all-integer; the two double scores are rounded at 6."""
+    Counts are all-integer; Adamic–Adar terms are floored to integer
+    micro-units BEFORE the sum (partition-order independent, like the
+    RAKE/attribution scores), so neither layout nor AQE can move a
+    value across the 1e-6 rounding boundary."""
     from ..operators.graph import neighbor_similarity
 
     o = load_table(spark, sf_dir, "orders")
@@ -5138,6 +5165,70 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
                         subsample420=(i % 2 == 0),
                         restart_interval=1 if i % 3 == 0 else 0,
                     )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(6 + doc_id % 4 AS BIGINT) AS height,
+           'RGB' AS mode,
+           'JPEG' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE (SOF2) twin of ``multimodal_jpeg_roundtrip``: the
+    web's default large-image encoding. Synthesizes a deterministic
+    9-scan progressive JPEG per document (``make_jpeg_progressive``:
+    spectral-selection bands, DC and AC successive approximation with
+    refinement passes, cross-block EOB runs carrying correction bits —
+    every T.81 G.2 mechanism; doc_id-derived dimensions, solid colors so
+    the flat-quantization round-trip is EXACT; every second payload
+    4:2:0-subsampled, exercising the non-interleaved subsampled block
+    walks), pushes through the production ``decode_images`` operator
+    (pure-Python multi-scan coefficient accumulation here; PIL where
+    installed), and emits recovered metadata against the generator's
+    embedded ground truth.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import make_jpeg_progressive
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h = 8 + i % 9, 6 + i % 4
+                img = np.full(
+                    (h, w, 3),
+                    ((i * 3) % 256, (i * 7) % 256, (i * 13) % 256),
+                    dtype=np.uint8,
+                )
+                payloads.append(
+                    make_jpeg_progressive(w, h, img, subsample420=(i % 2 == 0))
                 )
             yield pd.DataFrame(
                 {
@@ -5608,12 +5699,18 @@ def graph_clustering_coefficient(spark, sf_dir):
     clique/boilerplate family; near-0 is a pure hub). Complements the
     global ``graph_triangle_count``.
 
-    Scale shape: wedges come from the adjacency self-join keyed on the
-    CENTER node (cost Σ deg²/2 — the same hub-sensitive shape as the
-    common-neighbor join, so at 100 TB the identical degree-cap guard
-    applies; the 300-node substrate keeps this exact here), closed by
-    one equi-join against the oriented edge list; counts are all-integer
-    and the one double is a ratio of identical integers, rounded at 6."""
+    Scale shape: delegates to ``operators.graph.clustering_coefficient``
+    — wedges come from the adjacency self-join keyed on the CENTER node
+    (cost Σ deg²/2, the same hub-sensitive shape as the common-neighbor
+    join), closed by one equi-join against the oriented edge list;
+    counts are all-integer and the one double is a ratio of identical
+    integers, rounded at 6. The operator carries the ``max_degree`` hub
+    guard (capped hubs report NULL, never a wrong 0 — see the planted-hub
+    test and ``tools/skew_graph_bench.py``); this registered query runs
+    UNCAPPED because its 300-node modular substrate saturates (max degree
+    297 at sf0.1), so every lcc stays exact against the oracle."""
+    from ..operators.graph import clustering_coefficient
+
     o = load_table(spark, sf_dir, "orders")
     raw = (
         o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
@@ -5622,26 +5719,7 @@ def graph_clustering_coefficient(spark, sf_dir):
         )
         .filter(F.col("s") != F.col("d"))
     )
-    adj = raw.unionByName(
-        raw.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
-    deg = adj.groupBy(F.col("s").alias("n")).agg(F.count(F.lit(1)).alias("degree"))
-    a, b = adj.alias("a"), adj.alias("b")
-    wedge = a.join(
-        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d"))
-    ).select(F.col("a.s").alias("n"), F.col("a.d").alias("u"), F.col("b.d").alias("v"))
-    e = adj.select(F.col("s").alias("u"), F.col("d").alias("v"))
-    tri = wedge.join(e, ["u", "v"]).groupBy("n").agg(F.count(F.lit(1)).alias("n_tri"))
-    out = deg.join(tri, "n", "left").filter(F.col("degree") >= 2)
-    lcc = F.coalesce("n_tri", F.lit(0)) / (
-        F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)
-    )
-    return out.select(
-        F.col("n").alias("node"),
-        "degree",
-        F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
-        F.round(lcc, 6).alias("lcc"),
-    )
+    return clustering_coefficient(raw, max_degree=None, src="s", dst="d")
 
 
 @register(

@@ -2605,7 +2605,7 @@ def _ewma_oracle() -> str:
              ROW_NUMBER() OVER w, {_EWMA_K}) {denom_case} END)) + 0.5) / 1e6
              AS ewma
     FROM events
-    WHERE value IS NOT NULL AND user_id IS NOT NULL
+    WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
@@ -2634,8 +2634,13 @@ def events_ewma(spark, sf_dir):
     denom = F.element_at(
         F.array(*[F.lit(float(d)) for d in _EWMA_DENOM]), navail
     )
+    # ts is an ORDER key: a NULL ts would sort FIRST in Spark but LAST
+    # in DuckDB and silently desynchronize every lag for that user, so
+    # it is filtered like the other streaming queries do defensively.
     e = _t(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
     )
     return e.select(
         "event_id",
@@ -3057,23 +3062,7 @@ def _bootstrap_oracle() -> str:
     """
 
 
-@register("agg_bootstrap_ci", oracle=_bootstrap_oracle())
-def agg_bootstrap_ci(spark, sf_dir):
-    """Poisson bootstrap confidence intervals (the online/streaming
-    bootstrap — Oza & Russell 2001, Chamandy et al. 2012): each row
-    enters replicate r with weight ~ Poisson(1) drawn by inverse CDF
-    from a deterministic per-(row, replicate) uniform, so the resample
-    never materializes and the whole thing is one weighted aggregate —
-    the only way to bootstrap a total when the data doesn't fit on one
-    machine (classical resampling needs n draws WITH replacement from a
-    global index). 32 replicate totals per group; the CI is the 2nd and
-    31st order statistic (~94% coverage), selected from the SORTED
-    bounded replicate array — exact integers end to end.
-
-    Scale shape: the ×32 replicate explode multiplies a CONSTANT;
-    weights are codegen arithmetic off the md5-portable uniform (the
-    oracle re-derives identical draws); both aggregates are map-side
-    combinable; the order-statistic step touches 32 values per group."""
+def _bootstrap_ci(spark, sf_dir, portable: bool):
     from ..operators.dedup import portable_hash60
 
     o = _t(spark, sf_dir, "orders").filter(
@@ -3089,13 +3078,15 @@ def agg_bootstrap_ci(spark, sf_dir):
         "o_orderkey",
         F.explode(F.sequence(F.lit(1), F.lit(_BOOT_REPS))).alias("rep"),
     )
-    u = (
-        portable_hash60(
-            F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("rep").cast("string"))
-        )
-        % F.lit(2147483648)
-        + F.lit(0.5)
-    ) / F.lit(2147483648.0)
+    key = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("rep").cast("string")
+    )
+    h31 = (
+        portable_hash60(key) % F.lit(2147483648)
+        if portable
+        else F.pmod(F.xxhash64(key), F.lit(2147483648))
+    )
+    u = (h31 + F.lit(0.5)) / F.lit(2147483648.0)
     k = None
     for c in _POIS1_CDF:
         term = (u >= F.lit(float(c))).cast("long")
@@ -3115,3 +3106,38 @@ def agg_bootstrap_ci(spark, sf_dir):
         F.element_at("ts", 2).alias("ci_low_cents"),
         F.element_at("ts", _BOOT_REPS - 1).alias("ci_high_cents"),
     )
+
+
+@register("agg_bootstrap_ci", oracle=_bootstrap_oracle())
+def agg_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap confidence intervals (the online/streaming
+    bootstrap — Oza & Russell 2001, Chamandy et al. 2012): each row
+    enters replicate r with weight ~ Poisson(1) drawn by inverse CDF
+    from a deterministic per-(row, replicate) uniform, so the resample
+    never materializes and the whole thing is one weighted aggregate —
+    the only way to bootstrap a total when the data doesn't fit on one
+    machine (classical resampling needs n draws WITH replacement from a
+    global index). 32 replicate totals per group; the CI is the 2nd and
+    31st order statistic (~94% coverage), selected from the SORTED
+    bounded replicate array — exact integers end to end.
+
+    Scale shape: the ×32 replicate explode multiplies a CONSTANT;
+    weights are codegen arithmetic off the md5-portable uniform (the
+    oracle re-derives identical draws); both aggregates are map-side
+    combinable; the order-statistic step touches 32 values per group."""
+    return _bootstrap_ci(spark, sf_dir, portable=True)
+
+
+@register("agg_bootstrap_ci_fast")  # rows-only BY DESIGN: xxhash64
+def agg_bootstrap_ci_fast(spark, sf_dir):
+    """xxhash64 scale default of ``agg_bootstrap_ci`` — the identical
+    Poisson(1) inverse-CDF weighting and order-statistic CI, with the
+    per-(row, replicate) uniform drawn from JVM-codegen ``xxhash64``
+    instead of the md5 fold the DuckDB oracle needs (the portable-twin /
+    fast-default split the MinHash family uses). The md5 chain is the
+    dominant sf0.1 cost of the portable headliner (×32 md5 per row); no
+    DuckDB oracle here (xxhash64 is Spark-only) — the oracle-exact twin
+    proves the weighting algebra, and ``test_scale_ops.py`` pins that
+    both variants report identical deterministic totals with CIs that
+    bracket them."""
+    return _bootstrap_ci(spark, sf_dir, portable=False)

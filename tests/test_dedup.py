@@ -221,6 +221,83 @@ def test_winnow_pairs_density_and_hot_fp_guard(spark):
     assert guarded.count() < 30
 
 
+def test_winnow_chunk_boundary_parity(spark):
+    """Explicit chunking must be invisible: a pathological chunk size
+    (17 grams, forcing dozens of boundaries per doc) selects the exact
+    same (fp, pos) set as single-chunk processing — windows spanning a
+    boundary are recomputed by the owning chunk with global positions."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, " ".join(random.choice("abcdefg hij klmno") for _ in range(200)))
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = {
+        (r["doc_id"], r["fp"], r["pos"])
+        for r in D.winnow_fingerprints(docs, k=8, w=4, chunk=1 << 18).collect()
+    }
+    sm = {
+        (r["doc_id"], r["fp"], r["pos"])
+        for r in D.winnow_fingerprints(docs, k=8, w=4, chunk=17).collect()
+    }
+    assert one == sm and one
+
+
+def test_winnow_long_doc_not_truncated(spark):
+    """No silent positional cap: a document longer than the per-chunk
+    gram budget is fingerprinted to its END (the old implementation
+    stopped at 2^20 grams; chunked selection has no ceiling). The planted
+    tail run must be selected with its true GLOBAL position."""
+    n_chars = 3 * (1 << 12)  # 3 chunks at the test chunk size below
+    body = "".join("abcdefghij"[i % 10] for i in range(n_chars))
+    tail = "zqxjvkwpyfbgmhdn"  # rare-letter run, planted at the very end
+    docs = spark.createDataFrame([(1, body + tail)], "doc_id long, text string")
+    fp = D.winnow_fingerprints(docs, k=8, w=4, chunk=1 << 12)
+    max_pos = fp.agg(F.max("pos")).collect()[0][0]
+    # the last gram starts at len(text) - k + 1; selection density ~2/(w+1)
+    # means SOME selection lands within the final w-gram window
+    assert max_pos >= n_chars, f"tail not fingerprinted: max pos {max_pos}"
+    # and the planted tail shares a fingerprint with a doc that quotes it
+    quoter = spark.createDataFrame(
+        [(2, "completely different text " + tail + " around the quote")],
+        "doc_id long, text string",
+    )
+    a = {r["fp"] for r in fp.collect()}
+    b = {r["fp"] for r in D.winnow_fingerprints(quoter, k=8, w=4).collect()}
+    assert a & b
+
+
+def test_winnow_fast_twin_recovers_planted_pairs(spark):
+    """The xxhash64 production default and the md5-portable twin recover
+    the identical planted near-dup pairs (the hash family changes WHICH
+    grams are selected, not whether heavily-overlapping docs collide)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long and unmistakably repeated passage of shared text here"
+    )
+    import random
+
+    rng = random.Random(11)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rows = [(1, base), (2, base + " with a tiny suffix edit")] + [
+        (i, " ".join("".join(rng.choice(letters) for _ in range(7)) for _ in range(25)))
+        for i in range(3, 9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(1, 2)}
+    got_p = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.winnow_pairs(docs, k=8, w=4, min_shared=4, portable=True).collect()
+    }
+    got_f = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.winnow_pairs(docs, k=8, w=4, min_shared=4, portable=False).collect()
+    }
+    assert got_p == want and got_f == want
+
+
 def rows_df(docs):
     return [{"text": r["text"]} for r in docs.collect()]
 

@@ -360,7 +360,9 @@ def test_neighbor_similarity_matches_bruteforce(spark):
         common = adj[u] & adj[v]
         if len(common) >= 1:
             jac = len(common) / len(adj[u] | adj[v])
-            aa = sum(1.0 / math.log(len(adj[w])) for w in common)
+            # per-term micro-unit floor, the operator's cross-engine
+            # partition-order-independent formulation
+            aa = sum(math.floor(1e6 / math.log(len(adj[w]))) for w in common) / 1e6
             expected[(u, v)] = (len(common), round(jac, 9), round(aa, 9))
     e = spark.createDataFrame(raw, "src long, dst long")
     got = {
@@ -485,3 +487,30 @@ def test_personalized_pagerank_conserves_mass(spark):
     seed_share_ppr = sum(ppr[s] for s in (0, 5, 9))
     seed_share_uni = sum(uni[s] for s in (0, 5, 9))
     assert seed_share_ppr > seed_share_uni
+
+
+def test_clustering_coefficient_hub_cap(spark):
+    """The max_degree hub guard: a planted celebrity node (connected to
+    everything) is excluded as a wedge CENTER — reported with NULL
+    n_triangles/lcc, never a wrong 0 — while every uncapped node's lcc is
+    EXACTLY what the uncapped run computes (degrees, including the hub's
+    contribution to its neighbors' degrees, stay uncapped-exact)."""
+    from ingest_fast_spark.operators.graph import clustering_coefficient
+
+    rng = random.Random(31)
+    hub = 0
+    edges = [(hub, v) for v in range(1, 40)]  # celebrity: degree 39
+    edges += [(rng.randrange(1, 40), rng.randrange(1, 40)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    uncapped = {r["node"]: r for r in clustering_coefficient(edf).collect()}
+    capped = {r["node"]: r for r in clustering_coefficient(edf, max_degree=30).collect()}
+    assert set(capped) == set(uncapped)  # same node universe (deg >= 2)
+    assert capped[hub]["n_triangles"] is None and capped[hub]["lcc"] is None
+    assert capped[hub]["degree"] == uncapped[hub]["degree"] == 39
+    for n, r in uncapped.items():
+        if n == hub:
+            continue
+        assert capped[n]["degree"] == r["degree"]
+        assert capped[n]["n_triangles"] == r["n_triangles"]
+        assert capped[n]["lcc"] == r["lcc"]

@@ -1,4 +1,4 @@
-"""Baseline JPEG codec tests: round-trip exactness for solid colors
+"""JPEG codec tests (baseline + progressive): round-trip exactness for solid colors
 (DC-only blocks, flat quantization), bounded DCT rounding for patterns,
 4:2:0 subsampling, restart-marker resync, honest gates, and the Spark
 decode/resize paths without PIL."""
@@ -7,7 +7,11 @@ import numpy as np
 import pytest
 
 from ingest_fast_spark.operators import multimodal as M
-from ingest_fast_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+from ingest_fast_spark.operators.jpeg import (
+    decode_jpeg_pixels,
+    make_jpeg,
+    make_jpeg_progressive,
+)
 
 
 @pytest.mark.parametrize(
@@ -64,14 +68,46 @@ def test_honest_gates_and_garbage():
     for bad in (b"", b"NOTJPEG", b"\xff\xd8" + b"\x00" * 10, good[:30]):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg_pixels(bad)
-    # progressive (SOF2) is an honest NotImplementedError, not a guess
+    # lossless (SOF3) is an honest NotImplementedError, not a guess
     import struct
 
-    sof2 = bytes([0xFF, 0xC2]) + struct.pack(">H", 11) + bytes(
+    sof3 = bytes([0xFF, 0xC3]) + struct.pack(">H", 11) + bytes(
         [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
     )
     with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(b"\xff\xd8" + sof2)
+        decode_jpeg_pixels(b"\xff\xd8" + sof3)
+
+
+@pytest.mark.parametrize("sub", [False, True])
+def test_progressive_solid_roundtrip_exact(sub):
+    img = np.full((20, 28, 3), (120, 64, 200), dtype=np.uint8)
+    out = decode_jpeg_pixels(make_jpeg_progressive(28, 20, img, subsample420=sub))
+    assert (out["width"], out["height"], out["mode"], out["format"]) == (
+        28, 20, "RGB", "JPEG",
+    )
+    assert np.array_equal(out["pixels"], img)
+
+
+@pytest.mark.parametrize(
+    "w,h,sub", [(24, 16, False), (24, 16, True), (13, 11, False), (41, 25, True)]
+)
+def test_progressive_decode_matches_baseline(w, h, sub):
+    """The 9-scan progressive script (spectral bands + DC/AC successive
+    approximation + EOB runs with correction bits) reassembles the SAME
+    integer coefficients the sequential scan codes, so the progressive
+    decode must be bit-identical to the baseline decode of the same
+    image — including odd dimensions and 4:2:0 chroma."""
+    rng = np.random.default_rng(w * 1000 + h + sub)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg_pixels(make_jpeg(w, h, img, subsample420=sub))
+    prog = decode_jpeg_pixels(make_jpeg_progressive(w, h, img, subsample420=sub))
+    assert np.array_equal(base["pixels"], prog["pixels"])
+
+
+def test_progressive_truncated_raises():
+    p = make_jpeg_progressive(24, 16)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(p[: len(p) * 2 // 3])
 
 
 def test_decode_images_catches_corrupt_jpeg_without_pil(spark):

@@ -155,3 +155,41 @@ def test_dense_ids_random_keys_match_enumeration(spark):
             for r in assign_dense_ids(df, "k", num_partitions=5).collect()
         }
         assert got == {k: i + 1 for i, k in enumerate(sorted(keys))}, seed
+
+
+def test_dense_ids_rejects_duplicate_and_null_keys(spark):
+    """The key contract is CHECKED, not documented away: duplicate or
+    NULL order keys would make the stamped ids run-dependent, so the
+    operator refuses them instead of silently numbering."""
+    import pytest
+
+    dup = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    with pytest.raises(ValueError, match="key"):
+        assign_dense_ids(dup, "k", num_partitions=2).collect()
+    withnull = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    with pytest.raises(ValueError, match="key"):
+        assign_dense_ids(withnull, "k", num_partitions=2).collect()
+
+
+def test_shuffle_conf_parse_tolerates_non_numeric():
+    """Platforms may set spark.sql.shuffle.partitions to a non-numeric
+    value (e.g. Databricks' 'auto' — this Spark build rejects setting it,
+    so the guard is exercised with a stub); the default partition count
+    falls back instead of raising."""
+    from ingest_fast_spark.operators.layout import _shuffle_partitions_conf
+
+    class _Conf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key, default=None):
+            return self.v
+
+    class _Spark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert _shuffle_partitions_conf(_Spark("auto")) == 32
+    assert _shuffle_partitions_conf(_Spark(None)) == 32
+    assert _shuffle_partitions_conf(_Spark("48")) == 48
+    assert _shuffle_partitions_conf(_Spark("1")) == 2  # floor at 2

@@ -62,6 +62,9 @@ REPRESENTATIVE = [
     "events_cusum_changepoint", # ordered running sums over day order, not row order
     "agg_bootstrap_ci",         # hash-keyed Poisson draws are layout-free
     "search_phrase_positional", # positions from per-doc arrays, not scan order
+    # round-8
+    "graph_common_neighbors",   # micro-unit Adamic-Adar sums, order-free by construction
+    "dedup_winnowing",          # in-row window-min selection across chunk layouts
 ]
 
 TABLES = (

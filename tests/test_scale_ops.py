@@ -169,3 +169,22 @@ def test_hll_sketches_merge_exactly(spark, sf_dir):
     assert merged_est == global_est  # merge is lossless, not just "close"
     exact = e.select("user_id").distinct().count()
     assert abs(merged_est - exact) / exact < 0.05
+
+
+def test_bootstrap_ci_fast_twin_parity(spark, sf_dir):
+    """The xxhash64 bootstrap twin reports the IDENTICAL deterministic
+    totals per group as the md5-portable headliner, and both variants'
+    replicate CIs bracket those totals (the Poisson(1) weighting algebra
+    is shared; only the uniform source differs — same twin contract as
+    the MinHash fast/portable split)."""
+    from ingest_fast_spark.queries import QUERIES
+
+    got = {}
+    for name in ("agg_bootstrap_ci", "agg_bootstrap_ci_fast"):
+        rows = {r["o_orderpriority"]: r for r in QUERIES[name](spark, sf_dir).collect()}
+        assert rows
+        for r in rows.values():
+            assert r["ci_low_cents"] <= r["total_cents"] <= r["ci_high_cents"]
+            assert r["ci_low_cents"] < r["ci_high_cents"]
+        got[name] = {k: r["total_cents"] for k, r in rows.items()}
+    assert got["agg_bootstrap_ci"] == got["agg_bootstrap_ci_fast"]

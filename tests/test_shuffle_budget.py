@@ -122,10 +122,13 @@ SHUFFLE_BUDGET = {
     # once for codebook + encode): codebook anti-join agg, per-(vec,sub)
     # min_by encode, the ADC (query,vec) rollup — tables broadcast
     "embed_topk_ivf_pq_residual": 6,
-    # winnowing: per-doc selection window + (doc,sel) distinct + (doc,fp)
-    # distinct + df-guard agg/join + pair rollup; the gram explode itself
-    # is map-only off the scan
-    "dedup_winnowing": 6,
+    # winnowing: the selection is computed in-row (map-only array HOFs —
+    # the gram stream never shuffles); post-checkpoint shape after the
+    # one pinned repartition("fp"): the (doc,fp) distinct, df-guard
+    # window and both self-join sides all ride that partitioning, so the
+    # only visible exchange is the pair rollup
+    "dedup_winnowing": 2,
+    "dedup_winnowing_fast": 2,  # same shape, xxhash64 gram hash
     # CMS: post-checkpoint shape — the (row_i,bucket) cell agg (<=1024
     # cells leave each map task) + the exact-count agg the report needs;
     # cells/top/total all broadcast into the estimate join
@@ -215,6 +218,7 @@ SHUFFLE_BUDGET = {
     # replicate totals agg + the order-statistic collect + point-estimate
     # join (the ×32 explode is map-only)
     "agg_bootstrap_ci": 3,
+    "agg_bootstrap_ci_fast": 3,  # same shape, xxhash64 uniform source
     # same shape as the portable twin (the hash family is the only change)
     "dedup_weighted_minhash_fast": 7,
     # adjacency distinct, degree agg, wedge self-join sides, closing
