@@ -182,12 +182,21 @@ HEADLINE = [
     "sample_reservoir_per_group",
     "text_readability",
     "text_rake_keywords",
+    # round 8: the xxhash64 fast twins, the progressive-JPEG round-trip,
+    # and the map-side sentence dedup
+    "dedup_winnowing_fast",
+    "agg_bootstrap_ci_fast",
+    "multimodal_jpeg_progressive",
+    "text_dedup_sentences_within_doc",
+    "multimodal_pdf_text",
 ]
 
 
 # Scale-section queries, most scale-informative first (so a budget cutoff
 # still records the ones whose constants matter most at 100 TB).
 SCALE_QUERIES = [
+    "dedup_winnowing",
+    "dedup_winnowing_fast",
     "dedup_jaccard_prefix_filter",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",

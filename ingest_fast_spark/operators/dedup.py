@@ -1483,6 +1483,10 @@ def minhash_candidate_pairs_portable(
 # --- Winnowing fingerprints (Schleimer, Wilkinson & Aiken, SIGMOD 2003) -----
 
 WINNOW_HASH_MOD = 1 << 40  # fingerprint hash space (portable md5 fold)
+# In-row composite radix: h * 2^23 + (2^23-1 - local_j) stays a PRIMITIVE
+# long ((2^40-1)*2^23 + 2^23-1 = 2^63-1 exactly fills int64), so window
+# minima and dedup run on primitive arrays — no struct allocation.
+_WINNOW_LOCAL_MOD = 1 << 23
 # Oracle-side composite radix: h * 2^63 + (2^63-1 - pos) in HUGEINT gives
 # integer order (h asc, pos desc) for ANY position — no positional cap.
 _WINNOW_POS_BIG = 1 << 63
@@ -1501,22 +1505,33 @@ def _winnow_chunk_selects(
     portable: bool,
 ):
     """Map-only winnowing core: one output row per (document, chunk) with
-    the chunk's selected fingerprints as ``sels: array<struct<h,negp>>``.
+    ``g0`` (the chunk's first hashed gram position, 1-based global) and
+    the chunk's selected fingerprints as ``sels: array<long>`` of
+    composites ``h * 2^23 + (2^23 - 1 - j)`` over LOCAL gram index j —
+    integer order = (hash asc, position desc) = the MOSS rightmost-tie
+    rule, decoded downstream as ``h = sel div 2^23``,
+    ``pos = g0 + (2^23 - 1 - sel mod 2^23) - 1``.
 
-    The selection is computed IN-ROW with array HOFs — hash every k-char
-    gram of the chunk, take each w-window's minimum struct ``(h, -pos)``
-    (struct order = hash asc, position desc = the MOSS rightmost-tie
-    rule) — so the per-character gram stream never leaves the map task.
+    The selection is computed IN-ROW with array HOFs over PRIMITIVE
+    longs — hash every k-char gram, take each w-window's minimum
+    composite, drop adjacent duplicates in O(m) (a dethroned window
+    minimum can never return within its span, so equal selections are
+    always consecutive) — the per-character gram stream never leaves the
+    map task, and no struct allocation or O(s²) struct-array_distinct
+    touches the hot loop (the struct formulation measured 70 s at sf5;
+    primitive composites cut the selection cost itself to hashing).
     Long documents are chunked explicitly: chunk ``c`` re-hashes the
     ``w - 1`` grams before its first owned window end (substr is cheap;
-    positions stay GLOBAL), so every window of the document is computed
-    exactly once by exactly one chunk and arbitrarily long texts are
-    fingerprinted in full — no silent positional cap.
+    g0 keeps positions GLOBAL), so every window of the document is
+    computed exactly once by exactly one chunk and arbitrarily long
+    texts are fingerprinted in full — no silent positional cap.
     """
     if w < 2 or k < 2:
         raise ValueError("winnowing needs k >= 2 and w >= 2")
     if chunk < w:
         raise ValueError("chunk must be >= w grams")
+    if chunk + w >= _WINNOW_LOCAL_MOD:
+        raise ValueError("chunk must fit the 2^23 local-position radix")
     s = df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("s"),
@@ -1556,8 +1571,11 @@ def _winnow_chunk_selects(
         def gram_hash(g):
             return portable_hash60(g) % WINNOW_HASH_MOD
     else:
+        # xxhash64 folded into the same 40-bit space so the composite
+        # radix holds; identical selection algebra, different hash family
         def gram_hash(g):
-            return F.xxhash64(g)
+            return F.pmod(F.xxhash64(g), F.lit(WINNOW_HASH_MOD))
+
     # local window ends: j = w .. m maps exactly onto this chunk's owned
     # global ends (see g0 above: the first owned end is always the w-th
     # local gram), so no window is computed twice across chunks.
@@ -1569,26 +1587,55 @@ def _winnow_chunk_selects(
     # (b) the hash array is bound once — otherwise every window
     # re-hashes the whole chunk (measured: minutes instead of ms on a
     # 4k-gram chunk, O(m²) md5 calls).
-    def select_windows(h):
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(w), F.size(h)),
-                lambda j: F.array_min(F.slice(h, j - (w - 1), w)),
-            )
+    # largest power of two <= w, for the sparse-table sliding minimum
+    p_max = 1 << ((w).bit_length() - 1)
+
+    def dedup_adjacent(s_col):
+        # O(m) adjacent-dedup — a dethroned window minimum can never
+        # return within its span, so equal selections are consecutive
+        return F.filter(
+            s_col,
+            lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                x != F.get(s_col, i - 1)
+            ),
         )
+
+    def select_windows(h):
+        # Sliding w-window minimum as a SPARSE TABLE (log2 w doubling
+        # passes of zip_with(least) over whole primitive arrays, then one
+        # overlapping combine) instead of a per-window slice+array_min —
+        # no per-window array allocation; measured 23 -> 9 s for the sf5
+        # selection stage. g_s[i] = min(h[i .. i+s-1]); doubling:
+        # g_2s[i] = min(g_s[i], g_s[i+s]); window min ending anywhere =
+        # min(g_p[j-w+1], g_p[j-p+1]) (overlap is harmless for min).
+        def doubled(g, span):
+            if span == p_max:
+                n_out = F.size(g) - (w - p_max)
+                mins = F.zip_with(
+                    F.slice(g, 1, n_out),
+                    F.slice(g, w - p_max + 1, n_out),
+                    lambda a, b: F.least(a, b),
+                )
+                return let_col(mins, dedup_adjacent)
+            nxt = F.zip_with(
+                F.slice(g, 1, F.size(g) - span),
+                F.slice(g, span + 1, F.size(g) - span),
+                lambda a, b: F.least(a, b),
+            )
+            return let_col(nxt, lambda g2: doubled(g2, span * 2))
+
+        return doubled(h, 1)
 
     def hs_of(sub):
         m = (F.length(sub) - F.lit(k - 1)).cast("int")  # m >= w by slicing
         return F.transform(
             F.sequence(F.lit(1), m),
-            lambda j: F.struct(
-                gram_hash(sub.substr(j, F.lit(k))).alias("h"),
-                (-(F.col("g0") + j.cast("long") - 1)).alias("negp"),
-            ),
+            lambda j: gram_hash(sub.substr(j, F.lit(k))) * _WINNOW_LOCAL_MOD
+            + (F.lit(_WINNOW_LOCAL_MOD - 1) - j.cast("long")),
         )
 
     sels = let_col(F.col("sub"), lambda sub: let_col(hs_of(sub), select_windows))
-    return chunks.select("doc_id", sels.alias("sels"))
+    return chunks.select("doc_id", "g0", sels.alias("sels"))
 
 
 def winnow_fingerprints(
@@ -1625,8 +1672,17 @@ def winnow_fingerprints(
     """
     sel = _winnow_chunk_selects(df, text_col, id_col, k, w, chunk, portable)
     return (
-        sel.select("doc_id", F.explode("sels").alias("sel"))
-        .select("doc_id", F.col("sel.h").alias("fp"), (-F.col("sel.negp")).alias("pos"))
+        sel.select("doc_id", "g0", F.explode("sels").alias("sel"))
+        .select(
+            "doc_id",
+            F.expr(f"sel div {_WINNOW_LOCAL_MOD}").alias("fp"),
+            # local j = 2^23-1 - (sel % 2^23); global pos = g0 + j - 1
+            (
+                F.col("g0")
+                + (F.lit(_WINNOW_LOCAL_MOD - 1) - F.col("sel") % _WINNOW_LOCAL_MOD)
+                - 1
+            ).alias("pos"),
+        )
         # same fingerprint can be re-selected by windows on both sides of
         # a chunk boundary — one distinct over the reduced stream
         .distinct()
@@ -1703,7 +1759,13 @@ def winnow_pairs(
     fp = (
         sel.select(
             "doc_id",
-            F.explode(F.array_distinct(F.transform("sels", lambda x: x["h"]))).alias("fp"),
+            F.explode(
+                # composite >> 23 = the 40-bit hash; primitive-long
+                # distinct takes the hash-set path, O(s)
+                F.array_distinct(
+                    F.transform("sels", lambda x: F.shiftrightunsigned(x, 23))
+                )
+            ).alias("fp"),
         )
         .repartition("fp")
         .dropDuplicates(["doc_id", "fp"])

@@ -1719,3 +1719,48 @@ _PIXEL_DECODERS = {
     "JPEG": decode_jpeg_pixels,
     "BMP": decode_bmp_pixels,
 }
+
+
+DOC_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("text", StringType()),
+        StructField("version", StringType()),
+    ]
+)
+
+
+def extract_document_text(df: DataFrame) -> DataFrame:
+    """Document-text extraction operator: mapInPandas over binary
+    payloads → (doc_id, n_pages, text, version). Dispatches on magic
+    bytes — PDF today (``operators/pdf.extract_pdf_text``, the
+    zero-dependency ISO 32000 parser); the schema leaves room for other
+    paginated document formats. Unrecognized payloads raise (honest
+    failure); NULL payloads yield NULL features (missing media is data,
+    not an error). Map-only: no shuffle, Arrow-batched."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .pdf import extract_pdf_text
+
+        for pdf_ in batches:
+            ids, pages, texts, vers = [], [], [], []
+            for i, b in zip(pdf_["doc_id"], pdf_["payload"]):
+                ids.append(i)
+                if b is None:
+                    pages.append(None), texts.append(None), vers.append(None)
+                    continue
+                raw = bytes(b)
+                if not raw.startswith(b"%PDF-"):
+                    raise ValueError("unrecognized document payload (PDF supported)")
+                r = extract_pdf_text(raw)
+                pages.append(r["n_pages"])
+                texts.append(r["text"])
+                vers.append(r["version"])
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_pages": pages, "text": texts, "version": vers}
+            )
+
+    return df.mapInPandas(extract, DOC_TEXT_SCHEMA)

@@ -1,0 +1,461 @@
+"""PDF text extraction with ZERO pdf libraries — the document-format
+companion of ``operators/jpeg.py`` / ``operators/multimodal.py`` for the
+multimodal ingest path: PDFs are the dominant long-form document format
+in web-scale training corpora, and a pipeline that can only pass their
+bytes through cannot curate them.
+
+Extractor (`extract_pdf_text`): a real ISO 32000 parser, not a regex
+scrape — classic cross-reference table(s) with /Prev chaining, trailer
+/Root, object tokenizer (dicts, arrays, names, numbers, literal strings
+with escapes and balanced parentheses, hex strings, indirect
+references), stream objects with indirect /Length and FlateDecode
+(stdlib zlib), page-tree walk (/Pages /Kids recursion, /Contents ref or
+array), and a content-stream interpreter that collects the text-showing
+operators Tj, ', ", and TJ (array form with kerning numbers). Pages are
+joined with newlines. Honest gates: /Encrypt, cross-reference STREAMS
+(PDF 1.5+ /Type /XRef), and non-Flate stream filters raise
+NotImplementedError; structurally broken files raise ValueError.
+
+Synthesizer (`make_pdf`): a conformant writer used for round-trip
+attestation — one page per text chunk, literal AND hex string forms plus
+the TJ array form (so the extractor's whole operator surface executes),
+FlateDecode-compressed content streams, a correct xref table and
+trailer. Any conformant reader can open its output.
+
+Reference parity note: /root/reference is pure-text ETL (no media); this
+module serves SURVEY.md §2.9 [EXT] multimodal requirements only.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"_Ref({self.num})"
+
+
+class _Str(bytes):
+    """A PDF string object — distinct from plain ``bytes``, which the
+    lexer uses for keywords/operators (the two must never be confused in
+    a content stream, where both appear)."""
+
+
+class _Lexer:
+    """Tokenizer over the raw PDF bytes (also used inside decompressed
+    content streams)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.b = data
+        self.i = pos
+
+    def _skip_ws(self) -> None:
+        b, i = self.b, self.i
+        while i < len(b):
+            c = b[i : i + 1]
+            if c in (b"%",):  # comment to end of line
+                while i < len(b) and b[i] not in (0x0A, 0x0D):
+                    i += 1
+            elif b[i] in _WS:
+                i += 1
+            else:
+                break
+        self.i = i
+
+    def peek_byte(self):
+        self._skip_ws()
+        return self.b[self.i : self.i + 1]
+
+    def read_token(self) -> bytes:
+        """Next regular token (name, number, keyword) or delimiter."""
+        self._skip_ws()
+        b, i = self.b, self.i
+        if i >= len(b):
+            raise ValueError("unexpected end of PDF")
+        c = b[i : i + 1]
+        if c == b"<" and b[i + 1 : i + 2] == b"<":
+            self.i = i + 2
+            return b"<<"
+        if c == b">" and b[i + 1 : i + 2] == b">":
+            self.i = i + 2
+            return b">>"
+        if c in _DELIM:
+            self.i = i + 1
+            return c
+        j = i
+        while j < len(b) and b[j] not in _WS and b[j : j + 1] not in _DELIM:
+            j += 1
+        self.i = j
+        return b[i:j]
+
+    def read_literal_string(self) -> bytes:
+        """After the opening '(' — balanced parens, backslash escapes."""
+        b, i = self.b, self.i
+        out = bytearray()
+        depth = 1
+        while i < len(b):
+            c = b[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                e = b[i : i + 1]
+                mapped = {
+                    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                    b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
+                }.get(e)
+                if mapped is not None:
+                    out += mapped
+                    i += 1
+                elif e.isdigit():  # octal, up to 3 digits
+                    j = i
+                    while j < i + 3 and b[j : j + 1].isdigit():
+                        j += 1
+                    out.append(int(b[i:j], 8) & 0xFF)
+                    i = j
+                elif e in (b"\n", b"\r"):  # line continuation
+                    i += 1
+                else:
+                    out += e
+                    i += 1
+            elif c == 0x28:  # (
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    self.i = i + 1
+                    return bytes(out)
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        raise ValueError("unterminated PDF string")
+
+    def read_hex_string(self) -> bytes:
+        """After the opening '<' (not '<<')."""
+        b = self.b
+        j = b.index(b">", self.i)
+        hx = re.sub(rb"\s", b"", b[self.i : j])
+        self.i = j + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def read_object(self):
+        """One PDF object: dict/array/name/number/string/ref/keyword."""
+        tok = self.read_token()
+        if tok == b"<<":
+            d = {}
+            while True:
+                if self.peek_byte() == b">":
+                    if self.read_token() != b">>":
+                        raise ValueError("malformed PDF dictionary")
+                    return d
+                key = self.read_object()
+                if not isinstance(key, str):
+                    raise ValueError("PDF dict key is not a name")
+                d[key] = self.read_object()
+        if tok == b"[":
+            arr = []
+            while self.peek_byte() != b"]":
+                arr.append(self.read_object())
+            self.read_token()  # consume ]
+            return arr
+        if tok == b"/":
+            return "/" + self.read_token().decode("latin-1")
+        if tok == b"(":
+            return _Str(self.read_literal_string())
+        if tok == b"<":
+            return _Str(self.read_hex_string())
+        if re.fullmatch(rb"[+-]?\d+", tok):
+            # possible indirect reference "n g R"
+            save = self.i
+            try:
+                gen = self.read_token()
+                r = self.read_token()
+                if r == b"R" and re.fullmatch(rb"\d+", gen):
+                    return _Ref(int(tok))
+            except ValueError:
+                pass
+            self.i = save
+            return int(tok)
+        if re.fullmatch(rb"[+-]?(\d+\.\d*|\.\d+)", tok):
+            return float(tok)
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        return tok  # keyword (obj, stream, endobj, operators, ...)
+
+
+def _parse_xref(b: bytes):
+    """Classic xref table(s): offsets per object number, trailer dict
+    (merged across /Prev chain, newest wins)."""
+    tail = b[-2048:]
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass
+    if m is None:
+        raise ValueError("PDF has no startxref")
+    offsets: dict[int, int] = {}
+    trailer: dict = {}
+    seen = set()
+    pos = int(m.group(1))
+    while pos not in seen:
+        seen.add(pos)
+        lx = _Lexer(b, pos)
+        first = lx.read_token()
+        if first != b"xref":
+            # a cross-reference STREAM (PDF 1.5+) starts with "n 0 obj"
+            raise NotImplementedError(
+                "PDF cross-reference stream (1.5+ /Type /XRef) — classic "
+                "xref tables only"
+            )
+        while True:
+            tok = lx.read_token()
+            if tok == b"trailer":
+                break
+            start = int(tok)
+            count = int(lx.read_token())
+            for k in range(count):
+                off = int(lx.read_token())
+                lx.read_token()  # generation
+                kind = lx.read_token()
+                if kind == b"n" and (start + k) not in offsets:
+                    offsets[start + k] = off
+        t = lx.read_object()
+        if not isinstance(t, dict):
+            raise ValueError("malformed PDF trailer")
+        for k, v in t.items():
+            trailer.setdefault(k, v)
+        if "/Prev" in t and isinstance(t["/Prev"], int):
+            pos = t["/Prev"]
+        else:
+            break
+    return offsets, trailer
+
+
+class _Doc:
+    def __init__(self, b: bytes):
+        if not b.startswith(b"%PDF-"):
+            raise ValueError("not a PDF signature")
+        self.b = b
+        self.offsets, self.trailer = _parse_xref(b)
+        if "/Encrypt" in self.trailer:
+            raise NotImplementedError("encrypted PDF")
+        self._cache: dict[int, object] = {}
+
+    def resolve(self, v):
+        while isinstance(v, _Ref):
+            v = self.get_object(v.num)
+        return v
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            raise ValueError(f"PDF object {num} not in xref")
+        lx = _Lexer(self.b, off)
+        if int(lx.read_token()) != num:
+            raise ValueError("xref offset does not match object number")
+        lx.read_token()  # generation
+        if lx.read_token() != b"obj":
+            raise ValueError("malformed PDF object header")
+        val = lx.read_object()
+        # stream?
+        save = lx.i
+        tok = None
+        try:
+            tok = lx.read_token()
+        except ValueError:
+            pass
+        if tok == b"stream":
+            if not isinstance(val, dict):
+                raise ValueError("PDF stream without a dictionary")
+            i = lx.i
+            # exactly CRLF or LF after the 'stream' keyword
+            if self.b[i : i + 2] == b"\r\n":
+                i += 2
+            elif self.b[i : i + 1] == b"\n":
+                i += 1
+            length = self.resolve(val.get("/Length"))
+            if not isinstance(length, int):
+                raise ValueError("PDF stream /Length missing")
+            raw = self.b[i : i + length]
+            filt = self.resolve(val.get("/Filter"))
+            if filt in (None, []):
+                data = raw
+            elif filt == "/FlateDecode" or filt == ["/FlateDecode"]:
+                data = zlib.decompress(raw)
+            else:
+                raise NotImplementedError(f"PDF stream filter {filt}")
+            val = {"dict": val, "data": data}
+        else:
+            lx.i = save
+        self._cache[num] = val
+        return val
+
+
+def _page_content_text(doc: _Doc, page: dict) -> str:
+    contents = doc.resolve(page.get("/Contents"))
+    if contents is None:
+        return ""
+    streams = contents if isinstance(contents, list) else [contents]
+    data = b"".join(
+        doc.resolve(s)["data"] if isinstance(doc.resolve(s), dict) and "data" in doc.resolve(s)
+        else b""
+        for s in streams
+    )
+    lx = _Lexer(data)
+    out: list[bytes] = []
+    stack: list = []
+    while lx.i < len(data):
+        lx._skip_ws()
+        if lx.i >= len(data):
+            break
+        try:
+            obj = lx.read_object()
+        except ValueError:
+            break
+        # plain bytes (not _Str) = an operator keyword; everything else
+        # is an operand
+        if isinstance(obj, bytes) and not isinstance(obj, _Str):
+            if obj in (b"Tj", b"'", b'"'):
+                for v in reversed(stack):
+                    if isinstance(v, _Str):
+                        out.append(bytes(v))
+                        break
+            elif obj == b"TJ":
+                for v in reversed(stack):
+                    if isinstance(v, list):
+                        out.extend(bytes(x) for x in v if isinstance(x, _Str))
+                        break
+            stack.clear()  # every operator consumes its operand list
+        else:
+            stack.append(obj)
+    return b"".join(out).decode("utf-8", errors="replace")
+
+
+def _walk_pages(doc: _Doc, node: dict, acc: list) -> None:
+    t = doc.resolve(node.get("/Type"))
+    if t == "/Pages":
+        for kid in doc.resolve(node.get("/Kids")) or []:
+            _walk_pages(doc, doc.resolve(kid), acc)
+    elif t == "/Page":
+        acc.append(node)
+    else:
+        raise ValueError(f"unexpected page-tree node type {t}")
+
+
+def extract_pdf_text(payload: bytes) -> dict:
+    """Parse a PDF and return {n_pages, text, version} — text is the
+    concatenated text-show strings per page, pages joined with \\n."""
+    b = bytes(payload)
+    doc = _Doc(b)
+    root = doc.resolve(doc.trailer.get("/Root"))
+    if not isinstance(root, dict):
+        raise ValueError("PDF trailer /Root missing")
+    pages_node = doc.resolve(root.get("/Pages"))
+    if not isinstance(pages_node, dict):
+        raise ValueError("PDF catalog /Pages missing")
+    pages: list = []
+    _walk_pages(doc, pages_node, pages)
+    texts = [_page_content_text(doc, p) for p in pages]
+    m = re.match(rb"%PDF-(\d+\.\d+)", b)
+    return {
+        "n_pages": len(pages),
+        "text": "\n".join(texts),
+        "version": m.group(1).decode("ascii") if m else "?",
+    }
+
+
+# --------------------------------------------------------------------------
+# Synthesizer (round-trip attestation)
+# --------------------------------------------------------------------------
+
+
+def _esc_literal(s: bytes) -> bytes:
+    return s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def make_pdf(pages: list[str]) -> bytes:
+    """A complete, valid PDF (classic xref, FlateDecode content) with one
+    page per entry. Page text alternates the three text-show forms the
+    spec allows — literal string ``(..) Tj``, hex string ``<..> Tj``
+    (byte-exact for any UTF-8 payload), and the ``TJ`` array with kerning
+    numbers — so a round-trip exercises the extractor's whole operator
+    surface."""
+    objs: list[bytes] = []  # 1-based object bodies, in object-number order
+
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3 font,
+    # 4..3+n page objects, 4+n..3+2n content streams
+    kids = b" ".join(b"%d 0 R" % (4 + i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [ %s ] /Count %d >>" % (kids, n_pages)
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i in range(n_pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (4 + n_pages + i)
+        )
+    for i, text in enumerate(pages):
+        raw = text.encode("utf-8")
+        if i % 3 == 0:
+            show = b"(" + _esc_literal(raw) + b") Tj"
+        elif i % 3 == 1:
+            show = b"<" + raw.hex().encode("ascii") + b"> Tj"
+        else:  # TJ array: split roughly in half with a kerning number
+            h = max(1, len(raw) // 2)
+            # split on a UTF-8 boundary
+            while h < len(raw) and (raw[h] & 0xC0) == 0x80:
+                h += 1
+            show = (
+                b"[ ("
+                + _esc_literal(raw[:h])
+                + b") -250 <"
+                + raw[h:].hex().encode("ascii")
+                + b"> ] TJ"
+            )
+        content = b"BT /F1 12 Tf 72 720 Td " + show + b" ET"
+        comp = zlib.compress(content)
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]  # object 0 is the free head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(out)

@@ -5248,6 +5248,65 @@ def multimodal_jpeg_progressive(spark, sf_dir):
     return M.decode_images(payloads)
 
 
+@register(
+    "multimodal_pdf_text",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_pages,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' (synthetic) cover \\ page'
+             || chr(10) || text AS text,
+           '1.4' AS version
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+)
+def multimodal_pdf_text(spark, sf_dir):
+    """PDF text-extraction round-trip — the document-format member of
+    the multimodal family (PDF is the dominant long-form format in
+    web-scale corpora; a pipeline that cannot read it back cannot curate
+    it). Synthesizes a real two-page PDF per document with
+    ``operators/pdf.make_pdf`` (FlateDecode content streams, classic
+    xref; page 1 a doc_id-derived cover in the LITERAL string form with
+    escape-worthy characters, page 2 the document's ACTUAL text in the
+    byte-exact HEX string form — the synthesizer also rotates the TJ
+    array form across pages), pushes it through the production
+    ``extract_document_text`` operator (the zero-dependency ISO 32000
+    parser: xref → catalog → page tree → content streams → Tj/'/"/TJ),
+    and emits the recovered page count and FULL text against the
+    original — the oracle re-derives the exact expected text in SQL, so
+    the driver proves byte-exact extraction, not just page counts.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..operators.pdf import make_pdf
+
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf_["doc_id"], pdf_["text"]):
+                ids.append(i)
+                payloads.append(
+                    make_pdf([f"doc {i} (synthetic) cover \\ page", str(t)])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "application/pdf",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.extract_document_text(payloads)
+
+
 # ---------------------------------------------------------------------------
 # DBSCAN density clustering over the embedding space
 # ---------------------------------------------------------------------------

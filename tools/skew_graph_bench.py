@@ -34,6 +34,7 @@ def planted_hot_edges(n_hot: int, n_small_comps: int, seed: int = 99):
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from ingest_fast_spark.operators.graph import (
+        clustering_coefficient,
         connected_components,
         label_propagation,
     )
@@ -52,6 +53,11 @@ def main() -> None:
             # threshold=0 forces the distributed star rounds (the scale path)
             ("cc", lambda: connected_components(edf, small_graph_threshold=0)),
             ("lpa", lambda: label_propagation(edf, iterations=3)),
+            # the wedge self-join under its hub cap: the planted
+            # celebrity (degree ~n_hot) is excluded as a wedge center, so
+            # growth must track the CAPPED wedge count, not deg(hub)^2 —
+            # uncapped, the 1x graph alone would build C(n_hot, 2) wedges
+            ("lcc_capped", lambda: clustering_coefficient(edf, max_degree=64)),
         ):
             best = None
             for _ in range(repeats):

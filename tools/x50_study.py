@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Round-7 x50 growth study: time the MinHash-fed cluster twins against
-the baseline-fed variants ON THE SAME sf5 dataset (within-dataset ratios
-are the signal; /tmp regenerations make cross-round absolutes
-incomparable), plus the round-7 additions. Min-of-2, noop sink, one JVM.
+"""Round-8 x50 growth study ON THE SAME sf5 dataset (within-dataset
+ratios are the signal; /tmp regenerations make cross-round absolutes
+incomparable): the winnowing rewrite, the bootstrap twin, the let_col-
+fixed shingle family, progressive JPEG. Min-of-2, noop sink, one JVM.
 
 Usage: python tools/x50_study.py [out.json] [mult]
 """
@@ -16,57 +16,39 @@ import sys
 import time
 
 QUERIES = [
-    # the r6 weak-mark clearers: scale twins vs their baseline-fed inputs
-    "dedup_soft_weights_fast",
-    "dedup_cluster_keep_best_fast",
-    "split_cluster_safe_fast",
-    "dedup_soft_weights_minhash",
-    "dedup_cluster_keep_best_minhash",
-    "split_cluster_safe_minhash",
-    "dedup_soft_weights",
-    "dedup_cluster_keep_best",
-    "split_cluster_safe",
-    "dedup_minhash_lsh_fast",  # the shared pair source, for attribution
-    # round-7 additions
-    "embed_topk_ivf_adc",
-    "multimodal_png_palette_roundtrip",
+    # round-8 headliners: the map-only winnowing rewrite (r7's one weak
+    # mark — was 65-76 s here) + its xxhash64 twin, and the bootstrap
+    # CI's md5 vs xxhash64 split
     "dedup_winnowing",
-    "sketch_cms_report",
-    "sketch_hll_report",
-    "sketch_kmv_report",
-    "multimodal_dedup_phash",
-    # (both DBSCAN variants are excluded: at eps=0.3 this corpus's
-    # eps-graph is Theta(n^2) DENSE by construction — the synthetic
-    # embeddings form 10 broad label clusters, so ~2% of all pairs are
-    # eps-neighbors and any edge-materializing DBSCAN is quadratic
-    # HERE regardless of pair source; measured 62 s at sf1 for the LSH
-    # twin. Production density clustering runs at near-dup eps where
-    # edges are sparse; the layers themselves ride the edge list. See
-    # BENCHNOTES round-7 second wave.)
-    "doc_kn_logppl",
-    "events_drift_ks",
-    "graph_kcore",
-    "decontaminate_semantic",
-    # round-7 third wave: the three growth-risky shapes (the shared-
-    # neighbor self-join under its hub cap, the x16-seed weighted
-    # sampler's pair join, the global-id range exchange) plus the
-    # cheap-by-design families to pin their floors
-    "graph_common_neighbors",
+    "dedup_winnowing_fast",
+    "agg_bootstrap_ci",
+    "agg_bootstrap_ci_fast",
+    # the let_col O(n^2) fix touches every shingle builder: re-pin the
+    # whole shingle family's growth on the same dataset
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix_filter",
     "dedup_weighted_minhash",
     "dedup_weighted_minhash_fast",
-    "assign_global_ids",
-    "graph_bfs_hops",
+    "dedup_exact_substring",
+    "dedup_substring_scrub",
     "search_phrase_positional",
-    "geo_neighbor_join",
-    "agg_bootstrap_ci",
-    "attribution_credit",
-    "stream_cms_windowed",
+    "text_dedup_sentences_within_doc",
+    # progressive JPEG vs baseline at scale (both synthesize + decode)
+    "multimodal_jpeg_roundtrip",
+    "multimodal_jpeg_progressive",
+    # continuity canaries from the r7 study
+    "dedup_soft_weights_minhash",
+    "graph_common_neighbors",
+    "assign_global_ids",
+    "graph_clustering_coefficient",
 ]
 
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_x50_r07.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_x50_r08.json"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     from ingest_fast_spark.queries import QUERIES as REG
     from ingest_fast_spark.session import get_spark
@@ -97,10 +79,10 @@ def main() -> None:
         "src": "sf0.1",
         "host": "local[32] quiet",
         "note": (
-            "Round-7 growth study: MinHash-fed cluster twins vs the "
-            "baseline-fed variants on the same dataset (weak-mark "
-            "clearance), the shared LSH pair source for attribution, and "
-            "the round-7 additions."
+            "Round-8 growth study: the map-only winnowing rewrite vs its "
+            "r7 per-character-shuffle cost (the r7 weak mark), the "
+            "xxhash64 bootstrap twin, the let_col-fixed shingle family, "
+            "and the progressive-JPEG roundtrip."
         ),
         "min_of_2": {k: min(v) for k, v in runs.items()},
         "runs": runs,
