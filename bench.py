@@ -189,6 +189,10 @@ HEADLINE = [
     "multimodal_jpeg_progressive",
     "text_dedup_sentences_within_doc",
     "multimodal_pdf_text",
+    "ivm_incremental_join",
+    "privacy_t_closeness",
+    "curation_mixture_weights",
+    "events_anomaly_mad",
 ]
 
 

@@ -91,6 +91,10 @@ _SHOWCASE_ORDER = [
     # (1) round-8 new queries
     "multimodal_jpeg_progressive",  # T.81 SOF2 decode, oracle-exact
     "multimodal_pdf_text",          # ISO 32000 extraction, oracle-exact
+    "ivm_incremental_join",         # 3-leg delta-rule join maintenance
+    "privacy_t_closeness",          # completes the k/l/t release triad
+    "curation_mixture_weights",     # sqrt-temperature source sampling
+    "events_anomaly_mad",           # robust MAD outliers (50% breakdown)
     "dedup_winnowing_fast",         # rows-only BY DESIGN (xxhash64)
     "agg_bootstrap_ci_fast",        # rows-only BY DESIGN (xxhash64)
     # (2) round-8 changed semantics / oracle / operator
@@ -124,7 +128,7 @@ _SHOWCASE_ORDER = [
     "dedup_soft_weights_fast",
     "dedup_cluster_keep_best_fast",
     "split_cluster_safe_fast",
-    # (4) the 16 oldest driver attestations (all r1) — refresh the record
+    # (4) the 12 oldest driver attestations (all r1) — refresh the record
     "build_vocabulary",
     "curation_length_deciles",
     "curation_winsorize_lengths",
@@ -137,11 +141,9 @@ _SHOWCASE_ORDER = [
     "multimodal_features",
     "sample_weighted",
     "text_chunk_overlap",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redact",
-    "text_repetition_signals",
-    # (token_cooccurrence_lift, also r1, rotates into r9 with udtf_sentences)
+    # (text_fingerprint / text_langid / text_pii_redact / text_repetition_signals /
+    #  token_cooccurrence_lift / udtf_sentences — also r1 — rotate into
+    #  the r9 prefix)
 ]
 
 

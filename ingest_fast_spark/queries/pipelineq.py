@@ -2787,6 +2787,135 @@ def privacy_l_diversity(spark, sf_dir):
     )
 
 
+_TCLOSE_T_MICRO = 200_000  # t = 0.2, the Li et al. worked-example value
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+             c_mktsegment AS segment
+      FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        AND c_acctbal IS NOT NULL
+    ),
+    cell AS (
+      SELECT nation, bal_band, segment, CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM q GROUP BY nation, bal_band, segment
+    ),
+    cls AS (
+      SELECT nation, bal_band, CAST(SUM(ccnt) AS BIGINT) AS group_size
+      FROM cell GROUP BY nation, bal_band
+    ),
+    gdist AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS g FROM q GROUP BY segment
+    ),
+    tot AS (SELECT CAST(SUM(g) AS BIGINT) AS t FROM gdist),
+    grid AS (
+      SELECT cls.nation, cls.bal_band, cls.group_size,
+             gdist.segment, gdist.g, tot.t,
+             COALESCE(cell.ccnt, 0) AS ccnt
+      FROM cls CROSS JOIN gdist CROSS JOIN tot
+      LEFT JOIN cell ON cell.nation = cls.nation
+                    AND cell.bal_band = cls.bal_band
+                    AND cell.segment = gdist.segment
+    ),
+    d AS (
+      SELECT nation, bal_band, group_size,
+             CAST(floor(1000000.0 * SUM(abs(ccnt * t - g * group_size))
+                        / (2.0 * group_size * MAX(t)) + 0.5) AS BIGINT)
+               AS dist_micro
+      FROM grid GROUP BY nation, bal_band, group_size
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN dist_micro > {_TCLOSE_T_MICRO} THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_violating_groups,
+             CAST(SUM(CASE WHEN dist_micro > {_TCLOSE_T_MICRO}
+                           THEN group_size ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk
+      FROM d
+    )
+    SELECT d.nation, d.bal_band, d.group_size, d.dist_micro,
+           d.dist_micro > {_TCLOSE_T_MICRO} AS violates_t,
+           s.n_violating_groups, s.n_rows_at_risk
+    FROM d CROSS JOIN s
+    """,
+)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — completes
+    the release-gate triad with privacy_k_anonymity (identity
+    disclosure) and privacy_l_diversity (attribute disclosure): a class
+    can be k-anonymous AND l-diverse yet still leak if its sensitive
+    DISTRIBUTION differs sharply from the table's (the classic
+    skewness/similarity attacks). Per (nation x balance-band) class,
+    the variational distance (the EMD instance for an unordered
+    sensitive attribute) between the class's market-segment distribution
+    and the global one: d = ½ Σ_v |p_class(v) − p_global(v)|, flagged
+    when d > t = 0.2. Arithmetic is exact: cross-multiplied integer
+    counts (|ccnt·T − g·cs|) with ONE terminal micro-unit floor shared
+    with the oracle.
+
+    Scale shape: the cell aggregate is the only corpus-keyed exchange;
+    the global distribution (|segments| rows) and the 1-row total
+    broadcast into a class-keyed grid — the distance rides
+    |classes| × |segments| rows, never the corpus."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+        & F.col("c_acctbal").isNotNull()
+    )
+    q = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cell = q.groupBy("nation", "bal_band", "segment").agg(
+        F.count(F.lit(1)).alias("ccnt")
+    )
+    cls = cell.groupBy("nation", "bal_band").agg(
+        F.sum("ccnt").alias("group_size")
+    )
+    glob = q.groupBy("segment").agg(F.count(F.lit(1)).alias("g"))
+    tot = glob.agg(F.sum("g").alias("t"))  # 1 row
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["nation", "bal_band", "segment"], "left")
+        .withColumn("ccnt", F.coalesce("ccnt", F.lit(0)))
+    )
+    d = grid.groupBy("nation", "bal_band", "group_size").agg(
+        F.floor(
+            1000000.0
+            * F.sum(F.abs(F.col("ccnt") * F.col("t") - F.col("g") * F.col("group_size")))
+            / (2.0 * F.first("group_size") * F.max("t"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dist_micro")
+    )
+    s = d.agg(
+        F.sum((F.col("dist_micro") > _TCLOSE_T_MICRO).cast("long")).alias(
+            "n_violating_groups"
+        ),
+        F.sum(
+            F.when(
+                F.col("dist_micro") > _TCLOSE_T_MICRO, F.col("group_size")
+            ).otherwise(0)
+        ).alias("n_rows_at_risk"),
+    )
+    return d.crossJoin(F.broadcast(s)).select(
+        "nation",
+        "bal_band",
+        "group_size",
+        "dist_micro",
+        (F.col("dist_micro") > _TCLOSE_T_MICRO).alias("violates_t"),
+        "n_violating_groups",
+        "n_rows_at_risk",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Physical layout: dense global ids + Z-order clustering (operators/layout)
 # ---------------------------------------------------------------------------
@@ -3219,4 +3348,200 @@ def sample_reservoir_per_group(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "source", "lang", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture weights + robust (MAD) anomaly detection
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
+
+
+@register(
+    "curation_mixture_weights",
+    oracle=r"""
+    WITH n AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+                  '\s+'), t -> length(t) > 0))) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+      GROUP BY source
+    ),
+    s AS (
+      SELECT source, n_tokens,
+             CAST(floor(1e6 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+               AS s_micro
+      FROM n
+    ),
+    tot AS (
+      SELECT CAST(SUM(s_micro) AS BIGINT) AS w,
+             CAST(SUM(n_tokens) AS BIGINT) AS nt
+      FROM s
+    )
+    SELECT s.source, s.n_tokens,
+           CAST(floor(1e6 * s.s_micro / tot.w + 0.5) AS BIGINT)
+             AS weight_micro,
+           CAST(floor(1e6 * (s.s_micro * CAST(tot.nt AS DOUBLE))
+                      / (tot.w * CAST(s.n_tokens AS DOUBLE)) + 0.5) AS BIGINT)
+             AS upsample_micro
+    FROM s CROSS JOIN tot
+    """,
+)
+def curation_mixture_weights(spark, sf_dir):
+    """Temperature-based training-mixture weights (the multilingual /
+    multi-source sampling rule of mBERT/XLM-R/PaLM data recipes):
+    source i is sampled with probability ∝ n_i^α, α = 0.5, so
+    low-resource sources are upsampled relative to their natural share
+    without letting any single giant source dominate. Emits each
+    source's token count, its mixture weight, and the upsample factor
+    (weight ÷ natural share — >1 means the source is seen more often
+    than proportional sampling would show it).
+
+    Complements ``curation_dsir_weights`` (importance weights from a
+    target distribution) with the simpler temperature rule used when no
+    target corpus exists. Exactness: α = ½ makes the power a SQRT —
+    correctly rounded per IEEE 754 in BOTH engines (a general pow(x,
+    0.3) is not) — and each sqrt is floored to integer micro-units
+    BEFORE the sums, the repo's summed-doubles convention, so no
+    engine's summation order can move a boundary.
+
+    Scale shape: one map-side-combinable per-source token-count
+    aggregate; everything after rides |sources| rows."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    )
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    n = d.groupBy("source").agg(F.sum(toks.cast("long")).alias("n_tokens"))
+    s = n.select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(1e6) * F.sqrt(F.col("n_tokens").cast("double")))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    tot = s.agg(
+        F.sum("s_micro").alias("w"), F.sum("n_tokens").alias("nt")
+    )  # 1 row
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(1e6) * F.col("s_micro") / F.col("w") + F.lit(0.5))
+        .cast("long")
+        .alias("weight_micro"),
+        F.floor(
+            F.lit(1e6)
+            * (F.col("s_micro") * F.col("nt").cast("double"))
+            / (F.col("w") * F.col("n_tokens").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("upsample_micro"),
+    )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma under normality
+_MAD_THR = 3.0
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    med AS (
+      SELECT user_id, quantile_cont(cents, 0.5) AS med,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.event_id, e.ts, e.cents, med.med, med.n,
+             abs(e.cents - med.med) AS adev
+      FROM e JOIN med USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY user_id
+    )
+    SELECT dev.user_id, dev.event_id, dev.ts, dev.cents,
+           CAST(floor(1e6 * dev.adev / ({_MAD_K} * mad.mad) + 0.5) AS BIGINT)
+             AS robust_z_micro,
+           CASE WHEN dev.cents >= dev.med THEN 1 ELSE -1 END AS direction
+    FROM dev JOIN mad USING (user_id)
+    WHERE dev.n >= 8 AND mad.mad > 0
+      AND dev.adev > {_MAD_THR} * {_MAD_K} * mad.mad
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    breakdown-resistant companion to ``events_anomaly_zscore``: mean and
+    stddev are themselves dragged by the outliers they are supposed to
+    find (one 100x spike inflates σ enough to hide a 10x spike), while
+    the median and MAD have a 50% breakdown point. Flags events with
+    |x − median| > 3 · 1.4826 · MAD per user (the 1.4826 consistency
+    constant makes MAD·k estimate σ under normality, so the threshold is
+    comparable to ±3σ).
+
+    Exactness: values are floored to integer cents; the interpolated
+    median of integers lands on the exact .0/.5 double grid and the MAD
+    of those on the .25 grid — both engines' quantile_cont/percentile
+    use the same (n−1)·p interpolation rule, so every comparison is over
+    exactly representable doubles and the strict > cannot flip.
+
+    Scale shape: two per-user aggregates (the median via a sort-based
+    percentile over each user's bounded event list) and two user-keyed
+    joins that reuse the same partitioning; nothing corpus-wide."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    med = e.groupBy("user_id").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = e.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter(
+            (F.col("n") >= 8)
+            & (F.col("mad") > 0)
+            & (F.col("adev") > F.lit(_MAD_THR * _MAD_K) * F.col("mad"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "cents",
+            F.floor(
+                F.lit(1e6) * F.col("adev") / (F.lit(_MAD_K) * F.col("mad"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("robust_z_micro"),
+            F.when(F.col("cents") >= F.col("med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("direction"),
+        )
     )

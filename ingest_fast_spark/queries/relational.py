@@ -2928,6 +2928,75 @@ def ivm_incremental_agg(spark, sf_dir):
 
 
 @register(
+    "ivm_incremental_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NOT NULL AND l.l_orderkey IS NOT NULL
+      AND l.l_extendedprice IS NOT NULL
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ivm_incremental_join(spark, sf_dir):
+    """Incremental view maintenance for a JOIN view (the delta rule —
+    Blakeley/Larson/Tompa 1986, Griffin & Libkin 1995): a materialized
+    orders⋈lineitem revenue view is maintained under late-arriving rows
+    on BOTH sides via the three delta legs
+    Δ(R⋈S) = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS — never by re-joining the base
+    tables. Late arrivals are simulated deterministically (ΔR = orders
+    with key %10 = 0, ΔS = lineitems with key %6 = 0; the rest is the
+    already-materialized base view). The oracle computes the view over
+    the FULL tables directly, proving the three-legged delta algebra
+    reconstructs exactly the full join.
+
+    Scale shape: at 100 TB the three delta legs each join a
+    changeset-sized side against one base (AQE broadcasts the small
+    side; a real deployment probes the bucketed base), while the base⋈
+    base leg is the view you already have — the whole maintenance cost
+    rides |Δ|, not the lake. The final merge re-aggregates
+    |groups| + |Δ-legs| rows; all-integer cents keep parity exact."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull()).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ob, od = o.filter(F.col("o_orderkey") % 10 != 0), o.filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    lb, ld = li.filter(F.col("l_orderkey") % 6 != 0), li.filter(
+        F.col("l_orderkey") % 6 == 0
+    )
+
+    def leg(r, s):
+        return r.join(s, r["o_orderkey"] == s["l_orderkey"]).select(
+            "o_orderpriority", "cents"
+        )
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+
+    base_view = agg(leg(ob, lb))  # the view as materialized before the deltas
+    deltas = agg(
+        leg(od, lb).unionByName(leg(ob, ld)).unionByName(leg(od, ld))
+    )
+    return (
+        base_view.unionByName(deltas)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_items"), F.sum("c").alias("revenue_cents"))
+        .filter(F.col("n_items") > 0)
+    )
+
+
+@register(
     "events_cusum_changepoint",
     oracle="""
     WITH daily AS (

@@ -1,6 +1,7 @@
 """Dedup operator tests: exact-dedup semantics on constructed duplicates,
 MinHash-LSH recall against exact Jaccard, SimHash determinism."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ingest_fast_spark.catalog import load_table
@@ -170,15 +171,19 @@ def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
     return out
 
 
-def test_winnow_matches_python_twin(spark):
+@pytest.mark.parametrize("w", [2, 3, 4, 5])
+def test_winnow_matches_python_twin(spark, w):
+    """Selection-rule parity across window widths — w=3 and w=5 exercise
+    the sparse-table sliding minimum's non-power-of-two overlapping
+    combine, w=2 its single-pass degenerate case."""
     docs = docs_with_dupes(spark)
     got = {
         (r["doc_id"], r["fp"], r["pos"])
-        for r in D.winnow_fingerprints(docs, k=8, w=4).collect()
+        for r in D.winnow_fingerprints(docs, k=8, w=w).collect()
     }
     want = set()
     for row in docs.collect():
-        for fp, pos in _py_winnow(row["text"], k=8, w=4):
+        for fp, pos in _py_winnow(row["text"], k=8, w=w):
             want.add((row["doc_id"], fp, pos))
     assert got == want
 

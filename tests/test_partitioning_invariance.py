@@ -65,6 +65,8 @@ REPRESENTATIVE = [
     # round-8
     "graph_common_neighbors",   # micro-unit Adamic-Adar sums, order-free by construction
     "dedup_winnowing",          # in-row window-min selection across chunk layouts
+    "events_anomaly_mad",       # sort-based medians are layout-free
+    "privacy_t_closeness",      # integer cross-multiplied distances
 ]
 
 TABLES = (

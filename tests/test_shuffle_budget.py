@@ -123,10 +123,10 @@ SHUFFLE_BUDGET = {
     # min_by encode, the ADC (query,vec) rollup — tables broadcast
     "embed_topk_ivf_pq_residual": 6,
     # winnowing: the selection is computed in-row (map-only array HOFs —
-    # the gram stream never shuffles); post-checkpoint shape after the
-    # one pinned repartition("fp"): the (doc,fp) distinct, df-guard
-    # window and both self-join sides all ride that partitioning, so the
-    # only visible exchange is the pair rollup
+    # the gram stream never shuffles); ONE repartition("fp") serves the
+    # (doc,fp) distinct, the df-guard window AND the bounded bucket
+    # collect (single lineage, no self-join); the pair rollup is the
+    # second exchange
     "dedup_winnowing": 2,
     "dedup_winnowing_fast": 2,  # same shape, xxhash64 gram hash
     # CMS: post-checkpoint shape — the (row_i,bucket) cell agg (<=1024
@@ -212,6 +212,18 @@ SHUFFLE_BUDGET = {
     # credited union's channel agg, the direct-leg anti join
     "attribution_credit": 4,
     "ivm_incremental_agg": 2,  # base agg + the delta re-aggregate
+    # three delta legs + base view + final merge; at this SF the leg
+    # joins broadcast their delta sides, leaving the view/merge aggs
+    "ivm_incremental_join": 4,
+    # only the cell aggregate is corpus-keyed; the other exchanges all
+    # ride the |classes| x |segments| grid (a few hundred rows) and the
+    # 5-row global distribution
+    "privacy_t_closeness": 10,
+    "multimodal_pdf_text": 0,  # two chained map-only mapInPandas passes
+    # per-source token-count agg; the rest rides |sources| rows
+    "curation_mixture_weights": 2,
+    # the user-keyed median/MAD aggregates + joins share one partitioning
+    "events_anomaly_mad": 3,
     # batch legs of the finished stream table: exact (window,user) agg,
     # the per-window top-3 rank window, the probe⋈cells join
     "stream_cms_windowed": 3,

@@ -253,6 +253,37 @@ SHOWCASE = [
         "only ever shuffle postings of the query terms.",
     ),
     (
+        "dedup_winnowing",
+        "Map-only MOSS selection: the gram stream never shuffles — the "
+        "in-row sparse-table window minimum feeds ONE repartition(fp) "
+        "that serves the distinct, the df-guard window and the bounded "
+        "bucket collect; the pair rollup is the only other exchange.",
+    ),
+    (
+        "agg_bootstrap_ci_fast",
+        "Poisson bootstrap, xxhash64 path: the x32 replicate explode is "
+        "map-only codegen arithmetic; both aggregates are map-side "
+        "combinable; the order-statistic step touches 32 values/group.",
+    ),
+    (
+        "multimodal_pdf_text",
+        "PDF synthesize + extract as two chained map-only mapInPandas "
+        "passes — zero exchanges; the ISO 32000 parser runs Arrow-batched "
+        "in the executors.",
+    ),
+    (
+        "ivm_incremental_join",
+        "Delta-rule join maintenance: the three delta legs join "
+        "changeset-sized sides (AQE-broadcast here, bucketed probes in "
+        "production); the merge re-aggregates |groups|+|delta| rows.",
+    ),
+    (
+        "privacy_t_closeness",
+        "Release-gate distance: one corpus-keyed cell aggregate; the "
+        "global distribution and 1-row total broadcast into a "
+        "|classes| x |segments| grid that never touches the corpus again.",
+    ),
+    (
         "layout_zorder_report",
         "Z-order report: the Morton key is a single codegen'd integer "
         "expression over the scan; one partial+final aggregate over 256 "
