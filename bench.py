@@ -193,6 +193,8 @@ HEADLINE = [
     "privacy_t_closeness",
     "curation_mixture_weights",
     "events_anomaly_mad",
+    "multimodal_archive_extract",
+    "text_detect_encoding",
 ]
 
 

@@ -1764,3 +1764,63 @@ def extract_document_text(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, DOC_TEXT_SCHEMA)
+
+
+ARCHIVE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("member", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("crc32", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def extract_archive_members(df: DataFrame, decode_text: bool = True) -> DataFrame:
+    """Archive-ingest operator: mapInPandas over binary ZIP payloads →
+    one row per archive member (doc_id, member, n_bytes, crc32, text).
+    Training corpora routinely ship as archives of files; this is the
+    unpack step as a DataFrame transform — stdlib ``zipfile`` (both
+    stored and deflate members), CRC verified by the read, member text
+    decoded as UTF-8 when ``decode_text`` (binary members would set it
+    NULL). Unrecognized payloads raise (honest failure); NULL payloads
+    yield a NULL-member row so missing media stays visible as data.
+    Map-only: no shuffle, Arrow-batched; the per-task memory rides one
+    archive at a time, never the batch."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import io
+        import zipfile
+        import zlib as _zlib
+
+        import pandas as pd
+
+        for pdf_ in batches:
+            out = {k: [] for k in ("doc_id", "member", "n_bytes", "crc32", "text")}
+            for i, b in zip(pdf_["doc_id"], pdf_["payload"]):
+                if b is None:
+                    out["doc_id"].append(i)
+                    for k in ("member", "n_bytes", "crc32", "text"):
+                        out[k].append(None)
+                    continue
+                raw = bytes(b)
+                if raw[:2] != b"PK":
+                    raise ValueError("unrecognized archive payload (ZIP supported)")
+                with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+                    for info in zf.infolist():
+                        data = zf.read(info.filename)  # CRC-checked by zipfile
+                        out["doc_id"].append(i)
+                        out["member"].append(info.filename)
+                        out["n_bytes"].append(len(data))
+                        out["crc32"].append(_zlib.crc32(data))
+                        if decode_text:
+                            try:
+                                out["text"].append(data.decode("utf-8"))
+                            except UnicodeDecodeError:
+                                out["text"].append(None)
+                        else:
+                            out["text"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(extract, ARCHIVE_SCHEMA)

@@ -95,6 +95,8 @@ _SHOWCASE_ORDER = [
     "privacy_t_closeness",          # completes the k/l/t release triad
     "curation_mixture_weights",     # sqrt-temperature source sampling
     "events_anomaly_mad",           # robust MAD outliers (50% breakdown)
+    "multimodal_archive_extract",   # ZIP ingest, CRC-verified members
+    "text_detect_encoding",         # pure-codegen charset sniff
     "dedup_winnowing_fast",         # rows-only BY DESIGN (xxhash64)
     "agg_bootstrap_ci_fast",        # rows-only BY DESIGN (xxhash64)
     # (2) round-8 changed semantics / oracle / operator
@@ -128,7 +130,7 @@ _SHOWCASE_ORDER = [
     "dedup_soft_weights_fast",
     "dedup_cluster_keep_best_fast",
     "split_cluster_safe_fast",
-    # (4) the 12 oldest driver attestations (all r1) — refresh the record
+    # (4) the 10 oldest driver attestations (all r1) — refresh the record
     "build_vocabulary",
     "curation_length_deciles",
     "curation_winsorize_lengths",
@@ -139,9 +141,7 @@ _SHOWCASE_ORDER = [
     "fuzzy_name_pairs",
     "graph_triangle_count",
     "multimodal_features",
-    "sample_weighted",
-    "text_chunk_overlap",
-    # (text_fingerprint / text_langid / text_pii_redact / text_repetition_signals /
+    # (sample_weighted / text_chunk_overlap / text_fingerprint / text_langid / text_pii_redact / text_repetition_signals /
     #  token_cooccurrence_lift / udtf_sentences — also r1 — rotate into
     #  the r9 prefix)
 ]

@@ -1076,6 +1076,142 @@ def encode_decode_roundtrip(spark, sf_dir):
 
 
 @register(
+    "text_detect_encoding",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'utf-8-bom'
+             WHEN 1 THEN 'utf-16le'
+             WHEN 2 THEN 'utf-16be'
+             ELSE 'utf-8'
+           END AS encoding,
+           text AS text_decoded
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+)
+def text_detect_encoding(spark, sf_dir):
+    """Charset sniffing as a PURE-CODEGEN Column chain — the first thing
+    a web-scale ingest does to raw bytes, kept JVM-side (no Python, no
+    UDF): BOM detection (UTF-8 / UTF-16LE / UTF-16BE) with a UTF-8
+    validation fallback (``is_valid_utf8``), BOM strip, and charset
+    decode back to string. The round-trip is synthesized in-plan too:
+    each document's text is ENCODED to the doc_id-selected charset with
+    the proper BOM (binary concat of literal BOM bytes + ``encode``), so
+    the detector sees realistic byte payloads and the oracle checks the
+    decoded text equals the original byte-exactly.
+
+    Scale shape: map-only, whole-stage codegen end to end — scan speed."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.concat(F.lit(b"\xef\xbb\xbf"), F.encode("text", "UTF-8")))
+        .when(m == 1, F.concat(F.lit(b"\xff\xfe"), F.encode("text", "UTF-16LE")))
+        .when(m == 2, F.concat(F.lit(b"\xfe\xff"), F.encode("text", "UTF-16BE")))
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    p = d.select("doc_id", payload.alias("payload"))
+    b3 = F.expr("substring(payload, 1, 3)")
+    b2 = F.expr("substring(payload, 1, 2)")
+    enc = (
+        F.when(b3 == F.lit(b"\xef\xbb\xbf"), F.lit("utf-8-bom"))
+        .when(b2 == F.lit(b"\xff\xfe"), F.lit("utf-16le"))
+        .when(b2 == F.lit(b"\xfe\xff"), F.lit("utf-16be"))
+        .when(F.is_valid_utf8("payload"), F.lit("utf-8"))
+        .otherwise(F.lit("unknown"))
+    )
+    body = F.expr(
+        "CASE WHEN substring(payload, 1, 3) = X'EFBBBF' "
+        "THEN substring(payload, 4, length(payload) - 3) "
+        "WHEN substring(payload, 1, 2) IN (X'FFFE', X'FEFF') "
+        "THEN substring(payload, 3, length(payload) - 2) "
+        "ELSE payload END"
+    )
+    return p.select(
+        "doc_id",
+        enc.alias("encoding"),
+        F.when(enc == "utf-8-bom", F.decode(body, "UTF-8"))
+        .when(enc == "utf-16le", F.decode(body, "UTF-16LE"))
+        .when(enc == "utf-16be", F.decode(body, "UTF-16BE"))
+        .when(enc == "utf-8", F.decode(body, "UTF-8"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("text_decoded"),
+    )
+
+
+@register(
+    "multimodal_archive_extract",
+    oracle="""
+    SELECT doc_id, member, n_bytes, text FROM (
+      SELECT doc_id, 'meta.txt' AS member,
+             CAST(strlen('doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+               AS n_bytes,
+             'doc ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'body.txt' AS member,
+             CAST(strlen(text) AS BIGINT) AS n_bytes, text
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    """,
+)
+def multimodal_archive_extract(spark, sf_dir):
+    """Archive ingest round-trip — training corpora routinely ship as
+    ZIPs/tars of files, and the unpack step belongs in the engine, not a
+    preprocessing shell script. Synthesizes a real two-member ZIP per
+    document (stdlib zipfile: one STORED metadata member, one DEFLATE
+    member carrying the document's actual text), pushes it through the
+    production ``extract_archive_members`` operator (CRC-verified reads,
+    one output row per member), and emits member names, byte sizes and
+    decoded text against the SQL oracle's re-derivation — octet lengths
+    and full text, byte-exact.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle;
+    memory rides one archive at a time."""
+
+    def gen(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf_["doc_id"], pdf_["text"]):
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr(
+                        zipfile.ZipInfo("meta.txt"), f"doc {i}",
+                        compress_type=zipfile.ZIP_STORED,
+                    )
+                    zf.writestr(
+                        zipfile.ZipInfo("body.txt"), str(t),
+                        compress_type=zipfile.ZIP_DEFLATED,
+                    )
+                ids.append(i)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "application/zip",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.extract_archive_members(payloads).select(
+        "doc_id", "member", "n_bytes", "text"
+    )
+
+
+@register(
     "multimodal_audio_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -1172,3 +1172,59 @@ def test_bmp_rle8_matches_uncompressed_twin():
     a = decode_bmp_pixels(make_bmp_rle8(7, 5, pal, rows))
     b = decode_bmp_pixels(make_bmp(7, 5, rgb_rows=rgb_rows))
     assert np.array_equal(a["pixels"], b["pixels"])
+
+
+def test_archive_extract_members_and_gates(spark):
+    """ZIP ingest: CRC-verified member rows; corrupt data raises; NULL
+    payloads stay visible as NULL rows; non-archives are an honest error."""
+    import io
+    import zipfile
+
+    import pytest
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("a.txt"), "alpha")
+        zf.writestr(
+            zipfile.ZipInfo("b.txt"), "bët", compress_type=zipfile.ZIP_DEFLATED
+        )
+    good = buf.getvalue()
+    rows = [(1, good, "application/zip", "{}"), (2, None, "application/zip", "{}")]
+    df = spark.createDataFrame(rows, M.PAYLOAD_SCHEMA)
+    got = {(r["doc_id"], r["member"]): r for r in M.extract_archive_members(df).collect()}
+    assert got[(1, "a.txt")]["text"] == "alpha"
+    assert got[(1, "b.txt")]["text"] == "bët"
+    assert got[(1, "b.txt")]["n_bytes"] == len("bët".encode())
+    assert (2, None) in got and got[(2, None)]["text"] is None
+    # corrupt a deflate byte -> zipfile's CRC check must raise
+    bad = bytearray(good)
+    i = good.index(b"b.txt") + 6  # second byte of the deflate stream
+    bad[i] ^= 0xFF
+    df_bad = spark.createDataFrame([(3, bytes(bad), "application/zip", "{}")], M.PAYLOAD_SCHEMA)
+    with pytest.raises(Exception):
+        M.extract_archive_members(df_bad).collect()
+    df_not = spark.createDataFrame([(4, b"NOTAZIP", "application/zip", "{}")], M.PAYLOAD_SCHEMA)
+    with pytest.raises(Exception, match="archive"):
+        M.extract_archive_members(df_not).collect()
+
+
+def test_detect_encoding_unknown_and_plan(spark):
+    """Invalid byte sequences classify as 'unknown' (NULL decode), and the
+    detector is pure codegen — no Python UDF node in the plan."""
+    from ingest_fast_spark.queries.llm import text_detect_encoding
+
+    df = text_detect_encoding(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from pyspark.sql import functions as F
+
+    # invalid utf-8, no BOM: continuation byte with no lead
+    raw = spark.createDataFrame([(1, b"\x80\x81\x82")], "doc_id long, payload binary")
+    enc = (
+        F.when(F.expr("substring(payload,1,3)") == F.lit(b"\xef\xbb\xbf"), "utf-8-bom")
+        .when(F.expr("substring(payload,1,2)") == F.lit(b"\xff\xfe"), "utf-16le")
+        .when(F.expr("substring(payload,1,2)") == F.lit(b"\xfe\xff"), "utf-16be")
+        .when(F.is_valid_utf8("payload"), "utf-8")
+        .otherwise("unknown")
+    )
+    assert raw.select(enc.alias("e")).collect()[0]["e"] == "unknown"

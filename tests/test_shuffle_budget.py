@@ -220,6 +220,8 @@ SHUFFLE_BUDGET = {
     # 5-row global distribution
     "privacy_t_closeness": 10,
     "multimodal_pdf_text": 0,  # two chained map-only mapInPandas passes
+    "multimodal_archive_extract": 0,  # synth + unpack, both map-only
+    "text_detect_encoding": 0,  # pure-codegen charset sniff, scan speed
     # per-source token-count agg; the rest rides |sources| rows
     "curation_mixture_weights": 2,
     # the user-keyed median/MAD aggregates + joins share one partitioning
