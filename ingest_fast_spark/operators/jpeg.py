@@ -968,17 +968,22 @@ def _enc_ac_refine_scan(bw, ac_tab, zzc, dims, ss, se, al):
             if t == 0:
                 r += 1
                 continue
-            if t > 1:  # already nonzero: one correction bit, bit Al
-                br_bits.append(t & 1)
-                continue
-            # newly nonzero (t == 1): flush the pending EOB run first,
-            # then any ZRLs (each carrying the corrections walked past)
-            emit_pending()
+            # pending ZRLs must flush at ANY nonzero coefficient (history
+            # or new) once r > 15: the decoder consumes correction bits
+            # positionally during each ZRL's 16-zero skip, so a history
+            # coefficient sitting past the 16th zero-history position must
+            # have its bit emitted after the ZRL that walks past it
             while r > 15 and idx <= eob:
+                emit_pending()
                 code, ln = ac_tab[0xF0]
                 bw.write(code, ln)
                 r -= 16
                 emit_br()
+            if t > 1:  # already nonzero: one correction bit, bit Al
+                br_bits.append(t & 1)
+                continue
+            # newly nonzero (t == 1): flush the pending EOB run first
+            emit_pending()
             code, ln = ac_tab[(r << 4) | 1]
             bw.write(code, ln)
             bw.write(0 if vals[idx] < 0 else 1, 1)

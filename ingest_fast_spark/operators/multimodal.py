@@ -1777,24 +1777,52 @@ ARCHIVE_SCHEMA = StructType(
 )
 
 
-def extract_archive_members(df: DataFrame, decode_text: bool = True) -> DataFrame:
-    """Archive-ingest operator: mapInPandas over binary ZIP payloads →
+def extract_archive_members(
+    df: DataFrame,
+    decode_text: bool = True,
+    max_member_bytes: int = 256 * 1024 * 1024,
+    max_compress_ratio: int = 2000,
+) -> DataFrame:
+    """Archive-ingest operator: mapInPandas over binary archive payloads →
     one row per archive member (doc_id, member, n_bytes, crc32, text).
     Training corpora routinely ship as archives of files; this is the
-    unpack step as a DataFrame transform — stdlib ``zipfile`` (both
-    stored and deflate members), CRC verified by the read, member text
-    decoded as UTF-8 when ``decode_text`` (binary members would set it
-    NULL). Unrecognized payloads raise (honest failure); NULL payloads
-    yield a NULL-member row so missing media stays visible as data.
+    unpack step as a DataFrame transform. Container dispatch is by magic
+    bytes: ``PK`` → stdlib ``zipfile`` (stored + deflate, CRC verified by
+    the read), ``\\x1f\\x8b`` → ``tarfile`` mode ``r:gz``, a ``ustar``
+    magic at offset 257 → plain tar (crc32 computed over the member since
+    tar carries none). Member text decodes as UTF-8 when ``decode_text``
+    (binary members set it NULL). Unrecognized payloads raise (honest
+    failure); NULL payloads yield a NULL-member row so missing media stays
+    visible as data.
+
+    Zip-bomb guard: every member's declared decompressed size is checked
+    against ``max_member_bytes`` BEFORE reading, and ZIP members also
+    against a ``max_compress_ratio`` bound (declared/compressed), so a
+    hostile few-KB payload in an untrusted corpus cannot expand to
+    gigabytes inside an executor; oversized members raise ValueError.
     Map-only: no shuffle, Arrow-batched; the per-task memory rides one
-    archive at a time, never the batch."""
+    archive member at a time, never the batch."""
 
     def extract(batches: Iterator) -> Iterator:
         import io
+        import tarfile
         import zipfile
         import zlib as _zlib
 
         import pandas as pd
+
+        def emit(out, i, name, data):
+            out["doc_id"].append(i)
+            out["member"].append(name)
+            out["n_bytes"].append(len(data))
+            out["crc32"].append(_zlib.crc32(data))
+            if decode_text:
+                try:
+                    out["text"].append(data.decode("utf-8"))
+                except UnicodeDecodeError:
+                    out["text"].append(None)
+            else:
+                out["text"].append(None)
 
         for pdf_ in batches:
             out = {k: [] for k in ("doc_id", "member", "n_bytes", "crc32", "text")}
@@ -1805,22 +1833,66 @@ def extract_archive_members(df: DataFrame, decode_text: bool = True) -> DataFram
                         out[k].append(None)
                     continue
                 raw = bytes(b)
-                if raw[:2] != b"PK":
-                    raise ValueError("unrecognized archive payload (ZIP supported)")
-                with zipfile.ZipFile(io.BytesIO(raw)) as zf:
-                    for info in zf.infolist():
-                        data = zf.read(info.filename)  # CRC-checked by zipfile
-                        out["doc_id"].append(i)
-                        out["member"].append(info.filename)
-                        out["n_bytes"].append(len(data))
-                        out["crc32"].append(_zlib.crc32(data))
-                        if decode_text:
-                            try:
-                                out["text"].append(data.decode("utf-8"))
-                            except UnicodeDecodeError:
-                                out["text"].append(None)
-                        else:
-                            out["text"].append(None)
+                if raw[:2] == b"PK":
+                    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+                        for info in zf.infolist():
+                            if info.file_size > max_member_bytes or (
+                                info.compress_size > 0
+                                and info.file_size
+                                > max_compress_ratio * info.compress_size
+                                and info.file_size > (1 << 20)
+                            ):
+                                raise ValueError(
+                                    "archive member exceeds decompression cap "
+                                    f"({info.filename}: {info.file_size} bytes "
+                                    "declared; possible zip bomb)"
+                                )
+                            # CRC-checked by zipfile
+                            emit(out, i, info.filename, zf.read(info.filename))
+                elif raw[:2] == b"\x1f\x8b" or raw[257:262] == b"ustar":
+                    mode = "r:gz" if raw[:2] == b"\x1f\x8b" else "r:"
+                    try:
+                        tf = tarfile.open(fileobj=io.BytesIO(raw), mode=mode)
+                    except tarfile.TarError as e:
+                        raise ValueError(f"malformed tar payload: {e}") from e
+                    with tf:
+                        try:
+                            members = tf.getmembers()
+                        except tarfile.TarError as e:
+                            raise ValueError(f"malformed tar payload: {e}") from e
+                        # stdlib tarfile silently treats a partial trailing
+                        # header as EOF; honest gate: demand the two zero
+                        # end-of-archive blocks, and (gz) drain the stream
+                        # so the gzip CRC/ISIZE trailer is validated too
+                        try:
+                            tf.fileobj.seek(tf.offset)
+                            trailer = tf.fileobj.read(1024)
+                            if mode == "r:gz":
+                                tf.fileobj.read()
+                        except (OSError, EOFError) as e:
+                            raise ValueError(
+                                f"truncated tar.gz payload: {e}"
+                            ) from e
+                        if len(trailer) < 1024 or any(trailer):
+                            raise ValueError(
+                                "malformed tar payload: missing "
+                                "end-of-archive marker (truncated?)"
+                            )
+                        for ti in members:
+                            if not ti.isfile():
+                                continue
+                            if ti.size > max_member_bytes:
+                                raise ValueError(
+                                    "archive member exceeds decompression cap "
+                                    f"({ti.name}: {ti.size} bytes declared; "
+                                    "possible tar bomb)"
+                                )
+                            fh = tf.extractfile(ti)
+                            emit(out, i, ti.name, fh.read() if fh else b"")
+                else:
+                    raise ValueError(
+                        "unrecognized archive payload (ZIP, tar, tar.gz supported)"
+                    )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(extract, ARCHIVE_SCHEMA)

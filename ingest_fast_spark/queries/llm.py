@@ -1159,19 +1159,22 @@ def text_detect_encoding(spark, sf_dir):
 def multimodal_archive_extract(spark, sf_dir):
     """Archive ingest round-trip — training corpora routinely ship as
     ZIPs/tars of files, and the unpack step belongs in the engine, not a
-    preprocessing shell script. Synthesizes a real two-member ZIP per
-    document (stdlib zipfile: one STORED metadata member, one DEFLATE
-    member carrying the document's actual text), pushes it through the
-    production ``extract_archive_members`` operator (CRC-verified reads,
-    one output row per member), and emits member names, byte sizes and
-    decoded text against the SQL oracle's re-derivation — octet lengths
-    and full text, byte-exact.
+    preprocessing shell script. Synthesizes a real two-member archive per
+    document — even doc_ids a ZIP (stdlib zipfile: one STORED metadata
+    member, one DEFLATE member carrying the document's actual text), odd
+    doc_ids a .tar.gz (stdlib tarfile) with the SAME members — pushes the
+    mix through the production ``extract_archive_members`` operator
+    (magic-byte container dispatch, CRC-verified ZIP reads, zip-bomb size
+    caps, one output row per member), and emits member names, byte sizes
+    and decoded text against the SQL oracle's re-derivation — octet
+    lengths and full text, byte-exact and container-independent.
 
     Scale shape: two chained map-only mapInPandas passes — no shuffle;
     memory rides one archive at a time."""
 
     def gen(batches):
         import io
+        import tarfile
         import zipfile
 
         import pandas as pd
@@ -1179,16 +1182,27 @@ def multimodal_archive_extract(spark, sf_dir):
         for pdf_ in batches:
             ids, payloads = [], []
             for i, t in zip(pdf_["doc_id"], pdf_["text"]):
+                members = [
+                    ("meta.txt", f"doc {i}".encode("utf-8")),
+                    ("body.txt", str(t).encode("utf-8")),
+                ]
                 buf = io.BytesIO()
-                with zipfile.ZipFile(buf, "w") as zf:
-                    zf.writestr(
-                        zipfile.ZipInfo("meta.txt"), f"doc {i}",
-                        compress_type=zipfile.ZIP_STORED,
-                    )
-                    zf.writestr(
-                        zipfile.ZipInfo("body.txt"), str(t),
-                        compress_type=zipfile.ZIP_DEFLATED,
-                    )
+                if int(i) % 2 == 0:
+                    with zipfile.ZipFile(buf, "w") as zf:
+                        zf.writestr(
+                            zipfile.ZipInfo(members[0][0]), members[0][1],
+                            compress_type=zipfile.ZIP_STORED,
+                        )
+                        zf.writestr(
+                            zipfile.ZipInfo(members[1][0]), members[1][1],
+                            compress_type=zipfile.ZIP_DEFLATED,
+                        )
+                else:
+                    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+                        for name, data in members:
+                            ti = tarfile.TarInfo(name)
+                            ti.size = len(data)
+                            tf.addfile(ti, io.BytesIO(data))
                 ids.append(i)
                 payloads.append(buf.getvalue())
             yield pd.DataFrame(

@@ -104,6 +104,37 @@ def test_progressive_decode_matches_baseline(w, h, sub):
     assert np.array_equal(base["pixels"], prog["pixels"])
 
 
+def test_progressive_refine_zrl_past_history_coef():
+    """T.81 G.1.2.3 / libjpeg jcphuff.c encode_mcu_AC_refine: a
+    history-nonzero coefficient (|v|>=2) sitting MORE than 16 zero-history
+    positions into a run that precedes a newly-nonzero |v|==1 forces the
+    encoder to flush pending ZRLs at the history coefficient, so its
+    correction bit lands after the ZRL whose 16-zero skip the decoder
+    consumes it in. Regression test for the [ZRL][bits][(r,1)] vs
+    [ZRL][(r,1)][sign][bit] mis-interleaving (round-9 ADVICE)."""
+    from ingest_fast_spark.operators.jpeg import _ZIGZAG, _dct_basis
+
+    basis = _dct_basis()
+    cases = [
+        {18: 2, 21: 1},  # one ZRL: 17 zero-history positions before the |2|
+        {18: -2, 21: -1, 40: 5},  # history coef beyond EOB folds into EOB run
+        {34: 3, 37: 1},  # two ZRLs walked past before the history coef
+        {18: 2, 34: -2, 37: 1, 60: 1},  # repeated flushes in one block
+    ]
+    for zzvals in cases:
+        flat = np.zeros(64)
+        flat[0] = 40.0  # DC
+        for k, v in zzvals.items():
+            flat[_ZIGZAG[k]] = float(v)
+        # exact inverse DCT: rint(DCT(block)) reproduces the integers, and
+        # grayscale keeps both chroma planes at exactly 128
+        block = basis.T @ flat.reshape(8, 8) @ basis + 128.0
+        img = np.repeat(block[:, :, None], 3, axis=2)
+        base = decode_jpeg_pixels(make_jpeg(8, 8, img))
+        prog = decode_jpeg_pixels(make_jpeg_progressive(8, 8, img))
+        assert np.array_equal(base["pixels"], prog["pixels"]), zzvals
+
+
 def test_progressive_truncated_raises():
     p = make_jpeg_progressive(24, 16)
     with pytest.raises(ValueError):

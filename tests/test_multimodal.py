@@ -1208,6 +1208,93 @@ def test_archive_extract_members_and_gates(spark):
         M.extract_archive_members(df_not).collect()
 
 
+def test_archive_extract_tar_and_targz(spark):
+    """tar and tar.gz containers yield the same member contract as ZIP:
+    magic-byte dispatch, one row per regular file, crc32 computed, text
+    decoded; truncated tars are an honest error, not partial output."""
+    import io
+    import tarfile
+    import zlib
+
+    import pytest
+
+    def make_tar(mode):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode=mode) as tf:
+            for name, data in (
+                ("x/a.txt", b"alpha"),
+                ("b.bin", b"\xff\xfe\x00"),
+            ):
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+            d = tarfile.TarInfo("x")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)  # directory entry: contributes no member row
+        return buf.getvalue()
+
+    plain, gz = make_tar("w:"), make_tar("w:gz")
+    assert plain[257:262] == b"ustar" and gz[:2] == b"\x1f\x8b"
+    df = spark.createDataFrame(
+        [(1, plain, "application/x-tar", "{}"), (2, gz, "application/gzip", "{}")],
+        M.PAYLOAD_SCHEMA,
+    )
+    got = {(r["doc_id"], r["member"]): r for r in M.extract_archive_members(df).collect()}
+    for i in (1, 2):
+        assert got[(i, "x/a.txt")]["text"] == "alpha"
+        assert got[(i, "b.bin")]["text"] is None  # not UTF-8
+        assert got[(i, "b.bin")]["n_bytes"] == 3
+        assert got[(i, "b.bin")]["crc32"] == zlib.crc32(b"\xff\xfe\x00")
+    assert len(got) == 4  # the zero-size TarInfo is not a regular file row
+    # truncation gates: mid-data cut (tarfile's own ReadError), partial
+    # trailing header (stdlib silently drops the member — the operator's
+    # end-of-archive-marker check catches it), and a truncated gzip stream
+    for did, cut in ((3, plain[:700]), (4, plain[:1200]), (5, gz[: len(gz) - 8])):
+        df_trunc = spark.createDataFrame(
+            [(did, cut, "application/x-tar", "{}")], M.PAYLOAD_SCHEMA
+        )
+        with pytest.raises(Exception, match="(?i)tar|gzip|eof|end"):
+            M.extract_archive_members(df_trunc).collect()
+
+
+def test_archive_extract_bomb_caps(spark):
+    """Zip/tar-bomb guard: a member whose declared decompressed size
+    exceeds the cap — or whose ZIP compression ratio is absurd — raises
+    BEFORE the executor inflates it."""
+    import io
+    import tarfile
+    import zipfile
+
+    import pytest
+
+    payload = b"\x00" * (4 << 20)  # 4 MiB of zeros deflates ~4000:1
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("bomb.bin"), payload,
+                    compress_type=zipfile.ZIP_DEFLATED)
+    df_ratio = spark.createDataFrame(
+        [(1, zbuf.getvalue(), "application/zip", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with pytest.raises(Exception, match="decompression cap"):
+        M.extract_archive_members(df_ratio, max_compress_ratio=100).collect()
+    # same payload passes with the default ratio bound (honest 4 MiB member)
+    ok = M.extract_archive_members(df_ratio).collect()
+    assert ok[0]["n_bytes"] == len(payload)
+    # absolute size cap, ZIP and tar paths
+    with pytest.raises(Exception, match="decompression cap"):
+        M.extract_archive_members(df_ratio, max_member_bytes=1 << 20).collect()
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        ti = tarfile.TarInfo("bomb.bin")
+        ti.size = len(payload)
+        tf.addfile(ti, io.BytesIO(payload))
+    df_tar = spark.createDataFrame(
+        [(2, tbuf.getvalue(), "application/gzip", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with pytest.raises(Exception, match="decompression cap"):
+        M.extract_archive_members(df_tar, max_member_bytes=1 << 20).collect()
+
+
 def test_detect_encoding_unknown_and_plan(spark):
     """Invalid byte sequences classify as 'unknown' (NULL decode), and the
     detector is pure codegen — no Python UDF node in the plan."""
