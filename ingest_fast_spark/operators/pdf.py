@@ -329,8 +329,11 @@ def _page_content_text(doc: _Doc, page: dict) -> str:
             break
         try:
             obj = lx.read_object()
-        except ValueError:
-            break
+        except ValueError as e:
+            # module contract: structurally broken files raise, they don't
+            # silently yield partial text (an unterminated string or stray
+            # binary in a content stream is truncation-grade damage)
+            raise ValueError(f"malformed PDF content stream: {e}") from e
         # plain bytes (not _Str) = an operator keyword; everything else
         # is an operand
         if isinstance(obj, bytes) and not isinstance(obj, _Str):

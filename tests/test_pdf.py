@@ -74,6 +74,21 @@ def test_corrupt_stream_raises():
         extract_pdf_text(bad)
 
 
+def test_broken_content_stream_raises_not_partial():
+    """Module contract: a structurally broken content stream (unterminated
+    string) raises a page-scoped ValueError instead of silently returning
+    the text collected so far (round-9 ADVICE)."""
+    from ingest_fast_spark.operators.pdf import _page_content_text
+
+    class _FakeDoc:
+        def resolve(self, x):
+            return x
+
+    page = {"/Contents": {"dict": {}, "data": b"BT (kept) Tj (oops Tj ET"}}
+    with pytest.raises(ValueError, match="content stream"):
+        _page_content_text(_FakeDoc(), page)
+
+
 def test_spark_extract_operator(spark):
     """The production mapInPandas operator: synthesized payloads in,
     byte-exact text out; NULL payloads stay NULL rows."""
