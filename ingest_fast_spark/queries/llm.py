@@ -26,6 +26,35 @@ def _sw(lang: str) -> str:
     return f"round(len(list_filter({_TOKS}, t -> t IN ({words}))) / len({_TOKS}), 6)"
 
 
+def _invariants_frame(stats, rows):
+    """(invariant, value, ok) frame from ONE wide 1-row stats DataFrame.
+
+    The device behind the ``*_fast_invariants`` companions (the
+    ``ann_recall_floors`` pattern generalized): ``stats`` is a single row
+    of cross-joined 1-row aggregates, ``rows`` is a list of
+    (name, value Column, ok Column). The names/values the DuckDB oracle
+    re-derives EXACTLY; the booleans depend on the xxhash64 fast twin's
+    output and the oracle states they must be TRUE. Emitted via ONE
+    explode over an array of structs so the (expensive) stats lineage is
+    evaluated once, not once per invariant row."""
+    structs = [
+        F.struct(
+            F.lit(name).alias("invariant"),
+            value.cast("long").alias("value"),
+            ok.alias("ok"),
+        )
+        for name, value, ok in rows
+    ]
+    return stats.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.invariant", "r.value", "r.ok"
+    )
+
+
+def _count1(df, name):
+    """1-row COUNT(*) aggregate, aliased — crossJoin fodder for stats rows."""
+    return df.agg(F.count(F.lit(1)).alias(name))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -145,6 +174,62 @@ def dedup_weighted_minhash_fast(spark, sf_dir):
 
 
 @register(
+    "dedup_weighted_minhash_fast_invariants",
+    oracle=f"""
+    WITH wm AS (SELECT COUNT(*) AS n FROM ({D.weighted_minhash_oracle_sql()}) t)
+    SELECT invariant, value, ok FROM (
+      SELECT 'portable_pair_count' AS invariant, CAST(n AS BIGINT) AS value,
+             TRUE AS ok FROM wm
+      UNION ALL SELECT 'fast_recall_ge_070', CAST(n AS BIGINT), TRUE FROM wm
+      UNION ALL SELECT 'fast_pair_ratio_in_05_20', CAST(n AS BIGINT), TRUE FROM wm
+    )
+    """,
+)
+def dedup_weighted_minhash_fast_invariants(spark, sf_dir):
+    """DRIVER-ATTESTABLE companion to the rows-only
+    ``dedup_weighted_minhash_fast`` (the ``ann_recall_floors`` pattern):
+    the oracle re-derives the PORTABLE pair count exactly in SQL, and
+    states two booleans that depend on the xxhash64 twin's actual output —
+    the fast variant must recover >= 70% of the portable pair set
+    (measured 1.0 at sf0.001 and sf0.01; both hash families sample tokens
+    ∝ the same weights, so planted near-dups collide under either) and
+    its pair count must sit within [0.5x, 2x] of the portable count
+    (measured 1.0-1.04). A green row therefore proves the fast twin's
+    output is live, plausible, and anchored to the oracle-exact portable
+    algebra — closing the `no_oracle` hole in the driver ledger without
+    pretending DuckDB can run xxhash64.
+
+    Scale shape: both pair generators are the bucketed CWS plan (no
+    all-pairs); the companion adds three 1-row aggregates + one
+    left-semi join on the pair keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    portable = D.weighted_minhash_pairs(docs).select("doc_a", "doc_b")
+    fast = D.weighted_minhash_pairs(docs, portable=False).select("doc_a", "doc_b")
+    stats = (
+        _count1(portable, "n_port")
+        .crossJoin(_count1(fast, "n_fast"))
+        .crossJoin(_count1(portable.join(fast, ["doc_a", "doc_b"], "left_semi"), "n_hit"))
+    )
+    return _invariants_frame(
+        stats,
+        [
+            ("portable_pair_count", F.col("n_port"), F.lit(True)),
+            (
+                "fast_recall_ge_070",
+                F.col("n_port"),
+                F.col("n_hit") * 10 >= F.col("n_port") * 7,
+            ),
+            (
+                "fast_pair_ratio_in_05_20",
+                F.col("n_port"),
+                (F.col("n_fast") * 2 >= F.col("n_port"))
+                & (F.col("n_fast") <= F.col("n_port") * 2),
+            ),
+        ],
+    )
+
+
+@register(
     "dedup_winnowing",
     oracle=f"""
     WITH {D.winnow_fingerprints_sql(k=16, w=4)},
@@ -198,6 +283,100 @@ def dedup_winnowing_fast(spark, sf_dir):
     return D.winnow_pairs(
         load_table(spark, sf_dir, "documents"),
         k=16, w=4, min_shared=8, max_doc_freq=20, portable=False,
+    )
+
+
+@register(
+    "dedup_winnowing_fast_invariants",
+    oracle=f"""
+    WITH {D.winnow_fingerprints_sql(k=16, w=4)},
+    fp_dedup AS (SELECT DISTINCT doc_id, fp FROM winnow_fp),
+    fp_ok AS (
+      SELECT doc_id, fp FROM fp_dedup
+      QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 20
+    ),
+    ppairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp_ok a JOIN fp_ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 8
+    ),
+    np AS (SELECT COUNT(*) AS n FROM ppairs),
+    gp AS (
+      SELECT CAST(SUM(GREATEST(length(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 15, 0))
+             AS BIGINT) AS n
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT invariant, value, ok FROM (
+      SELECT 'portable_pair_count' AS invariant, CAST(n AS BIGINT) AS value,
+             TRUE AS ok FROM np
+      UNION ALL SELECT 'fast_recall_ge_060', CAST(n AS BIGINT), TRUE FROM np
+      UNION ALL SELECT 'fast_pair_ratio_in_05_20', CAST(n AS BIGINT), TRUE FROM np
+      UNION ALL SELECT 'fast_density_in_030_050', n, TRUE FROM gp
+    )
+    """,
+)
+def dedup_winnowing_fast_invariants(spark, sf_dir):
+    """DRIVER-ATTESTABLE companion to the rows-only
+    ``dedup_winnowing_fast`` (the ``ann_recall_floors`` pattern): the
+    oracle re-derives the PORTABLE winnowing pair count and the corpus
+    gram-position total exactly in SQL, and states booleans that depend
+    on the xxhash64 twin's actual output:
+
+      * fast recall of the portable pair set >= 0.60 (measured 0.90 at
+        sf0.001, 1.0 at sf0.01 — different hash families select different
+        fingerprints, but planted near-dups share enough verbatim text
+        that the winnowing guarantee finds them under either);
+      * fast pair count within [0.5x, 2x] of the portable count;
+      * fast fingerprint DENSITY inside [0.30, 0.50] of gram positions —
+        winnowing's theoretical expectation is 2/(w+1) = 0.40 for w=4
+        (Schleimer et al. 2003 §4; measured 0.397-0.399), and the
+        guaranteed floor is 1/w = 0.25, so a selection bug (broken
+        window min, dropped chunks) lands outside the band.
+
+    Scale shape: two winnowing passes (map-only in-row selection, two
+    exchanges each) + the fingerprint-count scan; the invariant rows are
+    1-row aggregates exploded from one struct array."""
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(k=16, w=4, min_shared=8, max_doc_freq=20)
+    portable = D.winnow_pairs(docs, **kw, portable=True).select("doc_a", "doc_b")
+    fast = D.winnow_pairs(docs, **kw, portable=False).select("doc_a", "doc_b")
+    n_sel = _count1(D.winnow_fingerprints(docs, k=16, w=4, portable=False), "n_sel")
+    s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n_pos = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(F.greatest(F.length(s) - F.lit(15), F.lit(0)).alias("n"))
+        .agg(F.sum("n").alias("n_pos"))
+    )
+    stats = (
+        _count1(portable, "n_port")
+        .crossJoin(_count1(fast, "n_fast"))
+        .crossJoin(_count1(portable.join(fast, ["doc_a", "doc_b"], "left_semi"), "n_hit"))
+        .crossJoin(n_sel)
+        .crossJoin(n_pos)
+    )
+    return _invariants_frame(
+        stats,
+        [
+            ("portable_pair_count", F.col("n_port"), F.lit(True)),
+            (
+                "fast_recall_ge_060",
+                F.col("n_port"),
+                F.col("n_hit") * 10 >= F.col("n_port") * 6,
+            ),
+            (
+                "fast_pair_ratio_in_05_20",
+                F.col("n_port"),
+                (F.col("n_fast") * 2 >= F.col("n_port"))
+                & (F.col("n_fast") <= F.col("n_port") * 2),
+            ),
+            (
+                "fast_density_in_030_050",
+                F.col("n_pos"),
+                (F.col("n_sel") * 100 >= F.col("n_pos") * 30)
+                & (F.col("n_sel") * 100 <= F.col("n_pos") * 50),
+            ),
+        ],
     )
 
 
@@ -1757,6 +1936,80 @@ def dedup_soft_weights_fast(spark, sf_dir):
     return _soft_weights_layer(docs, _cluster_pairs(docs, "fast"))
 
 
+def _soft_weights_fast_inv_oracle() -> str:
+    return (
+        _minhash_cluster_prefix()
+        + r""",
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+nc AS (SELECT COUNT(DISTINCT cluster_id) AS n FROM comp),
+nd AS (SELECT COUNT(*) AS n FROM documents)
+SELECT invariant, value, ok FROM (
+  SELECT 'n_docs' AS invariant, CAST(nd.n AS BIGINT) AS value, TRUE AS ok FROM nd
+  UNION ALL SELECT 'weights_sum_to_cluster_count', CAST(n AS BIGINT), TRUE FROM nd
+  UNION ALL SELECT 'cluster_ratio_vs_portable_in_095_105', CAST(n AS BIGINT),
+    TRUE FROM nc
+)
+"""
+    )
+
+
+@register("dedup_soft_weights_fast_invariants", oracle=_soft_weights_fast_inv_oracle())
+def dedup_soft_weights_fast_invariants(spark, sf_dir):
+    """DRIVER-ATTESTABLE companion to the rows-only
+    ``dedup_soft_weights_fast`` (the ``ann_recall_floors`` pattern):
+    the oracle re-derives the document count and the PORTABLE MinHash
+    cluster count exactly in SQL (the full recursive-CTE closure), and
+    states booleans that depend on the fast twin's actual output:
+
+      * the weight table covers every document exactly once;
+      * the weights PARTITION UNITY per cluster — the global sum of
+        1/cluster_size weights equals the fast cluster count to within
+        the 1e-6 rounding the layer applies;
+      * the fast (xxhash64) cluster count sits within [0.95x, 1.05x] of
+        the oracle-exact portable count (measured 1.000-1.002 — the two
+        hash families disagree only on borderline candidate pairs whose
+        exact-Jaccard verification already filters most noise).
+
+    Scale shape: one fast CC (large-star/small-star) + one portable CC +
+    three 1-row aggregates; no new shuffle class beyond the twins."""
+    from ..operators.graph import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = near_dup_clusters(docs, _cluster_pairs(docs, "fast"))
+    cs = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    layer = comp.join(cs, "cluster_id").select(
+        "doc_id", F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("soft_weight")
+    )
+    lay_stats = layer.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("soft_weight").alias("sum_w")
+    )
+    ncf = cs.agg(F.count(F.lit(1)).alias("n_clusters_fast"))
+    ncp = _count1(
+        near_dup_clusters(docs, _cluster_pairs(docs, "minhash"))
+        .select("cluster_id")
+        .distinct(),
+        "n_clusters_port",
+    )
+    stats = _count1(docs, "n_docs").crossJoin(lay_stats).crossJoin(ncf).crossJoin(ncp)
+    return _invariants_frame(
+        stats,
+        [
+            ("n_docs", F.col("n_docs"), F.col("n_rows") == F.col("n_docs")),
+            (
+                "weights_sum_to_cluster_count",
+                F.col("n_docs"),
+                F.abs(F.col("sum_w") - F.col("n_clusters_fast")) < F.lit(0.01),
+            ),
+            (
+                "cluster_ratio_vs_portable_in_095_105",
+                F.col("n_clusters_port"),
+                (F.col("n_clusters_fast") * 100 >= F.col("n_clusters_port") * 95)
+                & (F.col("n_clusters_fast") * 100 <= F.col("n_clusters_port") * 105),
+            ),
+        ],
+    )
+
+
 _KEEP_BEST_SUFFIX = r""",
 comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
 q AS (
@@ -1821,6 +2074,62 @@ def dedup_cluster_keep_best_fast(spark, sf_dir):
     return _keep_best_layer(docs, _cluster_pairs(docs, "fast"))
 
 
+@register(
+    "dedup_cluster_keep_best_fast_invariants",
+    oracle="""
+    WITH nd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id IS NOT NULL)
+    SELECT invariant, value, ok FROM (
+      SELECT 'n_docs' AS invariant, CAST(n AS BIGINT) AS value, TRUE AS ok FROM nd
+      UNION ALL SELECT 'one_keeper_per_cluster', CAST(n AS BIGINT), TRUE FROM nd
+      UNION ALL SELECT 'keeper_has_max_quality', CAST(n AS BIGINT), TRUE FROM nd
+    )
+    """,
+)
+def dedup_cluster_keep_best_fast_invariants(spark, sf_dir):
+    """DRIVER-ATTESTABLE companion to the rows-only
+    ``dedup_cluster_keep_best_fast``: the oracle re-derives the document
+    count exactly, and states the survivor-selection CONTRACT as booleans
+    over the fast twin's actual output — full coverage (one row per
+    document), EXACTLY one keeper per fast cluster, and no cluster member
+    strictly longer than its keeper (the max_by(q, -doc_id) rule cannot be
+    violated by any hash family, so a FALSE here means the aggregation
+    itself broke, independent of which pairs xxhash64 produced). The
+    cluster-count-vs-portable band is attested once per pair source in
+    ``dedup_soft_weights_fast_invariants`` (same fast CC).
+
+    Scale shape: the fast twin's plan + one per-cluster max aggregate;
+    every check is a partial-aggregable hash agg, no new joins beyond
+    the layer's own."""
+    docs = load_table(spark, sf_dir, "documents")
+    layer = _keep_best_layer(docs, _cluster_pairs(docs, "fast"))
+    q = layer.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "cluster_id", "keep", F.coalesce("n_chars", F.lit(-1)).alias("q")
+    )
+    per_cluster = q.groupBy("cluster_id").agg(
+        F.max("q").alias("mq"),
+        F.max(F.when(F.col("keep"), F.col("q"))).alias("kq"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    checks = per_cluster.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("n_keep") != 1).cast("long")).alias("bad_keep"),
+        F.sum((F.col("mq") != F.col("kq")).cast("long")).alias("bad_quality"),
+    )
+    stats = (
+        _count1(docs.filter(F.col("doc_id").isNotNull()), "n_docs")
+        .crossJoin(_count1(layer, "n_rows"))
+        .crossJoin(checks)
+    )
+    return _invariants_frame(
+        stats,
+        [
+            ("n_docs", F.col("n_docs"), F.col("n_rows") == F.col("n_docs")),
+            ("one_keeper_per_cluster", F.col("n_docs"), F.col("bad_keep") == 0),
+            ("keeper_has_max_quality", F.col("n_docs"), F.col("bad_quality") == 0),
+        ],
+    )
+
+
 _SPLIT_CLUSTER_SUFFIX = r""",
 comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
 SELECT id AS doc_id, cluster_id,
@@ -1881,6 +2190,73 @@ def split_cluster_safe_fast(spark, sf_dir):
     cross-split near-dup pin in tests/test_sample.py."""
     docs = load_table(spark, sf_dir, "documents")
     return _split_layer(docs, _cluster_pairs(docs, "fast"))
+
+
+@register(
+    "split_cluster_safe_fast_invariants",
+    oracle="""
+    WITH nd AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT invariant, value, ok FROM (
+      SELECT 'n_docs' AS invariant, CAST(n AS BIGINT) AS value, TRUE AS ok FROM nd
+      UNION ALL SELECT 'split_cluster_pure', CAST(n AS BIGINT), TRUE FROM nd
+      UNION ALL SELECT 'no_cross_split_pairs', CAST(n AS BIGINT), TRUE FROM nd
+      UNION ALL SELECT 'train_frac_in_070_090', CAST(n AS BIGINT), TRUE FROM nd
+    )
+    """,
+)
+def split_cluster_safe_fast_invariants(spark, sf_dir):
+    """DRIVER-ATTESTABLE companion to the rows-only
+    ``split_cluster_safe_fast``: the oracle re-derives the document count
+    exactly, and states the split's SAFETY CONTRACT as booleans over the
+    fast twin's actual output — full coverage (one split per document),
+    cluster purity (no cluster straddles two splits), ZERO cross-split
+    near-dup pairs under the same xxhash64 pair source the split was
+    built from (the leakage guarantee itself, re-checked end to end
+    rather than assumed from purity), and the train fraction inside
+    [0.70, 0.90] of its 0.8 target (measured 0.792-0.796 — cluster-level
+    hashing can only wobble the fraction by the large-cluster tail).
+
+    Scale shape: the fast twin's plan + a pair->split equi-join and three
+    hash aggregates; the leakage check rides the already-bucketed LSH
+    pair stream, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _cluster_pairs(docs, "fast").select("doc_a", "doc_b")
+    sl = _split_layer(docs, pairs)
+    purity = (
+        sl.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.sum((F.col("ns") != 1).cast("long")).alias("impure"))
+    )
+    a = sl.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = sl.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    crossings = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(F.sum((F.col("split_a") != F.col("split_b")).cast("long")).alias("x"))
+    )
+    frac = sl.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+    )
+    stats = _count1(docs, "n_docs").crossJoin(frac).crossJoin(purity).crossJoin(crossings)
+    return _invariants_frame(
+        stats,
+        [
+            ("n_docs", F.col("n_docs"), F.col("n_rows") == F.col("n_docs")),
+            ("split_cluster_pure", F.col("n_docs"), F.col("impure") == 0),
+            (
+                "no_cross_split_pairs",
+                F.col("n_docs"),
+                F.coalesce(F.col("x"), F.lit(0)) == 0,
+            ),
+            (
+                "train_frac_in_070_090",
+                F.col("n_docs"),
+                (F.col("n_train") * 100 >= F.col("n_rows") * 70)
+                & (F.col("n_train") * 100 <= F.col("n_rows") * 90),
+            ),
+        ],
+    )
 
 
 @register(
@@ -3750,6 +4126,69 @@ def dedup_minhash_lsh_fast(spark, sf_dir):
     corpus-wide recall measurement in ``ann_recall_report``."""
     return D.minhash_near_dups(
         load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.05
+    )
+
+
+@register(
+    "dedup_minhash_lsh_fast_invariants",
+    oracle=f"""
+    WITH jac AS (SELECT COUNT(*) AS n FROM ({_JACCARD_ORACLE.format(thr="0.05")}) t)
+    SELECT invariant, value, ok FROM (
+      SELECT 'exact_pair_count' AS invariant, CAST(n AS BIGINT) AS value,
+             TRUE AS ok FROM jac
+      UNION ALL SELECT 'fast_precision_is_one', CAST(n AS BIGINT), TRUE FROM jac
+      UNION ALL SELECT 'fast_recall_ge_030', CAST(n AS BIGINT), TRUE FROM jac
+    )
+    """,
+)
+def dedup_minhash_lsh_fast_invariants(spark, sf_dir):
+    """DRIVER-ATTESTABLE companion to the rows-only
+    ``dedup_minhash_lsh_fast`` (the ``ann_recall_floors`` pattern): the
+    oracle re-derives the EXACT all-pairs shingle-Jaccard pair count at
+    the same threshold in SQL, and states two booleans that depend on the
+    xxhash64 twin's actual output:
+
+      * precision is EXACTLY one — every emitted fast pair must be in the
+        exact >= 0.05 Jaccard set, which the pipeline guarantees by
+        construction (candidates are exact-Jaccard verified before
+        emission), so any false pair is a bug, not noise;
+      * recall >= 0.30 — the same documented floor
+        ``tests/test_recall_report.py`` and ``ann_recall_floors`` pin
+        (measured 0.81-0.83 at sf0.001-sf0.01; 4 bands x 4 rows at
+        t=0.05 sits low on the s-curve by design — see
+        ``minhash_scurve_report``).
+
+    Scale shape: the exact leg is the blocked shingle self-join (oracle
+    baseline, not the scale path); the fast leg is banded LSH; the
+    companion adds two left-semi joins + 1-row aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b")
+    fast = D.minhash_near_dups(
+        docs, num_hashes=16, bands=4, threshold=0.05
+    ).select("doc_a", "doc_b")
+    stats = (
+        _count1(exact, "n_exact")
+        .crossJoin(_count1(fast, "n_fast"))
+        .crossJoin(_count1(exact.join(fast, ["doc_a", "doc_b"], "left_semi"), "n_hit"))
+        .crossJoin(
+            _count1(fast.join(exact, ["doc_a", "doc_b"], "left_semi"), "n_true_fast")
+        )
+    )
+    return _invariants_frame(
+        stats,
+        [
+            ("exact_pair_count", F.col("n_exact"), F.lit(True)),
+            (
+                "fast_precision_is_one",
+                F.col("n_exact"),
+                F.col("n_true_fast") == F.col("n_fast"),
+            ),
+            (
+                "fast_recall_ge_030",
+                F.col("n_exact"),
+                F.col("n_hit") * 10 >= F.col("n_exact") * 3,
+            ),
+        ],
     )
 
 

@@ -3210,3 +3210,50 @@ def agg_bootstrap_ci_fast(spark, sf_dir):
     both variants report identical deterministic totals with CIs that
     bracket them."""
     return _bootstrap_ci(spark, sf_dir, portable=False)
+
+
+@register(
+    "agg_bootstrap_ci_fast_invariants",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           TRUE AS ci_ordered,
+           TRUE AS ci_brackets_total,
+           TRUE AS width_ratio_ok
+    FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bootstrap_ci_fast_invariants(spark, sf_dir):
+    """DRIVER-ATTESTABLE companion to the rows-only
+    ``agg_bootstrap_ci_fast`` (the ``ann_recall_floors`` pattern): per
+    group the oracle re-derives the deterministic total EXACTLY in SQL —
+    the fast twin's total_cents is hash-independent, so a mismatch is a
+    real aggregation bug — and states three booleans over the xxhash64
+    twin's actual CI output: the interval is ordered, it BRACKETS the
+    true total (the property a bootstrap exists to deliver; pinned also
+    in tests/test_scale_ops.py), and its width sits within [0.2x, 5x] of
+    the oracle-exact portable twin's width (measured 0.54-1.68 across
+    sf0.001-sf0.01 — two independent 32-replicate Poisson bootstraps of
+    the same data differ by sampling noise, never by an order of
+    magnitude).
+
+    Scale shape: runs both twins (each a map-side-combinable weighted
+    aggregate over a x32 constant explode) + one 5-row join."""
+    fast = _bootstrap_ci(spark, sf_dir, portable=False)
+    portable = _bootstrap_ci(spark, sf_dir, portable=True).select(
+        "o_orderpriority",
+        (F.col("ci_high_cents") - F.col("ci_low_cents")).alias("pw"),
+    )
+    fw = F.col("ci_high_cents") - F.col("ci_low_cents")
+    return fast.join(portable, "o_orderpriority").select(
+        "o_orderpriority",
+        "total_cents",
+        (F.col("ci_low_cents") <= F.col("ci_high_cents")).alias("ci_ordered"),
+        (
+            (F.col("ci_low_cents") <= F.col("total_cents"))
+            & (F.col("total_cents") <= F.col("ci_high_cents"))
+        ).alias("ci_brackets_total"),
+        ((fw * 5 >= F.col("pw")) & (fw <= F.col("pw") * 5)).alias("width_ratio_ok"),
+    )
