@@ -5,22 +5,26 @@ in web-scale training corpora, and a pipeline that can only pass their
 bytes through cannot curate them.
 
 Extractor (`extract_pdf_text`): a real ISO 32000 parser, not a regex
-scrape — classic cross-reference table(s) with /Prev chaining, trailer
-/Root, object tokenizer (dicts, arrays, names, numbers, literal strings
-with escapes and balanced parentheses, hex strings, indirect
-references), stream objects with indirect /Length and FlateDecode
-(stdlib zlib), page-tree walk (/Pages /Kids recursion, /Contents ref or
-array), and a content-stream interpreter that collects the text-showing
-operators Tj, ', ", and TJ (array form with kerning numbers). Pages are
-joined with newlines. Honest gates: /Encrypt, cross-reference STREAMS
-(PDF 1.5+ /Type /XRef), and non-Flate stream filters raise
-NotImplementedError; structurally broken files raise ValueError.
+scrape — classic cross-reference table(s) with /Prev chaining, PDF 1.5+
+cross-reference STREAMS (/Type /XRef: W-field decode, /Index subsections,
+FlateDecode + PNG predictors) including hybrid /XRefStm files, /Type
+/ObjStm object streams (compressed objects), trailer /Root, object
+tokenizer (dicts, arrays, names, numbers, literal strings with escapes
+and balanced parentheses, hex strings, indirect references), stream
+objects with indirect /Length and FlateDecode (stdlib zlib), page-tree
+walk (/Pages /Kids recursion, /Contents ref or array), and a
+content-stream interpreter that collects the text-showing operators Tj,
+', ", and TJ (array form with kerning numbers). Pages are joined with
+newlines. Honest gates: /Encrypt, non-Flate stream filters, and the TIFF
+predictor raise NotImplementedError; structurally broken files raise
+ValueError.
 
 Synthesizer (`make_pdf`): a conformant writer used for round-trip
 attestation — one page per text chunk, literal AND hex string forms plus
 the TJ array form (so the extractor's whole operator surface executes),
-FlateDecode-compressed content streams, a correct xref table and
-trailer. Any conformant reader can open its output.
+FlateDecode-compressed content streams, and either a classic xref table
+(PDF 1.4) or a /Type /XRef stream + /ObjStm layout (PDF 1.5,
+``xref_stream=True``). Any conformant reader can open its output.
 
 Reference parity note: /root/reference is pure-text ETL (no media); this
 module serves SURVEY.md §2.9 [EXT] multimodal requirements only.
@@ -201,9 +205,142 @@ class _Lexer:
         return tok  # keyword (obj, stream, endobj, operators, ...)
 
 
+def _png_unpredict(data: bytes, columns: int, predictor: int, bpp: int = 1) -> bytes:
+    """Undo the PNG row predictors (RFC 2083 §6) PDF stream /DecodeParms
+    apply — xref streams in the wild almost universally use Predictor 12
+    (Up). ``columns`` is the row width in bytes, ``bpp`` the bytes per
+    sample unit (Colors*BitsPerComponent/8, >= 1)."""
+    if predictor < 2:
+        return data
+    if predictor == 2:
+        raise NotImplementedError("PDF TIFF predictor 2")
+    rowlen = columns + 1
+    if rowlen <= 1 or len(data) % rowlen:
+        raise ValueError("PDF predictor data is not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, columns):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG predictor row filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _parse_xref_stream_at(
+    b: bytes, pos: int, offsets: dict, compressed: dict
+) -> dict:
+    """One cross-reference STREAM (ISO 32000 §7.5.8): ``n g obj << /Type
+    /XRef /W [...] /Index [...] >> stream`` — W-field decode (type 1 →
+    byte offset, type 2 → (objstm, index)), optional FlateDecode + PNG
+    predictor. Returns the stream dictionary (it doubles as the trailer).
+    Entries respect newest-wins across the /Prev chain via the same
+    not-already-present rule the classic parser uses."""
+    lx = _Lexer(b, pos)
+    int(lx.read_token())  # object number
+    lx.read_token()  # generation
+    if lx.read_token() != b"obj":
+        raise ValueError("startxref does not point at an object")
+    d = lx.read_object()
+    if not isinstance(d, dict) or d.get("/Type") != "/XRef":
+        raise ValueError("startxref object is not a /Type /XRef stream")
+    if lx.read_token() != b"stream":
+        raise ValueError("xref stream without stream data")
+    i = lx.i
+    if b[i : i + 2] == b"\r\n":
+        i += 2
+    elif b[i : i + 1] == b"\n":
+        i += 1
+    length = d.get("/Length")
+    if isinstance(length, int):
+        raw = b[i : i + length]
+    else:
+        # indirect /Length would need the xref being built — fall back to
+        # the endstream delimiter (always present; data is binary-safe
+        # because Flate output virtually never contains the keyword)
+        j = b.index(b"endstream", i)
+        raw = b[i:j].rstrip(b"\r\n")
+    filt = d.get("/Filter")
+    if filt in (None, []):
+        data = raw
+    elif filt == "/FlateDecode" or filt == ["/FlateDecode"]:
+        data = zlib.decompress(raw)
+    else:
+        raise NotImplementedError(f"PDF xref stream filter {filt}")
+    w = d.get("/W")
+    size = d.get("/Size")
+    if not (isinstance(w, list) and len(w) == 3 and all(isinstance(x, int) for x in w)):
+        raise ValueError("xref stream /W missing or malformed")
+    if not isinstance(size, int):
+        raise ValueError("xref stream /Size missing")
+    parms = d.get("/DecodeParms")
+    if isinstance(parms, list):
+        parms = parms[0] if parms else {}
+    if isinstance(parms, dict) and parms.get("/Predictor", 1) != 1:
+        data = _png_unpredict(
+            data,
+            int(parms.get("/Columns", sum(w))),
+            int(parms["/Predictor"]),
+            max(1, int(parms.get("/Colors", 1)) * int(parms.get("/BitsPerComponent", 8)) // 8),
+        )
+    index = d.get("/Index", [0, size])
+    if not (isinstance(index, list) and len(index) % 2 == 0):
+        raise ValueError("xref stream /Index malformed")
+    ew = sum(w)
+    p = 0
+
+    def field(width: int, default: int) -> int:
+        nonlocal p
+        if width == 0:
+            return default
+        v = int.from_bytes(data[p : p + width], "big")
+        p += width
+        return v
+
+    for s in range(0, len(index), 2):
+        start, count = index[s], index[s + 1]
+        for n in range(start, start + count):
+            if p + ew > len(data):
+                raise ValueError("xref stream shorter than /Index declares")
+            t = field(w[0], 1)
+            f2 = field(w[1], 0)
+            f3 = field(w[2], 0)
+            if n in offsets or n in compressed:
+                continue  # newest wins
+            if t == 1:
+                offsets[n] = f2
+            elif t == 2:
+                compressed[n] = (f2, f3)
+    return d
+
+
 def _parse_xref(b: bytes):
-    """Classic xref table(s): offsets per object number, trailer dict
-    (merged across /Prev chain, newest wins)."""
+    """Cross-reference parse: classic xref table(s) AND 1.5+ xref
+    STREAMS, merged across the /Prev chain (newest wins) including hybrid
+    files whose classic trailer carries /XRefStm. Returns (offsets,
+    compressed, trailer): ``offsets`` maps object number → byte offset,
+    ``compressed`` maps object number → (object-stream number, index)."""
     tail = b[-2048:]
     m = None
     for m in re.finditer(rb"startxref\s+(\d+)", tail):
@@ -211,41 +348,50 @@ def _parse_xref(b: bytes):
     if m is None:
         raise ValueError("PDF has no startxref")
     offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
     trailer: dict = {}
     seen = set()
     pos = int(m.group(1))
     while pos not in seen:
         seen.add(pos)
         lx = _Lexer(b, pos)
+        save = lx.i
         first = lx.read_token()
         if first != b"xref":
-            # a cross-reference STREAM (PDF 1.5+) starts with "n 0 obj"
-            raise NotImplementedError(
-                "PDF cross-reference stream (1.5+ /Type /XRef) — classic "
-                "xref tables only"
-            )
-        while True:
-            tok = lx.read_token()
-            if tok == b"trailer":
-                break
-            start = int(tok)
-            count = int(lx.read_token())
-            for k in range(count):
-                off = int(lx.read_token())
-                lx.read_token()  # generation
-                kind = lx.read_token()
-                if kind == b"n" and (start + k) not in offsets:
-                    offsets[start + k] = off
-        t = lx.read_object()
-        if not isinstance(t, dict):
-            raise ValueError("malformed PDF trailer")
+            # PDF 1.5+ cross-reference stream: "n g obj << /Type /XRef ..."
+            lx.i = save
+            t = _parse_xref_stream_at(b, pos, offsets, compressed)
+        else:
+            while True:
+                tok = lx.read_token()
+                if tok == b"trailer":
+                    break
+                start = int(tok)
+                count = int(lx.read_token())
+                for k in range(count):
+                    off = int(lx.read_token())
+                    lx.read_token()  # generation
+                    kind = lx.read_token()
+                    n = start + k
+                    if kind == b"n" and n not in offsets and n not in compressed:
+                        offsets[n] = off
+            t = lx.read_object()
+            if not isinstance(t, dict):
+                raise ValueError("malformed PDF trailer")
+            if "/XRefStm" in t and isinstance(t["/XRefStm"], int):
+                # hybrid-reference file (§7.5.8.4): the classic section's
+                # companion stream carries the compressed-object entries
+                xpos = t["/XRefStm"]
+                if xpos not in seen:
+                    seen.add(xpos)
+                    _parse_xref_stream_at(b, xpos, offsets, compressed)
         for k, v in t.items():
             trailer.setdefault(k, v)
         if "/Prev" in t and isinstance(t["/Prev"], int):
             pos = t["/Prev"]
         else:
             break
-    return offsets, trailer
+    return offsets, compressed, trailer
 
 
 class _Doc:
@@ -253,7 +399,7 @@ class _Doc:
         if not b.startswith(b"%PDF-"):
             raise ValueError("not a PDF signature")
         self.b = b
-        self.offsets, self.trailer = _parse_xref(b)
+        self.offsets, self.compressed, self.trailer = _parse_xref(b)
         if "/Encrypt" in self.trailer:
             raise NotImplementedError("encrypted PDF")
         self._cache: dict[int, object] = {}
@@ -263,9 +409,43 @@ class _Doc:
             v = self.get_object(v.num)
         return v
 
+    def _get_from_objstm(self, num: int, stm_num: int, idx: int):
+        """Object living inside a /Type /ObjStm object stream
+        (ISO 32000 §7.5.7): header of N (objnum, offset) pairs, then the
+        bodies starting at /First. Compressed objects are plain objects —
+        never streams — so one read_object suffices."""
+        if stm_num == num:
+            raise ValueError("PDF object stream contains itself")
+        stm = self.get_object(stm_num)
+        if not (isinstance(stm, dict) and "data" in stm):
+            raise ValueError(f"PDF object stream {stm_num} is not a stream")
+        sd = stm["dict"]
+        if sd.get("/Type") != "/ObjStm":
+            raise ValueError(f"PDF object {stm_num} is not /Type /ObjStm")
+        n = self.resolve(sd.get("/N"))
+        first = self.resolve(sd.get("/First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("PDF object stream /N or /First missing")
+        data = stm["data"]
+        hlx = _Lexer(data)
+        pairs = [(int(hlx.read_token()), int(hlx.read_token())) for _ in range(n)]
+        if not (0 <= idx < n) or pairs[idx][0] != num:
+            # tolerate a stale index field: locate by object number
+            hits = [off for onum, off in pairs if onum == num]
+            if not hits:
+                raise ValueError(f"PDF object {num} not in object stream {stm_num}")
+            off = hits[0]
+        else:
+            off = pairs[idx][1]
+        return _Lexer(data, first + off).read_object()
+
     def get_object(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num in self.compressed:
+            val = self._get_from_objstm(num, *self.compressed[num])
+            self._cache[num] = val
+            return val
         off = self.offsets.get(num)
         if off is None:
             raise ValueError(f"PDF object {num} not in xref")
@@ -395,13 +575,19 @@ def _esc_literal(s: bytes) -> bytes:
     return s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def make_pdf(pages: list[str]) -> bytes:
-    """A complete, valid PDF (classic xref, FlateDecode content) with one
-    page per entry. Page text alternates the three text-show forms the
-    spec allows — literal string ``(..) Tj``, hex string ``<..> Tj``
-    (byte-exact for any UTF-8 payload), and the ``TJ`` array with kerning
-    numbers — so a round-trip exercises the extractor's whole operator
-    surface."""
+def make_pdf(pages: list[str], xref_stream: bool = False) -> bytes:
+    """A complete, valid PDF with one page per entry. Page text alternates
+    the three text-show forms the spec allows — literal string ``(..) Tj``,
+    hex string ``<..> Tj`` (byte-exact for any UTF-8 payload), and the
+    ``TJ`` array with kerning numbers — so a round-trip exercises the
+    extractor's whole operator surface.
+
+    ``xref_stream=False`` (default): PDF 1.4, classic xref table.
+    ``xref_stream=True``: PDF 1.5 — the catalog/pages/font/page objects
+    are packed into a ``/Type /ObjStm`` object stream and the
+    cross-reference is a ``/Type /XRef`` STREAM (W=[1 4 2], FlateDecode,
+    PNG Up predictor 12 — the layout real-world writers emit), so the
+    extractor's 1.5+ path is attested against the same ground truth."""
     objs: list[bytes] = []  # 1-based object bodies, in object-number order
 
     n_pages = len(pages)
@@ -447,18 +633,73 @@ def make_pdf(pages: list[str]) -> bytes:
             + b"\nendstream"
         )
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]  # object 0 is the free head
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]  # object 0 is the free head
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos)
+        )
+        return bytes(out)
+
+    # --- PDF 1.5 tail: /ObjStm for the non-stream objects + /Type /XRef ---
+    n_nonstream = 3 + n_pages  # catalog, pages, font, page dicts
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    byte_off: dict[int, int] = {}
+    # content streams stay top-level (streams cannot live in an ObjStm)
+    for j in range(n_nonstream, len(objs)):
+        byte_off[j + 1] = len(out)
+        out += b"%d 0 obj\n" % (j + 1) + objs[j] + b"\nendobj\n"
+    header = bytearray()
+    bodies = bytearray()
+    for j in range(n_nonstream):
+        header += b"%d %d " % (j + 1, len(bodies))
+        bodies += objs[j] + b" "
+    stm = bytes(header) + bytes(bodies)
+    comp = zlib.compress(stm)
+    objstm_num = len(objs) + 1
+    xref_num = len(objs) + 2
+    byte_off[objstm_num] = len(out)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_pos)
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n" % (objstm_num, n_nonstream, len(header), len(comp))
+        + comp
+        + b"\nendstream\nendobj\n"
     )
+    xref_pos = len(out)
+    byte_off[xref_num] = xref_pos
+    size = xref_num + 1
+    rows = []
+    for n in range(size):
+        if n == 0:
+            rows.append((0, 0, 65535))
+        elif n <= n_nonstream:
+            rows.append((2, objstm_num, n - 1))  # in the ObjStm, index n-1
+        else:
+            rows.append((1, byte_off[n], 0))
+    # W = [1 4 2], PNG Up predictor (12) — the shape real writers emit
+    prev = bytes(7)
+    pred = bytearray()
+    for t, f2, f3 in rows:
+        raw = bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        pred.append(2)
+        pred += bytes((raw[i] - prev[i]) & 0xFF for i in range(7))
+        prev = raw
+    xcomp = zlib.compress(bytes(pred))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b"/Length %d >>\nstream\n" % (xref_num, size, len(xcomp))
+        + xcomp
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

@@ -5853,7 +5853,7 @@ def multimodal_jpeg_progressive(spark, sf_dir):
            CAST(2 AS BIGINT) AS n_pages,
            'doc ' || CAST(doc_id AS VARCHAR) || ' (synthetic) cover \\ page'
              || chr(10) || text AS text,
-           '1.4' AS version
+           CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.5' END AS version
     FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
     """,
 )
@@ -5862,16 +5862,20 @@ def multimodal_pdf_text(spark, sf_dir):
     the multimodal family (PDF is the dominant long-form format in
     web-scale corpora; a pipeline that cannot read it back cannot curate
     it). Synthesizes a real two-page PDF per document with
-    ``operators/pdf.make_pdf`` (FlateDecode content streams, classic
-    xref; page 1 a doc_id-derived cover in the LITERAL string form with
-    escape-worthy characters, page 2 the document's ACTUAL text in the
-    byte-exact HEX string form — the synthesizer also rotates the TJ
-    array form across pages), pushes it through the production
+    ``operators/pdf.make_pdf`` — even doc_ids the CLASSIC 1.4 layout
+    (xref table), odd doc_ids the 1.5 layout (/Type /XRef
+    cross-reference STREAM with PNG predictor + /Type /ObjStm compressed
+    objects — the shape most post-2005 writers emit); page 1 a
+    doc_id-derived cover in the LITERAL string form with escape-worthy
+    characters, page 2 the document's ACTUAL text in the byte-exact HEX
+    string form (the synthesizer also rotates the TJ array form across
+    pages) — pushes the mix through the production
     ``extract_document_text`` operator (the zero-dependency ISO 32000
-    parser: xref → catalog → page tree → content streams → Tj/'/"/TJ),
-    and emits the recovered page count and FULL text against the
-    original — the oracle re-derives the exact expected text in SQL, so
-    the driver proves byte-exact extraction, not just page counts.
+    parser: xref table OR stream → objstm → catalog → page tree →
+    content streams → Tj/'/"/TJ), and emits the recovered page count,
+    FULL text, and version against the original — the oracle re-derives
+    the exact expected text AND the doc_id-keyed version in SQL, so the
+    driver proves byte-exact extraction over both xref layouts.
 
     Scale shape: two chained map-only mapInPandas passes — no shuffle."""
 
@@ -5885,7 +5889,10 @@ def multimodal_pdf_text(spark, sf_dir):
             for i, t in zip(pdf_["doc_id"], pdf_["text"]):
                 ids.append(i)
                 payloads.append(
-                    make_pdf([f"doc {i} (synthetic) cover \\ page", str(t)])
+                    make_pdf(
+                        [f"doc {i} (synthetic) cover \\ page", str(t)],
+                        xref_stream=int(i) % 2 == 1,
+                    )
                 )
             yield pd.DataFrame(
                 {

@@ -49,12 +49,85 @@ def test_encrypted_gate():
         extract_pdf_text(bytes(p))
 
 
-def test_xref_stream_gate():
-    # a minimal 1.5-style file: startxref points at an object, not 'xref'
-    body = b"%PDF-1.5\n1 0 obj\n<< /Type /XRef >>\nendobj\n"
-    pdf = body + b"startxref\n9\n%%EOF\n"
-    with pytest.raises(NotImplementedError, match="cross-reference stream"):
-        extract_pdf_text(pdf)
+def test_xref_stream_roundtrip():
+    """PDF 1.5: /Type /XRef cross-reference stream (W-field decode, PNG
+    Up predictor) + /Type /ObjStm compressed objects — byte-exact text
+    round-trip through the same extractor surface as the classic path."""
+    pages = ["hello (world) \\ test", "päge two — unicode ✓", "TJ form", ""]
+    r = extract_pdf_text(make_pdf(pages, xref_stream=True))
+    assert r["n_pages"] == 4
+    assert r["version"] == "1.5"
+    assert r["text"] == "\n".join(pages)
+
+
+def test_xref_stream_truncation_and_garbage():
+    p = make_pdf(["page one", "page two"], xref_stream=True)
+    for cut in (len(p) // 2, len(p) - 20):
+        with pytest.raises((ValueError, NotImplementedError, Exception)):
+            extract_pdf_text(p[:cut])
+    # a startxref pointing at a non-XRef object is structural damage
+    body = b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    with pytest.raises(ValueError, match="XRef"):
+        extract_pdf_text(body + b"startxref\n9\n%%EOF\n")
+
+
+def test_hybrid_xrefstm_roundtrip():
+    """Hybrid-reference file (ISO 32000 §7.5.8.4): a CLASSIC trailer whose
+    /XRefStm points at the cross-reference stream carrying the
+    compressed-object entries — the shape 1.4-compatible writers emit."""
+    import re
+
+    p = make_pdf(["alpha", "beta"], xref_stream=True)
+    xpos = int(re.search(rb"startxref\s+(\d+)", p[-100:]).group(1))
+    body = p[: p.rindex(b"startxref")]
+    tail = (
+        b"xref\n0 1\n0000000000 65535 f \ntrailer\n"
+        b"<< /Size 99 /Root 1 0 R /XRefStm %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (xpos, len(body))
+    )
+    r = extract_pdf_text(body + tail)
+    assert r["n_pages"] == 2 and r["text"] == "alpha\nbeta"
+
+
+def test_png_predictors_unit():
+    """All four PNG row predictors round-trip through _png_unpredict
+    (the encoder only emits Up; real PDFs use any of them)."""
+    from ingest_fast_spark.operators.pdf import _png_unpredict
+
+    raw = bytes(range(1, 29))  # 4 rows x 7 columns
+    cols = 7
+
+    def predict(ft):
+        out = bytearray()
+        prev = bytes(cols)
+        for r in range(0, len(raw), cols):
+            row = raw[r : r + cols]
+            out.append(ft)
+            for i in range(cols):
+                if ft == 0:
+                    d = row[i]
+                elif ft == 1:
+                    d = row[i] - (row[i - 1] if i else 0)
+                elif ft == 2:
+                    d = row[i] - prev[i]
+                elif ft == 3:
+                    d = row[i] - ((row[i - 1] if i else 0) + prev[i]) // 2
+                else:  # Paeth
+                    a = row[i - 1] if i else 0
+                    b = prev[i]
+                    c = prev[i - 1] if i else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    d = row[i] - pr
+                out.append(d & 0xFF)
+            prev = row
+        return bytes(out)
+
+    for ft in range(5):
+        assert _png_unpredict(predict(ft), cols, 12) == raw, ft
+    with pytest.raises(NotImplementedError):
+        _png_unpredict(raw, cols, 2)  # TIFF predictor stays an honest gate
 
 
 def test_unknown_filter_gate():
