@@ -40,6 +40,28 @@ def as_double(a: Column) -> Column:
     return a.cast("array<double>")
 
 
+# The exact-GEMM baselines collect a vector set to the driver and
+# broadcast it — the right call while it fits (~0.5 GB per million 64-dim
+# float64 vectors) and a driver OOM beyond. Same size-gated logic class
+# as connected_components' 1M-edge union-find gate (operators/graph.py).
+EXACT_GEMM_MAX_ROWS = 1_000_000
+
+
+def _gated_collect(df: DataFrame, what: str, scale_twin: str, max_rows: int | None = None):
+    """Driver-side collect with a size gate: count first, and raise a
+    USEFUL error pointing at the bucketed scale twin instead of dying in
+    an un-diagnosable driver OOM mid-collect at 100x data."""
+    limit = EXACT_GEMM_MAX_ROWS if max_rows is None else max_rows
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{what}: {n} vectors exceed the exact-GEMM driver-collect "
+            f"gate ({limit}); use the bucketed scale path ({scale_twin}) "
+            "instead, or raise EXACT_GEMM_MAX_ROWS deliberately"
+        )
+    return df.collect()
+
+
 def brute_force_topk_expr(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,10 +121,11 @@ def brute_force_topk(
 
     from ..catalog import ensure_parallelism
 
-    qrows = (
+    qrows = _gated_collect(
         queries.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-        .collect()
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
+        "brute_force_topk query set",
+        "ivf_topk",
     )
     if not qrows:  # empty query set: nothing to rank (np would see a 1-D matrix)
         return corpus.sparkSession.createDataFrame(
@@ -337,10 +360,11 @@ def cosine_near_dup_pairs(
 
     from ..catalog import ensure_parallelism
 
-    rows = (
+    rows = _gated_collect(
         emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-        .collect()
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
+        "cosine_near_dup_pairs corpus",
+        "cosine_near_dup_lsh",
     )
     if not rows:  # empty corpus: no pairs (np would see a 1-D matrix)
         return emb.sparkSession.createDataFrame(
@@ -693,10 +717,11 @@ def hard_negatives_topk(
 
     from ..catalog import ensure_parallelism
 
-    qrows = (
+    qrows = _gated_collect(
         queries.filter(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
-        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col))
-        .collect()
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col)),
+        "hard_negatives_topk query set",
+        "ivf_topk with a label mask",
     )
     if not qrows:
         return corpus.sparkSession.createDataFrame(
@@ -1237,14 +1262,15 @@ def knn_label_agreement(
 
     from ..catalog import ensure_parallelism
 
-    rows = (
+    rows = _gated_collect(
         emb.filter(
             F.col(vec_col).isNotNull()
             & F.col(id_col).isNotNull()
             & F.col(label_col).isNotNull()
         )
-        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col))
-        .collect()
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col)),
+        "knn_label_agreement corpus",
+        "knn_label_agreement_ivf",
     )
     sess = emb.sparkSession
     out_schema = (

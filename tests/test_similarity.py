@@ -370,3 +370,32 @@ def test_dbscan_pair_source_injection(spark):
         for r in S.dbscan_cosine(emb, eps_sim=0.2, min_pts=3, pairs=pairs).collect()
     }
     assert default == injected
+
+
+def test_exact_gemm_collect_gate(spark, monkeypatch):
+    """The exact-GEMM baselines' driver collects are size-gated (the
+    connected_components 1M-edge pattern): beyond the gate they raise a
+    useful error pointing at the bucketed scale twin instead of OOMing
+    the driver at 100x data. sf-scale behavior is unchanged (the gate is
+    1M rows; these corpora are hundreds)."""
+    import pytest
+
+    from ingest_fast_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, (v / np.linalg.norm(v)).tolist(), int(i % 2))
+        for i, v in enumerate(rng.normal(size=(30, 8)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    monkeypatch.setattr(SIM, "EXACT_GEMM_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="cosine_near_dup_lsh"):
+        SIM.cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    with pytest.raises(ValueError, match="knn_label_agreement_ivf"):
+        SIM.knn_label_agreement(emb, k=3).collect()
+    with pytest.raises(ValueError, match="ivf_topk"):
+        SIM.brute_force_topk(emb, emb.limit(20), k=3).collect()
+    # under the gate everything still runs
+    monkeypatch.setattr(SIM, "EXACT_GEMM_MAX_ROWS", 1_000_000)
+    assert SIM.cosine_near_dup_pairs(emb, threshold=0.99).count() >= 0
+    assert SIM.brute_force_topk(emb, emb.limit(2), k=3).count() == 6
