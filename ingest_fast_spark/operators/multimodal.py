@@ -9,8 +9,9 @@ The decode/feature-extract step is a ``mapInPandas`` operator: Arrow
 batches in, Arrow batches out, schema declared up front. IMAGE decode is
 executable with no media libraries: ``parse_image_header`` reads
 dimensions/mode/format from the public PNG/JPEG/GIF/BMP container
-headers, ``decode_png_pixels`` is a REAL pixel decoder for 8-bit PNG
-(stdlib zlib + numpy unfiltering of all five RFC-2083 scanline filters),
+headers, ``decode_png_pixels`` is a REAL pixel decoder for PNG at every legal
+depth/color combination incl. 16-bit and Adam7 interlacing (stdlib zlib
++ numpy unfiltering of all five RFC-2083 scanline filters),
 ``decode_gif_pixels`` is a REAL pixel decoder for GIF (pure-Python
 variable-width LZW + palette + interlace reorder),
 ``jpeg.decode_jpeg_pixels`` is a REAL pixel decoder for baseline JPEG
@@ -249,7 +250,7 @@ def decode_images(df: DataFrame) -> DataFrame:
                                 if k != "pixels"
                             }
                         except NotImplementedError:
-                            pass  # 16-bit/Adam7 PNG etc.: header metadata only
+                            pass  # unsupported media variant: header metadata only
                     ws.append(meta["width"]), hs.append(meta["height"])
                     modes.append(meta["mode"]), fmts.append(meta["format"])
             yield pd.DataFrame(
@@ -552,6 +553,8 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
                     try:
                         img = dec(raw)
                         px = img["pixels"]
+                        if px.dtype != np.uint8:  # 16-bit PNG: high byte
+                            px = (px >> 8).astype(np.uint8)
                         ys = np.minimum(
                             (np.arange(height) * img["height"]) // height,
                             img["height"] - 1,
@@ -990,26 +993,39 @@ def audio_features(df: DataFrame, silence_db: float = -40.0) -> DataFrame:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 _PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+# Adam7 interlace grid (RFC 2083 §8.2): (x0, y0, dx, dy) per pass
+_ADAM7_PASSES = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def decode_png_pixels(payload: bytes):
     """REAL PNG pixel decode with ZERO image libraries: zlib (stdlib)
     inflates the IDAT stream and the five RFC-2083 scanline filters
     (None/Sub/Up/Average/Paeth) are reversed in numpy — returning an
-    (h, w, channels) uint8 array plus metadata. Supports the dominant
-    web shapes: 8-bit depth, non-interlaced, color types L/RGB/LA/RGBA
-    plus PALETTE (color type 3, PLTE-mapped to RGB exactly like the GIF
-    decoder — web crawls are full of paletted PNGs), and the SUB-BYTE
-    depths (1/2/4-bit grayscale and palette — old-web favicons, line-art
-    scans, small-palette graphics; bit-packed rows are unfiltered at the
-    byte level per the spec's bpp=1 rule, then unpacked with shifts and
-    grayscale is rescaled to 8-bit with the 255/(2^d-1) expansion).
-    Palette transparency (tRNS) decodes to (h, w, 4) RGBA pixels —
-    entries beyond the tRNS table default to opaque per the spec — while
-    the reported mode stays "P" (PIL's convention, and what
-    ``parse_image_header`` reads from IHDR alone). 16-bit and Adam7
-    raise NotImplementedError (honest gate — a decoder that guessed
-    would corrupt downstream features); non-PNG and corrupt streams
+    (h, w, channels) array plus metadata. Supports the full legal
+    (depth, color) grid: 8-bit L/RGB/LA/RGBA, PALETTE (color type 3,
+    PLTE-mapped to RGB exactly like the GIF decoder — web crawls are
+    full of paletted PNGs), the SUB-BYTE depths (1/2/4-bit grayscale and
+    palette — old-web favicons, line-art scans; bit-packed rows are
+    unfiltered at the byte level per the spec's bpp=1 rule, then
+    unpacked with shifts and grayscale rescaled to 8-bit with the
+    255/(2^d-1) expansion), 16-BIT depth (gray/RGB/LA/RGBA — scientific
+    and scanner output; pixels come back as uint16 preserving full
+    precision, mode "I" for 16-bit gray per ``parse_image_header``'s
+    convention), and ADAM7 interlacing at every supported depth (seven
+    independently-filtered sub-images scattered back on the interlace
+    grid). Palette transparency (tRNS) decodes to (h, w, 4) RGBA
+    pixels — entries beyond the tRNS table default to opaque per the
+    spec — while the reported mode stays "P" (PIL's convention, and what
+    ``parse_image_header`` reads from IHDR alone). Illegal
+    depth/color combinations, non-PNG payloads, and corrupt streams
     raise ValueError.
 
     This upgrades the no-PIL path of ``decode_images``/``resize_images``
@@ -1037,12 +1053,16 @@ def decode_png_pixels(payload: bytes):
             )
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color}")
-            if depth != 8 and not (depth in (1, 2, 4) and color in (0, 3)):
-                # sub-byte depths are only legal for grayscale/palette per
-                # the spec; 16-bit stays an honest gate
-                raise NotImplementedError(f"PNG bit depth {depth} color {color}")
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlaced PNG")
+            if (
+                depth != 8
+                and not (depth in (1, 2, 4) and color in (0, 3))
+                and not (depth == 16 and color in (0, 2, 4, 6))
+            ):
+                # the spec's legal (depth, color) grid: sub-byte only for
+                # grayscale/palette, 16-bit never for palette
+                raise ValueError(f"illegal PNG bit depth {depth} color {color}")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
         elif typ == b"PLTE":
             if length == 0 or length % 3:
                 raise ValueError(f"PNG PLTE length {length} not a multiple of 3")
@@ -1062,57 +1082,96 @@ def decode_png_pixels(payload: bytes):
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     ch = _PNG_CHANNELS[color]
     # Filters operate on BYTES: stride is the packed row size and the
-    # "previous pixel" offset (bpp) is 1 byte for sub-byte depths.
-    stride = (w * ch * depth + 7) // 8
+    # "previous pixel" offset (bpp) is 1 byte for sub-byte depths,
+    # ch*2 bytes at 16-bit.
     bpp = max(1, ch * depth // 8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG pixel payload is {len(raw)} bytes, expected {h * (stride + 1)}"
-        )
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for row in range(h):
-        ft = raw[row * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row * (stride + 1) + 1
-        ).copy()
-        if ft == 0:  # None
-            cur = line
-        elif ft == 2:  # Up
-            cur = line + prev  # uint8 wraps mod 256, per spec
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                bb = int(prev[x])
-                if ft == 1:
-                    cur[x] = (int(cur[x]) + a) & 0xFF
-                elif ft == 3:
-                    cur[x] = (int(cur[x]) + ((a + bb) >> 1)) & 0xFF
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                    cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        out[row] = cur
-        prev = out[row]
-    if depth == 8:
-        px = out.reshape(h, w, ch)
-        samples = None
-    else:
-        # unpack bit-packed samples MSB-first, trim row padding to w
+
+    def unfilter(seg: bytes, rows: int, stride: int):
+        out = np.zeros((rows, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for row in range(rows):
+            ft = seg[row * (stride + 1)]
+            line = np.frombuffer(
+                seg, dtype=np.uint8, count=stride, offset=row * (stride + 1) + 1
+            ).copy()
+            if ft == 0:  # None
+                cur = line
+            elif ft == 2:  # Up
+                cur = line + prev  # uint8 wraps mod 256, per spec
+            elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+                cur = line
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    bb = int(prev[x])
+                    if ft == 1:
+                        cur[x] = (int(cur[x]) + a) & 0xFF
+                    elif ft == 3:
+                        cur[x] = (int(cur[x]) + ((a + bb) >> 1)) & 0xFF
+                    else:
+                        c = int(prev[x - bpp]) if x >= bpp else 0
+                        p = a + bb - c
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                        cur[x] = (int(cur[x]) + pred) & 0xFF
+            else:
+                raise ValueError(f"invalid PNG filter type {ft}")
+            out[row] = cur
+            prev = out[row]
+        return out
+
+    def to_samples(arr, rows: int, cols: int):
+        """(rows, stride) unfiltered bytes -> (rows, cols, ch) samples
+        (palette indices, gray levels, or 16-bit big-endian values)."""
+        if depth == 16:
+            return (
+                np.ascontiguousarray(arr)
+                .view(">u2")
+                .astype(np.uint16)
+                .reshape(rows, cols, ch)
+            )
+        if depth == 8:
+            return arr.reshape(rows, cols, ch)
+        # unpack bit-packed samples MSB-first, trim row padding to cols
         per_byte = 8 // depth
         mask = (1 << depth) - 1
         shifts = np.array(
             [8 - depth * (i + 1) for i in range(per_byte)], dtype=np.uint8
         )
-        samples = (
-            (out[:, :, None] >> shifts[None, None, :]) & mask
-        ).reshape(h, -1)[:, :w]
-        px = samples[:, :, None]
+        s = ((arr[:, :, None] >> shifts[None, None, :]) & mask).reshape(rows, -1)[
+            :, :cols
+        ]
+        return s[:, :, None]
+
+    if interlace == 0:
+        stride = (w * ch * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG pixel payload is {len(raw)} bytes, expected {h * (stride + 1)}"
+            )
+        samples = to_samples(unfilter(raw, h, stride), h, w)
+    else:
+        # Adam7 (RFC 2083 §8.2): seven reduced sub-images, each filtered
+        # independently, scattered back on the (x0, y0, dx, dy) grid
+        samples = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * ch * depth + 7) // 8
+            need = ph * (pstride + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG interlaced pixel data truncated")
+            samples[y0::dy, x0::dx] = to_samples(
+                unfilter(raw[off : off + need], ph, pstride), ph, pw
+            )
+            off += need
+        if off != len(raw):
+            raise ValueError("PNG interlaced pixel data has trailing bytes")
+    px = samples
     if color == 3:  # palette indices -> RGB(A), exactly like the GIF decoder
         if plte is None:
             raise ValueError("paletted PNG missing PLTE chunk")
@@ -1129,13 +1188,15 @@ def decode_png_pixels(payload: bytes):
             )
         else:
             px = plte[idx]
-    elif depth != 8:  # sub-byte grayscale: expand to 8-bit levels
-        px = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
-            np.uint8
-        )[:, :, None]
+    elif depth in (1, 2, 4):  # sub-byte grayscale: expand to 8-bit levels
+        px = (
+            samples[..., 0].astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)[:, :, None]
     mode = _PNG_MODES[color]
     if color == 0 and depth == 1:
         mode = "1"  # PIL naming convention, matches parse_image_header
+    elif color == 0 and depth == 16:
+        mode = "I"  # matches parse_image_header's IHDR-only read
     return {
         "width": int(w),
         "height": int(h),
@@ -1169,6 +1230,88 @@ def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def make_png_general(samples, depth, color, interlace=0, plte=None) -> bytes:
+    """General PNG synthesizer for round-trip attestation: packs
+    (h, w, ch) samples at any legal depth (1/2/4/8/16 — 16-bit values
+    big-endian per spec), applies a rotating per-row filter
+    (None/Sub/Up/Average/Paeth over packed bytes, the spec's bpp rule),
+    optionally in Adam7 pass order (``interlace=1``). Decodable by ANY
+    conformant decoder; the forward twin of ``decode_png_pixels``'s
+    16-bit + interlaced paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    samples = np.asarray(samples)
+    h, w, ch = samples.shape
+    bpp = max(1, ch * depth // 8)
+
+    def pack_rows(block):
+        rows = []
+        for r in range(block.shape[0]):
+            row = block[r]
+            if depth == 16:
+                rows.append(row.astype(">u2").tobytes())
+            elif depth == 8:
+                rows.append(row.astype(np.uint8).tobytes())
+            else:
+                per_byte = 8 // depth
+                vals = row[:, 0].tolist()
+                packed = bytearray()
+                for i in range(0, len(vals), per_byte):
+                    byte = 0
+                    for j, v in enumerate(vals[i : i + per_byte]):
+                        byte |= (v & ((1 << depth) - 1)) << (8 - depth * (j + 1))
+                    packed.append(byte)
+                rows.append(bytes(packed))
+        return rows
+
+    def filter_block(block):
+        raw = bytearray()
+        rows = pack_rows(block)
+        prev = bytes(len(rows[0])) if rows else b""
+        for r, row in enumerate(rows):
+            ft = r % 5
+            raw.append(ft)
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b_ = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    enc = row[x]
+                elif ft == 1:
+                    enc = row[x] - a
+                elif ft == 2:
+                    enc = row[x] - b_
+                elif ft == 3:
+                    enc = row[x] - ((a + b_) >> 1)
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                    enc = row[x] - pred
+                raw.append(enc & 0xFF)
+            prev = row
+        return bytes(raw)
+
+    if interlace == 0:
+        raw = filter_block(samples)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            block = samples[y0::dy, x0::dx]
+            if block.shape[0] and block.shape[1]:
+                raw += filter_block(block)
+
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
 
 
 def _pack_png_rows(width, height, values, depth, filter_type):

@@ -95,7 +95,8 @@ _SHOWCASE_ORDER = [
     # (1) round-9 changed operators / fixtures
     "multimodal_jpeg_progressive",  # AC-refine ZRL flush fix (T.81 G.1.2.3)
     "multimodal_archive_extract",   # ZIP + tar.gz mix, zip-bomb caps
-    "multimodal_pdf_text",          # lexer errors raise, no partial text
+    "multimodal_pdf_text",          # 1.4/1.5 mix: xref streams + ObjStm
+    "multimodal_png_advanced_roundtrip",  # NEW: 16-bit + Adam7 decode
     "text_detect_encoding",         # BOM-ambiguous fixtures filtered
     # (2) the 8 remaining r1 attestations (r8 rotation note)
     "sample_weighted",
@@ -137,8 +138,7 @@ _SHOWCASE_ORDER = [
     "pack_training_sequences",
     "q18_large_orders",
     "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    # (q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
+    # (q21, q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
     #  sessionize, sessions_max_concurrency, text_quality_score,
     #  timeseries_gapfill_ffill, topk_per_group, window_running_agg —
     #  also r2 — rotate into the r10 prefix)

@@ -3,6 +3,8 @@ batch behavior, decode stub, and payload-column pruning."""
 
 import hashlib
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -417,8 +419,16 @@ def test_decode_png_pixels_honest_gates():
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
         + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError):
-        M.decode_png_pixels(png16)
+    # 16-bit is supported since round 9: decodes to uint16 zeros
+    out16 = M.decode_png_pixels(png16)
+    assert out16["pixels"].dtype.name == "uint16" and not out16["pixels"].any()
+    # an ILLEGAL depth/color combination stays a hard error
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    with _pytest.raises(ValueError, match="illegal"):
+        M.decode_png_pixels(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_bad)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+        )
 
 
 def test_decode_images_catches_corrupt_png_data_without_pil(spark):
@@ -862,21 +872,22 @@ def test_png_codec_roundtrip_property():
     check()
 
 
-def test_png_16bit_still_gated():
+def test_png_16bit_minimal_decodes():
+    """The r8 gate is CLOSED: a minimal 16-bit grayscale PNG now decodes
+    to full-precision uint16 pixels (2x1, values 0x0102 and 0x0304)."""
     import struct
     import zlib
-
-    import pytest as _pytest
 
     ihdr = M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
     png = (
         b"\x89PNG\r\n\x1a\n"
         + ihdr
-        + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03\x04"))
         + M._png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="bit depth 16"):
-        M.decode_png_pixels(png)
+    out = M.decode_png_pixels(png)
+    assert out["mode"] == "I" and out["pixels"].dtype == np.uint16
+    assert out["pixels"].reshape(-1).tolist() == [0x0102, 0x0304]
 
 
 def test_ahash_palette_png_matches_bmp():
@@ -1315,3 +1326,161 @@ def test_detect_encoding_unknown_and_plan(spark):
         .otherwise("unknown")
     )
     assert raw.select(enc.alias("e")).collect()[0]["e"] == "unknown"
+
+
+def _encode_png_general(samples, depth, color, interlace=0, plte=None):
+    """Forward PNG encoder for decoder attestation: packs (h, w, ch)
+    samples at any legal depth (1/2/4/8/16), applies a rotating filter
+    per row (None/Sub/Up/Average/Paeth on packed bytes — the spec's bpp
+    rule), optionally in Adam7 pass order."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    samples = np.asarray(samples)
+    h, w, ch = samples.shape
+    bpp = max(1, ch * depth // 8)
+
+    def pack_rows(block):
+        rows = []
+        for r in range(block.shape[0]):
+            row = block[r]
+            if depth == 16:
+                rows.append(row.astype(">u2").tobytes())
+            elif depth == 8:
+                rows.append(row.astype(np.uint8).tobytes())
+            else:
+                per_byte = 8 // depth
+                vals = row[:, 0].tolist()
+                out = bytearray()
+                for i in range(0, len(vals), per_byte):
+                    byte = 0
+                    for j, v in enumerate(vals[i : i + per_byte]):
+                        byte |= (v & ((1 << depth) - 1)) << (8 - depth * (j + 1))
+                    out.append(byte)
+                rows.append(bytes(out))
+        return rows
+
+    def filter_block(block):
+        raw = bytearray()
+        rows = pack_rows(block)
+        prev = bytes(len(rows[0])) if rows else b""
+        for r, row in enumerate(rows):
+            ft = r % 5
+            raw.append(ft)
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    enc = row[x]
+                elif ft == 1:
+                    enc = row[x] - a
+                elif ft == 2:
+                    enc = row[x] - b
+                elif ft == 3:
+                    enc = row[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc = row[x] - pred
+                raw.append(enc & 0xFF)
+            prev = row
+        return bytes(raw)
+
+    if interlace == 0:
+        raw = filter_block(samples)
+    else:
+        passes = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        raw = b""
+        for x0, y0, dx, dy in passes:
+            block = samples[y0::dy, x0::dx]
+            if block.shape[0] and block.shape[1]:
+                raw += filter_block(block)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNG decode: full-precision uint16 pixels, all filters, gray
+    ('I' mode per parse_image_header) and RGB/LA/RGBA."""
+    rng = np.random.RandomState(11)
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        vals = rng.randint(0, 65536, size=(6, 5, ch)).astype(np.uint16)
+        out = M.decode_png_pixels(_encode_png_general(vals, 16, color))
+        assert out["pixels"].dtype == np.uint16
+        assert np.array_equal(out["pixels"], vals), color
+        assert out["mode"] == ("I" if color == 0 else M._PNG_MODES[color])
+    # 16-bit palette is illegal per the spec grid
+    import pytest
+
+    with pytest.raises(ValueError, match="illegal"):
+        M.decode_png_pixels(
+            _encode_png_general(
+                np.zeros((2, 2, 1), np.uint16), 16, 3, plte=[(0, 0, 0)]
+            )
+        )
+
+
+def test_png_adam7_roundtrip_matches_sequential():
+    """Adam7 decode equals the non-interlaced decode of the same samples,
+    across depths (8-bit RGB/RGBA, 16-bit gray, 4-bit palette) and odd
+    dimensions that leave some passes empty or partial."""
+    rng = np.random.RandomState(12)
+    cases = [
+        (8, 2, 3, (13, 7), None),
+        (8, 6, 4, (9, 10), None),
+        (16, 0, 1, (5, 3), None),
+        (4, 3, 1, (11, 6), [(i * 16, 255 - i * 16, i) for i in range(16)]),
+        (8, 2, 3, (1, 1), None),   # only pass 1 exists
+        (8, 0, 1, (2, 2), None),   # several empty passes
+    ]
+    for depth, color, ch, (w, h), plte in cases:
+        hi = 1 << depth if depth < 16 else 65536
+        vals = rng.randint(0, min(hi, 16 if depth == 4 else hi), size=(h, w, ch))
+        vals = vals.astype(np.uint16 if depth == 16 else np.uint8)
+        seq = M.decode_png_pixels(_encode_png_general(vals, depth, color, 0, plte))
+        il = M.decode_png_pixels(_encode_png_general(vals, depth, color, 1, plte))
+        assert np.array_equal(seq["pixels"], il["pixels"]), (depth, color, w, h)
+        assert seq["mode"] == il["mode"]
+
+
+def test_png_adam7_truncation_raises():
+    import pytest
+    import struct
+    import zlib
+
+    vals = np.arange(13 * 7 * 3).reshape(7, 13, 3).astype(np.uint8)
+    png = _encode_png_general(vals, 8, 2, interlace=1)
+    # rebuild with HALF the decompressed pixel data: still a valid zlib
+    # stream, but the pass walk runs out of rows
+    i = png.index(b"IDAT")
+    (ln,) = struct.unpack(">I", png[i - 4 : i])
+    full = zlib.decompress(png[i + 4 : i + 4 + ln])
+    cut = zlib.compress(full[: len(full) // 2])
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    bad = png[: i - 4] + chunk(b"IDAT", cut) + png[i + 8 + ln :]
+    with pytest.raises(ValueError, match="truncated|trailing"):
+        M.decode_png_pixels(bad)
