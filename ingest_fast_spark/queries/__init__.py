@@ -97,6 +97,8 @@ _SHOWCASE_ORDER = [
     "multimodal_archive_extract",   # ZIP + tar.gz mix, zip-bomb caps
     "multimodal_pdf_text",          # 1.4/1.5 mix: xref streams + ObjStm
     "multimodal_png_advanced_roundtrip",  # NEW: 16-bit + Adam7 decode
+    "multimodal_warc_extract",      # NEW: ISO 28500 ingest, both layouts
+    "web_url_canonicalize",         # NEW: pure-codegen URL normalization
     "text_detect_encoding",         # BOM-ambiguous fixtures filtered
     # (2) the 8 remaining r1 attestations (r8 rotation note)
     "sample_weighted",
@@ -136,9 +138,7 @@ _SHOWCASE_ORDER = [
     "join_range",
     "join_semi",
     "pack_training_sequences",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    # (q21, q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
+    # (q18, q1, q21, q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
     #  sessionize, sessions_max_concurrency, text_quality_score,
     #  timeseries_gapfill_ffill, topk_per_group, window_running_agg —
     #  also r2 — rotate into the r10 prefix)

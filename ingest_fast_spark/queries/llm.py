@@ -1481,6 +1481,164 @@ def multimodal_archive_extract(spark, sf_dir):
 
 
 @register(
+    "web_url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+               WHEN 2 THEN 'Http' ELSE 'HTTPS' END AS scheme_raw,
+             CASE WHEN doc_id % 4 IN (0, 2) THEN 'http' ELSE 'https' END
+               AS scheme,
+             'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' AS host_raw,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN (CASE WHEN doc_id % 4 IN (0, 2)
+                            THEN ':80' ELSE ':443' END)
+               WHEN 1 THEN ':8080' ELSE '' END AS port_raw,
+             CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port_keep,
+             '/Docs/' || CAST(doc_id AS VARCHAR) AS path,
+             'b=2&utm_source=news&a=' || CAST(doc_id % 9 AS VARCHAR)
+               || '&fbclid=abc' AS query_raw,
+             'a=' || CAST(doc_id % 9 AS VARCHAR) || '&b=2' AS query_canon,
+             '#frag' || CAST(doc_id % 3 AS VARCHAR) AS frag
+      FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id,
+           scheme_raw || '://' || host_raw || port_raw || path || '?'
+             || query_raw || frag AS url_raw,
+           scheme || '://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             || port_keep || path || '?' || query_canon AS url_canonical
+    FROM u
+    """,
+)
+def web_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the ZEROTH dedup pass over a web corpus
+    (URL-level, before any content is even fetched or compared):
+    ``functions/web.canonicalize_url`` lowercases scheme and host, strips
+    default ports, drops fragments and tracking parameters
+    (utm_*/fbclid/gclid), and sorts the surviving query parameters —
+    pure whole-stage codegen (regexp + array HOFs, no UDF). The fixture
+    synthesizes a messy absolute URL per document IN-PLAN (mixed-case
+    scheme/host, doc_id-rotated default/explicit/absent ports, shuffled
+    tracking-polluted query, fragment) and the oracle states the
+    CANONICAL form in closed form — so the driver checks the
+    normalization rules themselves, not a mirrored implementation.
+
+    Scale shape: map-only, one codegen stage — scan speed at 100 TB."""
+    from ..functions.web import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    m4 = (i % 4).cast("int")
+    scheme_raw = (
+        F.when(m4 == 0, F.lit("HTTP"))
+        .when(m4 == 1, F.lit("https"))
+        .when(m4 == 2, F.lit("Http"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    is_http = (i % 4 == 0) | (i % 4 == 2)
+    port_raw = (
+        F.when(i % 3 == 0, F.when(is_http, F.lit(":80")).otherwise(F.lit(":443")))
+        .when(i % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    url_raw = F.concat(
+        scheme_raw,
+        F.lit("://WWW.Example"), s(i % 7), F.lit(".COM"),
+        port_raw,
+        F.lit("/Docs/"), s(i),
+        F.lit("?b=2&utm_source=news&a="), s(i % 9), F.lit("&fbclid=abc"),
+        F.lit("#frag"), s(i % 3),
+    )
+    return d.select(
+        "doc_id",
+        url_raw.alias("url_raw"),
+        canonicalize_url(url_raw).alias("url_canonical"),
+    )
+
+
+@register(
+    "multimodal_warc_extract",
+    oracle="""
+    SELECT doc_id, rec_type, target_uri, http_status, content, n_bytes FROM (
+      SELECT doc_id, 'warcinfo' AS rec_type, NULL AS target_uri,
+             NULL AS http_status,
+             'software: ingest-fast-spark' AS content,
+             CAST(27 AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'response',
+             'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+             CAST(200 AS BIGINT), text, CAST(strlen(text) AS BIGINT)
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'metadata',
+             'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+             NULL, 'via: crawler-' || CAST(doc_id % 10 AS VARCHAR),
+             CAST(strlen('via: crawler-' || CAST(doc_id % 10 AS VARCHAR))
+                  AS BIGINT)
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    """,
+)
+def multimodal_warc_extract(spark, sf_dir):
+    """WARC ingest round-trip — Common Crawl, the largest public training
+    corpus, ships EVERYTHING as WARC (ISO 28500), so opening it is the
+    zeroth stage of a web-scale pipeline. Synthesizes a real three-record
+    WARC per document (warcinfo + an HTTP response record carrying the
+    document's actual text + a metadata record) with
+    ``sources/warc.make_warc`` — even doc_ids the plain concatenated
+    layout, odd doc_ids the per-record-gzip-member layout Common Crawl
+    uses — pushes the mix through the production
+    ``extract_warc_records`` operator (ISO 28500 framing: version line,
+    CRLF headers, exact Content-Length blocks, HTTP status/body split,
+    gzip-member inflation), and emits record types, target URIs, HTTP
+    status, byte counts and the FULL response text against the SQL
+    oracle's re-derivation — byte-exact and layout-independent.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle;
+    memory rides one WARC at a time."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..sources.warc import make_warc
+
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf_["doc_id"], pdf_["text"]):
+                uri = f"http://example.com/doc/{i}"
+                recs = [
+                    {"rec_type": "warcinfo",
+                     "content": "software: ingest-fast-spark"},
+                    {"rec_type": "response", "target_uri": uri,
+                     "http_status": 200, "content": str(t)},
+                    {"rec_type": "metadata", "target_uri": uri,
+                     "content": f"via: crawler-{int(i) % 10}"},
+                ]
+                ids.append(i)
+                payloads.append(make_warc(recs, gzip_members=int(i) % 2 == 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "application/warc",
+                    "media_meta": "{}",
+                }
+            )
+
+    from ..sources.warc import extract_warc_records
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return extract_warc_records(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))
+
+
+@register(
     "multimodal_audio_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,111 @@
+"""WARC (ISO 28500) source tests: record framing round-trips in both
+storage layouts (plain concatenated, per-record gzip members), the HTTP
+response status/body split, honest truncation/garbage gates, and the
+Spark mapInPandas operator path."""
+
+import pytest
+
+from ingest_fast_spark.sources.warc import (
+    extract_warc_records,
+    make_warc,
+    parse_warc_records,
+)
+
+RECS = [
+    {"rec_type": "warcinfo", "content": "software: test\r\n"},
+    {
+        "rec_type": "response",
+        "target_uri": "http://example.com/a",
+        "http_status": 200,
+        "content": "héllo wörld ✓",
+    },
+    {
+        "rec_type": "response",
+        "target_uri": "http://example.com/b",
+        "http_status": 404,
+        "content": b"\xff\xfe\x00binary",  # not UTF-8: text comes back NULL
+    },
+    {"rec_type": "metadata", "target_uri": "http://example.com/a",
+     "content": "via: x"},
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip_both_layouts(gz):
+    out = parse_warc_records(make_warc(RECS, gzip_members=gz))
+    assert [r["rec_type"] for r in out] == [
+        "warcinfo", "response", "response", "metadata",
+    ]
+    assert out[0]["target_uri"] is None and out[0]["http_status"] is None
+    assert out[1]["http_status"] == 200
+    assert out[1]["content"] == "héllo wörld ✓"
+    assert out[1]["n_bytes"] == len("héllo wörld ✓".encode())
+    assert out[2]["http_status"] == 404
+    assert out[2]["content"] is None  # binary body: NULL text, real n_bytes
+    assert out[2]["n_bytes"] == len(b"\xff\xfe\x00binary")
+    assert out[3]["content"] == "via: x"
+
+
+def test_warc_truncation_and_garbage_raise():
+    w = make_warc(RECS)
+    for cut in (5, len(w) // 3, len(w) // 2, len(w) - 2):
+        with pytest.raises(ValueError):
+            parse_warc_records(w[:cut])
+    with pytest.raises(ValueError, match="WARC"):
+        parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    # a truncated gzip member is caught by the inflater
+    gz = make_warc(RECS, gzip_members=True)
+    with pytest.raises(ValueError, match="gzip|WARC"):
+        parse_warc_records(gz[: len(gz) - 4])
+    # Content-Length lies short -> separator check catches the misframe
+    bad = make_warc([{"rec_type": "metadata", "content": "0123456789"}])
+    bad = bad.replace(b"Content-Length: 10", b"Content-Length: 07")
+    with pytest.raises(ValueError):
+        parse_warc_records(bad)
+
+
+def test_warc_spark_operator(spark):
+    from ingest_fast_spark.operators import multimodal as M
+
+    rows = [
+        (1, make_warc(RECS), "application/warc", "{}"),
+        (2, make_warc(RECS, gzip_members=True), "application/warc", "{}"),
+        (3, None, "application/warc", "{}"),
+    ]
+    df = spark.createDataFrame(rows, M.PAYLOAD_SCHEMA)
+    got = extract_warc_records(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == len(by_doc[2]) == 4
+    assert by_doc[3][0]["rec_type"] is None  # NULL payload stays a visible row
+    resp = [r for r in by_doc[2] if r["rec_type"] == "response"]
+    assert {r["http_status"] for r in resp} == {200, 404}
+
+
+def test_url_canonicalize_edges_and_pure_codegen(spark):
+    """canonicalize_url unit edges: default vs explicit vs absent port,
+    tracking-only query collapses to no '?', empty path -> '/', path case
+    preserved, fragment dropped — and the expression stays whole-stage
+    codegen (no Python eval node in the plan)."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.functions.web import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.X.COM:80/A/b?z=1&a=2#f", "http://www.x.com/A/b?a=2&z=1"),
+        ("https://x.com:443", "https://x.com/"),
+        ("https://x.com:8080/p", "https://x.com:8080/p"),
+        ("http://X.com/p?utm_source=a&utm_medium=b", "http://x.com/p"),
+        ("http://x.com/p?fbclid=1&gclid=2&k=v", "http://x.com/p?k=v"),
+        ("http://x.com/?", "http://x.com/"),
+        ("HTTPS://x.com/UPPER/Case?B=2&a=1", "https://x.com/UPPER/Case?B=2&a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string").select(
+        "url", canonicalize_url(F.col("url")).alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r["url"]: r["c"] for r in df.collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
