@@ -168,3 +168,43 @@ def mojibake_sql(expr: str) -> str:
     for bad, good in MOJIBAKE_PAIRS:
         out = f"replace({out}, '{bad}', '{good}')"
     return out
+
+
+# --- Unicode hygiene -------------------------------------------------------
+#
+# Web corpora mix composed and decomposed codepoint sequences for the same
+# visible text ("café" as 4 or 5 codepoints), which silently breaks exact
+# dedup, shingling, and tokenization; and adversarial/spam text swaps
+# Latin letters for Cyrillic/Greek homoglyphs to dodge filters. NFC
+# normalization + homoglyph folding is the standard hygiene pass.
+
+# 1:1 confusable fold: Cyrillic and Greek letters that render identically
+# to ASCII (Unicode TR39 subset). Both strings MUST stay codepoint-aligned;
+# the same pair feeds Spark's translate and DuckDB's translate, so the
+# oracle re-derives the identical fold.
+HOMOGLYPH_SRC = "аеорсхуіѕјАЕОРСХВТМКНοΟ"
+HOMOGLYPH_DST = "aeopcxyisjAEOPCXBTMKHoO"
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-vectorized pandas UDF (Spark
+    has no NFC builtin; pandas `str.normalize` is the vectorized path —
+    C-level ICU-equivalent via Python's unicodedata). The DuckDB oracle
+    twin is the built-in ``nfc_normalize``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    # explicit (non-string) annotations: `from __future__ import
+    # annotations` would stringify inline hints and Spark's resolver
+    # cannot see this function's locals
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(col)
+
+
+def scrub_homoglyphs(col: Column) -> Column:
+    """Fold visually-identical Cyrillic/Greek letters onto their ASCII
+    lookalikes — pure-codegen ``translate`` (1:1 codepoint map)."""
+    return F.translate(col, HOMOGLYPH_SRC, HOMOGLYPH_DST)

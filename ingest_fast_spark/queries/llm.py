@@ -1481,6 +1481,59 @@ def multimodal_archive_extract(spark, sf_dir):
 
 
 @register(
+    "text_unicode_normalize",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' Cafe' || chr(769) || ' p' || chr(1072) || 'ge'
+               AS d
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           nfc_normalize(d) AS text_nfc,
+           translate(nfc_normalize(d),
+                     'аеорсхуіѕјАЕОРСХВТМКНοΟ',
+                     'aeopcxyisjAEOPCXBTMKHoO') AS text_scrubbed,
+           CAST(length(d) AS BIGINT) AS n_cp_dirty,
+           CAST(length(nfc_normalize(d)) AS BIGINT) AS n_cp_nfc
+    FROM dirty
+    """,
+)
+def text_unicode_normalize(spark, sf_dir):
+    """Unicode hygiene pass — web corpora mix composed and decomposed
+    codepoint sequences for the same visible text (NFC vs NFD 'café'),
+    which silently breaks exact dedup, shingling and tokenization, and
+    spam swaps Latin letters for Cyrillic homoglyphs to dodge filters.
+    The fixture dirties every document IN-PLAN (appends a decomposed
+    'Cafe' + COMBINING ACUTE and a Cyrillic-а 'pаge'), then the engine
+    normalizes to NFC (Arrow-vectorized pandas `str.normalize` — Spark
+    has no NFC builtin; DuckDB's built-in ``nfc_normalize`` is the
+    oracle twin, two INDEPENDENT implementations of UAX #15 agreeing
+    byte-for-byte) and folds TR39 confusables onto ASCII via
+    pure-codegen ``translate`` with the identical 1:1 map on both
+    engines. Codepoint counts before/after expose the composition delta
+    (the combining mark disappears into 'é').
+
+    Scale shape: one scan, one Arrow-batched projection — no shuffle."""
+    from ..functions.text import nfc_normalize, scrub_homoglyphs
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    dirty = F.concat(
+        F.col("text"), F.lit(" Cafe\u0301 p\u0430ge")
+    )
+    nfc = nfc_normalize(dirty)
+    return d.select(
+        "doc_id",
+        nfc.alias("text_nfc"),
+        scrub_homoglyphs(nfc).alias("text_scrubbed"),
+        F.length(dirty).cast("long").alias("n_cp_dirty"),
+        F.length(nfc).cast("long").alias("n_cp_nfc"),
+    )
+
+
+@register(
     "web_url_canonicalize",
     oracle="""
     WITH u AS (

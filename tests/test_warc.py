@@ -109,3 +109,28 @@ def test_url_canonicalize_edges_and_pure_codegen(spark):
     got = {r["url"]: r["c"] for r in df.collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_unicode_normalize_and_homoglyphs(spark):
+    """NFC normalization (pandas UDF) composes decomposed sequences;
+    homoglyph scrub folds Cyrillic/Greek confusables; NULLs pass through."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.functions.text import nfc_normalize, scrub_homoglyphs
+
+    rows = [
+        ("Cafe\u0301",),  # NFD: e + combining acute
+        ("аpple pаge",),  # Cyrillic а
+        ("οk Ο",),    # Greek omicron lower+upper
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string").select(
+        "t",
+        nfc_normalize(F.col("t")).alias("nfc"),
+        scrub_homoglyphs(F.col("t")).alias("scrub"),
+    )
+    got = df.collect()
+    assert got[0]["nfc"] == "Caf\u00e9" and len(got[0]["nfc"]) == 4 and len(got[0]["t"]) == 5
+    assert got[1]["scrub"] == "apple page"
+    assert got[2]["scrub"] == "ok O"
+    assert got[3]["nfc"] is None and got[3]["scrub"] is None
