@@ -1512,3 +1512,89 @@ def dbscan_cosine(
         )
     )
     return core_out.unionByName(border).unionByName(noise)
+
+
+def bitext_mining_margin(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext mining by the MARGIN criterion (Artetxe & Schwenk, ACL 2019
+    "Margin-based Parallel Corpus Mining"): for every source vector, the
+    best target candidate scored by cos(x,y) normalized by the average
+    similarity of each side's k nearest neighbors — raw cosine ranks
+    "hub" vectors (close to everything) above true translations; the
+    margin ratio cancels the hubness term. The standard miner behind
+    CCMatrix/LASER-scale parallel-corpus construction — here the general
+    cross-corpus alignment operator (captions to images, queries to
+    passages, any two embedding spaces).
+
+    Returns (src_id, tgt_id, cos_m, margin_micro): one row per source —
+    its argmax-margin target. Integer micro-units end to end (cos floored
+    to 1e-6, margin = 2k·cos_m/(ka_sum+kb_sum) floored to 1e-6), so the
+    DuckDB oracle re-derives identical values (queries/llm.py).
+
+    Scale shape: THIS is the exact baseline — cross-score with the
+    smaller side broadcast, two ranking windows (per-src and per-tgt
+    top-k sums), one join back. At web scale, generate candidates with
+    ``ivf_topk``/``cosine_near_dup_lsh`` per side and feed the SAME
+    margin algebra over the candidate set (the windows then ride the
+    reduced candidate stream); the margin layer itself is
+    pair-source-agnostic, the injectable-pairs convention
+    ``dbscan_cosine`` uses."""
+    from pyspark.sql import Window
+
+    a = src.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("src_id"), as_double(F.col(vec_col)).alias("va")
+    )
+    b = tgt.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("tgt_id"), as_double(F.col(vec_col)).alias("vb")
+    )
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "src_id",
+        "tgt_id",
+        F.floor(cosine(F.col("va"), F.col("vb")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_m"),
+    )
+    wa = Window.partitionBy("src_id").orderBy(F.desc("cos_m"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos_m"), F.asc("src_id"))
+    ka = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_m").alias("ka_sum"))
+    )
+    kb = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_m").alias("kb_sum"))
+    )
+    m = (
+        scored.join(ka, "src_id")
+        .join(kb, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_m",
+            F.floor(
+                F.lit(float(2 * k * 1_000_000))
+                * F.col("cos_m")
+                / (F.col("ka_sum") + F.col("kb_sum"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("margin_micro"),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_micro"), F.asc("tgt_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -100,6 +100,7 @@ _SHOWCASE_ORDER = [
     "multimodal_warc_extract",      # NEW: ISO 28500 ingest, both layouts
     "web_url_canonicalize",         # NEW: pure-codegen URL normalization
     "text_unicode_normalize",       # NEW: NFC + homoglyph fold, dual-impl
+    "bitext_mining_margin",         # NEW: Artetxe-Schwenk margin miner
     "text_detect_encoding",         # BOM-ambiguous fixtures filtered
     # (2) the 8 remaining r1 attestations (r8 rotation note)
     "sample_weighted",
@@ -137,8 +138,7 @@ _SHOWCASE_ORDER = [
     "join_lateral_topk",
     "join_left_outer",
     "join_range",
-    "join_semi",
-    # (pack_training_sequences, q18, q1, q21, q3/q5/q7, quality_model_score,
+    # (join_semi, pack_training_sequences, q18, q1, q21, q3/q5/q7, quality_model_score,
     #  scalar_string_funcs, search_*,
     #  sessionize, sessions_max_concurrency, text_quality_score,
     #  timeseries_gapfill_ffill, topk_per_group, window_running_agg —

@@ -1481,6 +1481,72 @@ def multimodal_archive_extract(spark, sf_dir):
 
 
 @register(
+    "bitext_mining_margin",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label % 2 = 0
+    ),
+    b AS (
+      SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label % 2 = 1
+    ),
+    scored AS (
+      SELECT src_id, tgt_id,
+             CAST(FLOOR({_EMB_COS} * 1000000 + 0.5) AS BIGINT) AS cos_m
+      FROM a CROSS JOIN b
+    ),
+    ka AS (
+      SELECT src_id, CAST(SUM(cos_m) AS BIGINT) AS ka_sum FROM (
+        SELECT src_id, cos_m,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY cos_m DESC, tgt_id) AS rn
+        FROM scored) t
+      WHERE rn <= 4 GROUP BY src_id
+    ),
+    kb AS (
+      SELECT tgt_id, CAST(SUM(cos_m) AS BIGINT) AS kb_sum FROM (
+        SELECT tgt_id, cos_m,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos_m DESC, src_id) AS rn
+        FROM scored) t
+      WHERE rn <= 4 GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT s.src_id, s.tgt_id, s.cos_m,
+             CAST(FLOOR(8000000.0 * s.cos_m / (ka.ka_sum + kb.kb_sum) + 0.5)
+                  AS BIGINT) AS margin_micro
+      FROM scored s JOIN ka USING (src_id) JOIN kb USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, cos_m, margin_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin_micro DESC, tgt_id) AS rn
+      FROM m
+    ) WHERE rn = 1
+    """,
+)
+def bitext_mining_margin(spark, sf_dir):
+    """Parallel-corpus mining by the MARGIN criterion (Artetxe & Schwenk
+    2019 — the CCMatrix/LASER miner): the even-label embeddings play the
+    source language, the odd-label ones the target, and every source is
+    aligned to its argmax-margin target, where margin = cos(x,y)
+    normalized by the mean cosine of each side's 4 nearest neighbors —
+    raw cosine promotes hub vectors; the ratio cancels hubness. The
+    operator is the general cross-corpus aligner (captions↔images,
+    queries↔passages). Integer micro-units end to end, so the oracle
+    re-derives exact values through the same two ranking windows.
+
+    Scale shape: exact baseline — smaller side broadcast into the
+    cross-score, two top-k windows, join back (see
+    ``operators/similarity.bitext_mining_margin`` for the
+    candidate-reduced 100 TB path over IVF/LSH pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.bitext_mining_margin(
+        emb.filter(F.col("label") % 2 == 0), emb.filter(F.col("label") % 2 == 1)
+    )
+
+
+@register(
     "text_unicode_normalize",
     oracle="""
     WITH dirty AS (

@@ -399,3 +399,39 @@ def test_exact_gemm_collect_gate(spark, monkeypatch):
     monkeypatch.setattr(SIM, "EXACT_GEMM_MAX_ROWS", 1_000_000)
     assert SIM.cosine_near_dup_pairs(emb, threshold=0.99).count() >= 0
     assert SIM.brute_force_topk(emb, emb.limit(2), k=3).count() == 6
+
+
+def test_bitext_margin_cancels_hubness(spark):
+    """The margin criterion's reason to exist: a HUB target (high cosine
+    to every source) must lose to the true pair even when its raw cosine
+    wins. Sources are near-orthogonal basis directions; the hub is their
+    normalized mean (cos ~0.57 to all of them); each true target aligns
+    with one source at cos ~0.5 < 0.57. Raw argmax-cos picks the hub for
+    every source; argmax-margin must pick the true pair."""
+    import numpy as np
+
+    from ingest_fast_spark.operators import similarity as SIM
+
+    d = 6
+    srcs = []
+    for i in range(3):
+        v = np.zeros(d)
+        v[i] = 1.0
+        srcs.append((i, v.tolist()))
+    tgts = []
+    for i in range(3):
+        v = np.zeros(d)
+        v[i] = 1.0
+        v[3 + i] = np.sqrt(3.0)  # cos(src_i, tgt_i) = 0.5, ~0 to others
+        v /= np.linalg.norm(v)
+        tgts.append((100 + i, v.tolist()))
+    hub = np.ones(3).tolist() + [0.0] * 3  # cos ~0.577 to every source
+    hub = (np.array(hub) / np.linalg.norm(hub)).tolist()
+    tgts.append((999, hub))
+    src = spark.createDataFrame(srcs, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(tgts, "vec_id long, embedding array<double>")
+    rows = {r["src_id"]: r for r in SIM.bitext_mining_margin(src, tgt, k=2).collect()}
+    for i in range(3):
+        assert rows[i]["tgt_id"] == 100 + i, rows[i]
+    # sanity: raw cosine WOULD have preferred the hub (cos .577 > .5)
+    assert rows[0]["cos_m"] < 577351
