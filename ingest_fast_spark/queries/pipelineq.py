@@ -1918,6 +1918,100 @@ def customer_entity_resolution(spark, sf_dir):
 
 
 @register(
+    "linkage_fellegi_sunter",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    p AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             levenshtein(a.c_name, b.c_name) AS d,
+             a.c_nationkey = b.c_nationkey AS nat_eq,
+             a.c_mktsegment = b.c_mktsegment AS seg_eq,
+             abs(a.c_acctbal - b.c_acctbal) <= 100.0 AS bal_close
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    s AS (
+      SELECT key_a, key_b,
+             CAST((CASE WHEN d = 0 THEN 10228819 ELSE 7451211 END)
+                + (CASE WHEN nat_eq THEN 4569856 ELSE -4263034 END)
+                + (CASE WHEN seg_eq THEN 2169925 ELSE -3000000 END)
+                + (CASE WHEN bal_close THEN 5321928 ELSE -2292782 END)
+               AS BIGINT) AS score_micro
+      FROM p
+    )
+    SELECT key_a, key_b, score_micro,
+           CASE WHEN score_micro >= 18000000 THEN 'match'
+                WHEN score_micro >= 8000000 THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM s
+    """,
+)
+def linkage_fellegi_sunter(spark, sf_dir):
+    """Probabilistic record linkage scoring (Fellegi & Sunter, JASA 1969
+    — the decision layer every serious entity-resolution system runs on
+    top of blocking): each candidate pair is scored by the sum of per-
+    field log2(m/u) agreement weights (m = P(agree | match), u =
+    P(agree | non-match)) and classified match / possible / non_match by
+    the two-threshold rule. Fields here: name edit distance (exact vs
+    close — the SymSpell d=1 blocking guarantees lev <= 1, so the name
+    field contributes a level weight, never a disagreement), nation
+    equality (m=.95/u=.04 → +4.57/-4.26 bits), market segment
+    (m=.9/u=.2 → +2.17/-3.00), and account-balance proximity within 100
+    (m=.8/u=.02 → +5.32/-2.29). Weights are FIXED integer micro-bits on
+    both engines, so the driver hash-checks the exact scores and
+    decisions — the complement of ``customer_entity_resolution``'s
+    transitive fusion (that answers "which records merge"; this answers
+    "how sure are we, field by field").
+
+    Scale shape: the pair stream comes from the sub-quadratic SymSpell
+    deletion-neighborhood blocking (never all-pairs); scoring is one
+    broadcast-joined projection per side + pure-codegen arithmetic."""
+    from .llm import fuzzy_name_pairs
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    pairs = fuzzy_name_pairs(spark, sf_dir).select("key_a", "key_b", "dist")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    j = pairs.join(a, "key_a").join(b, "key_b")
+    score = (
+        F.when(F.col("dist") == 0, F.lit(10228819)).otherwise(F.lit(7451211))
+        + F.when(F.col("nat_a") == F.col("nat_b"), F.lit(4569856)).otherwise(
+            F.lit(-4263034)
+        )
+        + F.when(F.col("seg_a") == F.col("seg_b"), F.lit(2169925)).otherwise(
+            F.lit(-3000000)
+        )
+        + F.when(
+            F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0, F.lit(5321928)
+        ).otherwise(F.lit(-2292782))
+    ).cast("long")
+    return j.select(
+        "key_a",
+        "key_b",
+        score.alias("score_micro"),
+        F.when(score >= 18000000, F.lit("match"))
+        .when(score >= 8000000, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    )
+
+
+@register(
     "customer_entity_resolution_d2",
     oracle="""
     WITH RECURSIVE c AS (
