@@ -195,6 +195,15 @@ HEADLINE = [
     "events_anomaly_mad",
     "multimodal_archive_extract",
     "text_detect_encoding",
+    # round 9: new operator surface (the *_fast_invariants companions are
+    # deliberately NOT headliners — they re-run existing pipelines twice
+    # for verification, which would double-count those costs here)
+    "multimodal_warc_extract",
+    "web_url_canonicalize",
+    "text_unicode_normalize",
+    "multimodal_png_advanced_roundtrip",
+    "bitext_mining_margin",
+    "linkage_fellegi_sunter",
 ]
 
 

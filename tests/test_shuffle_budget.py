@@ -239,6 +239,16 @@ SHUFFLE_BUDGET = {
     # equi-join, per-node triangle agg — all node/pair keys
     "graph_clustering_coefficient": 6,
     "sample_reservoir_per_group": 1,  # the per-source rank window
+    # round-9 ingest/normalization additions: all map-only by design
+    "multimodal_warc_extract": 0,
+    "web_url_canonicalize": 0,
+    "text_unicode_normalize": 0,
+    "multimodal_png_advanced_roundtrip": 0,
+    # src-side rank window + agg, tgt-side rank window + agg, join back
+    # (the cross-score itself is a broadcast NLJ, no exchange)
+    "bitext_mining_margin": 5,
+    # the SymSpell variant equi-join; both attribute joins broadcast
+    "linkage_fellegi_sunter": 1,
 }
 
 
