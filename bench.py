@@ -204,6 +204,7 @@ HEADLINE = [
     "multimodal_png_advanced_roundtrip",
     "bitext_mining_margin",
     "linkage_fellegi_sunter",
+    "text_boilerplate_scrub",
 ]
 
 

@@ -1334,6 +1334,70 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_line_scrub(
+    df: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-frequency boilerplate removal: a line
+    that occurs in ``min_df`` or more DISTINCT documents is boilerplate
+    and is dropped from EVERY document (unlike ``paragraph_dedup``, which
+    keeps the first sighting). Documents are reassembled from surviving
+    lines in original order; a document whose every line was boilerplate
+    survives with ``text_clean = ''`` (it is the caller's policy whether
+    to drop empties).
+
+    Returns (doc_id, text_clean, n_lines_kept, n_lines_dropped), one row
+    per input document.
+
+    Scale shape: the line document-frequency table is a two-phase
+    count-distinct hash aggregate keyed by the line (at 100 TB you would
+    key on ``xxhash64(line)``; kept textual here so the DuckDB oracle can
+    re-derive it byte-for-byte), then an inner join back to the exploded
+    lines on the same key, then a reassembly groupBy on doc_id. The join
+    key is skew-prone BY CONSTRUCTION — boilerplate is the hot key — but
+    the build side is pre-aggregated to one row per distinct line, so the
+    hot key is hot only on the probe side and AQE's skew-join split
+    (session default) keeps tasks bounded.
+    """
+    docs = ensure_parallelism(df)
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    ).filter(F.length("line") > 0)
+    line_df = lines.groupBy("line").agg(
+        F.count_distinct(F.col(id_col)).alias("line_df")
+    )
+    flagged = lines.join(line_df, "line").select(
+        id_col, "pos", "line", (F.col("line_df") < F.lit(min_df)).alias("keep")
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", "keep"))),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_lines_dropped"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0)).cast("long").alias("n_lines_dropped"),
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     bench: DataFrame,

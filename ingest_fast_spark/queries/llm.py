@@ -1134,6 +1134,101 @@ def text_html_extract(spark, sf_dir):
     )
 
 
+_BOILER_NEWSLETTER = "subscribe to our newsletter for the latest updates"
+_BOILER_COPYRIGHT = "copyright example corp all rights reserved"
+_BOILER_RARE = "editor note this draft has not been reviewed"
+
+
+def _boilerplate_oracle() -> str:
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    synth AS (
+      SELECT doc_id,
+        list_concat(list_concat(list_concat(
+          list_transform(range(CAST(ceil(len(toks)/16.0) AS BIGINT)),
+                         i -> array_to_string(toks[i*16+1 : i*16+16], ' ')),
+          CASE WHEN doc_id % 3 = 0 THEN ['{_BOILER_NEWSLETTER}'] ELSE [] END),
+          CASE WHEN doc_id % 5 = 0 THEN ['{_BOILER_COPYRIGHT}'] ELSE [] END),
+          CASE WHEN doc_id % 250 = 0 THEN ['{_BOILER_RARE}'] ELSE [] END
+        ) AS lines
+      FROM base
+    ),
+    expl AS (
+      SELECT doc_id, unnest(lines) AS line,
+             unnest(generate_series(1, len(lines))) AS pos
+      FROM synth
+    ),
+    nz AS (SELECT * FROM expl WHERE length(line) > 0),
+    ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM nz GROUP BY line),
+    flagged AS (
+      SELECT n.doc_id, n.pos, n.line, (d.line_df < 3) AS keep
+      FROM nz n JOIN ldf d USING (line)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(list(CASE WHEN keep THEN line END ORDER BY pos),
+                           x -> x IS NOT NULL), chr(10)) AS text_clean,
+             CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_dropped
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(r.text_clean, '') AS text_clean,
+           COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+           COALESCE(r.n_lines_dropped, 0) AS n_lines_dropped
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+@register("text_boilerplate_scrub", oracle=_boilerplate_oracle())
+def text_boilerplate_scrub(spark, sf_dir):
+    """CCNet/RefinedWeb-style line-frequency boilerplate removal, attested
+    end-to-end: synthesize a multi-line page per document IN-PLAN (the
+    document's tokens chunked into 16-word lines, plus planted footer
+    lines — a newsletter plea on every doc_id%3, a copyright notice on
+    every doc_id%5, and a RARE editor note on doc_id%250 that stays under
+    the frequency threshold), then run the production
+    ``operators/dedup.boilerplate_line_scrub``: any line occurring in >= 3
+    distinct documents is dropped from every document. A green row proves
+    the frequency pass removes exactly the planted boilerplate (and any
+    genuinely duplicated body lines) while the rare footer and unique body
+    lines survive in original order.
+
+    Scale shape (see the operator docstring): count-distinct hash agg
+    keyed by line, skew-aware join back (hot key = boilerplate, probe side
+    only; AQE skew split), one reassembly shuffle on doc_id. At 100 TB the
+    line key becomes xxhash64(line); textual here for the oracle.
+
+    Cf. Wenzek et al. 2020 (CCNet) and Penedo et al. 2023 (RefinedWeb)
+    for the pipeline stage this implements."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+    )
+
+    def _maybe(cond, line):
+        # empty-or-singleton array without typing headaches: slice length 0/1
+        return F.slice(F.array(F.lit(line)), 1, F.when(cond, 1).otherwise(0))
+
+    lines = F.concat(
+        body,
+        _maybe(F.col("doc_id") % 3 == 0, _BOILER_NEWSLETTER),
+        _maybe(F.col("doc_id") % 5 == 0, _BOILER_COPYRIGHT),
+        _maybe(F.col("doc_id") % 250 == 0, _BOILER_RARE),
+    )
+    synth = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return D.boilerplate_line_scrub(synth, min_df=3)
+
+
 @register(
     "multimodal_dedup_ahash",
     oracle="""

@@ -392,3 +392,31 @@ def test_weighted_minhash_fast_recovers_planted_pairs(spark):
             ).collect()
         }
         assert got == {(1, 2): 16}, (portable, got)
+
+
+def test_boilerplate_line_scrub_drops_frequent_keeps_rare(spark):
+    """Lines in >= min_df distinct docs vanish from EVERY doc; rarer lines
+    survive in original order; an all-boilerplate doc survives empty."""
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha unique one\n{footer}\nbody line one"),
+        (2, f"beta unique two\n{footer}"),
+        (3, f"{footer}\ngamma unique three"),
+        (4, footer),  # nothing but boilerplate
+        (5, "delta unique five\nshared twice"),
+        (6, "shared twice\nepsilon unique six"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in D.boilerplate_line_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string"), min_df=3
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[1]["text_clean"] == "alpha unique one\nbody line one"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 1
+    assert out[4]["text_clean"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[4]["n_lines_dropped"] == 1
+    # df=2 stays under min_df=3 -> kept everywhere
+    assert out[5]["text_clean"] == "delta unique five\nshared twice"
+    assert out[6]["text_clean"] == "shared twice\nepsilon unique six"

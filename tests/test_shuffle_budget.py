@@ -249,6 +249,9 @@ SHUFFLE_BUDGET = {
     "bitext_mining_margin": 5,
     # the SymSpell variant equi-join; both attribute joins broadcast
     "linkage_fellegi_sunter": 1,
+    # line-df count-distinct agg + the join-back's probe-side exchange +
+    # doc_id reassembly + final left join (synthesis is map-only)
+    "text_boilerplate_scrub": 4,
 }
 
 
