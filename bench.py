@@ -205,6 +205,7 @@ HEADLINE = [
     "bitext_mining_margin",
     "linkage_fellegi_sunter",
     "text_boilerplate_scrub",
+    "curation_sinkhorn_ot",
 ]
 
 

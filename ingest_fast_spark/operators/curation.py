@@ -129,3 +129,99 @@ def curate_documents(
         .filter(F.col("is_canonical"))
         .select("doc_id", "quality", "n_tokens", "cluster_id")
     )
+
+
+def sinkhorn_domain_distance(
+    docs: DataFrame,
+    vocab_size: int = 16,
+    eps: float = 0.1,
+    n_iter: int = 15,
+) -> DataFrame:
+    """Entropy-regularized optimal-transport distance (Sinkhorn; Cuturi
+    2013, "Sinkhorn Distances: Lightspeed Computation of Optimal
+    Transport") between each domain's token distribution and the corpus
+    distribution — a curation diagnostic that, unlike KL
+    (``domain_kl_divergence``), respects CLOSENESS in token-rank space:
+    a domain whose mass sits on near-ranked tokens scores closer than one
+    whose mass sits far away, even at identical KL.
+
+    Construction (deterministic end-to-end):
+      * support = the ``vocab_size`` globally most frequent tokens
+        (ties broken lexically), indexed 0..V-1 by global rank;
+      * a_s = each source's count vector over that support, b = the global
+        count vector — INTEGER counts normalized by exact integer sums, so
+        both engines start from bit-identical doubles;
+      * ground cost c(i,j) = |i-j|/(V-1) in rank space;
+        Gibbs kernel K = exp(-c/eps);
+      * ``n_iter`` full Sinkhorn pairs u = a/(Kv), v = b/(K'u), then
+        cost = <diag(u) K diag(v), c>, rounded to 6 dp (the only
+        engine-visible float divergence is summation order, ~1e-15).
+
+    Scale shape: token counting is a two-phase hash agg; the support is a
+    V-row broadcast; per-source vectors ride a (source, idx) agg. The
+    V×V×n_iter solve runs inside ONE Arrow batch per source via
+    applyInPandas — a million domains are a million independent tiny
+    solves, embarrassingly parallel, with no driver traffic. Returns
+    (source, sinkhorn_cost).
+    """
+    from ..catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs).filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+
+    tok_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "token")
+    # rank window over a V-row LIMIT — single-partition but vocab-sized
+    top = (
+        tok_counts.orderBy(F.desc("cnt"), "token")
+        .limit(vocab_size)
+        .withColumn("idx", F.row_number().over(w) - 1)
+    )
+
+    src_counts = (
+        toks.join(F.broadcast(top.select("token", "idx")), "token")
+        .groupBy("source", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # sources = those with >= 1 token on the support (engine-portable: a
+    # source with NO support mass has no defined distribution — 0/0)
+    grid = (
+        src_counts.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(top.select("idx", F.col("cnt").alias("b_cnt"))))
+    )
+    dense = grid.join(src_counts, ["source", "idx"], "left").select(
+        "source", "idx", F.coalesce("c", F.lit(0)).alias("c"), "b_cnt"
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    V, EPS, T_ITER = vocab_size, float(eps), int(n_iter)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        a = pdf["c"].to_numpy(dtype="float64")
+        b = pdf["b_cnt"].to_numpy(dtype="float64")
+        a = a / a.sum()
+        b = b / b.sum()
+        idx = np.arange(V, dtype="float64")
+        C = np.abs(idx[:, None] - idx[None, :]) / (V - 1)
+        K = np.exp(-C / EPS)
+        v = np.ones(V)
+        for _ in range(T_ITER):
+            u = a / (K @ v)
+            v = b / (K.T @ u)
+        cost = float((u[:, None] * K * v[None, :] * C).sum())
+        return pd.DataFrame(
+            {"source": [pdf["source"].iloc[0]], "sinkhorn_cost": [round(cost, 6)]}
+        )
+
+    return dense.groupBy("source").applyInPandas(
+        solve, "source string, sinkhorn_cost double"
+    )

@@ -3794,6 +3794,92 @@ def sample_weighted(spark, sf_dir):
     )
 
 
+def _sinkhorn_oracle(V: int = 16, eps: float = 0.1, n_iter: int = 15) -> str:
+    """Unrolled Sinkhorn iterations as CTEs — same construction as
+    operators/curation.sinkhorn_domain_distance, re-derived in SQL."""
+    head = rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    nz AS MATERIALIZED (SELECT source, token FROM toks WHERE length(token) > 0),
+    tc AS MATERIALIZED (SELECT token, COUNT(*) AS cnt FROM nz GROUP BY token),
+    top AS MATERIALIZED (
+      SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS idx
+      FROM tc ORDER BY cnt DESC, token LIMIT {V}
+    ),
+    sc AS MATERIALIZED (
+      SELECT n.source, t.idx, COUNT(*) AS c
+      FROM nz n JOIN top t USING (token) GROUP BY n.source, t.idx
+    ),
+    srcs AS MATERIALIZED (SELECT DISTINCT source FROM sc),
+    dense AS MATERIALIZED (
+      SELECT s.source, t.idx, COALESCE(sc.c, 0) AS c, t.cnt AS b_cnt
+      FROM srcs s CROSS JOIN top t
+      LEFT JOIN sc ON sc.source = s.source AND sc.idx = t.idx
+    ),
+    a AS MATERIALIZED (
+      SELECT source, idx,
+             CAST(c AS DOUBLE) / SUM(CAST(c AS DOUBLE)) OVER (PARTITION BY source) AS a
+      FROM dense
+    ),
+    b AS MATERIALIZED (
+      SELECT idx,
+             CAST(cnt AS DOUBLE) / (SELECT SUM(CAST(cnt AS DOUBLE)) FROM top) AS b
+      FROM top
+    ),
+    kmat AS MATERIALIZED (
+      SELECT i.idx AS i, j.idx AS j,
+             exp(-(abs(i.idx - j.idx) / {V - 1}.0) / {eps}) AS k,
+             abs(i.idx - j.idx) / {V - 1}.0 AS cst
+      FROM top i CROSS JOIN top j
+    ),
+    v0 AS MATERIALIZED (SELECT source, idx, CAST(1.0 AS DOUBLE) AS v FROM srcs CROSS JOIN (SELECT idx FROM top))"""
+    steps = []
+    for t in range(1, n_iter + 1):
+        steps.append(f"""
+    u{t} AS MATERIALIZED (
+      SELECT a.source, a.idx, a.a / kv.s AS u
+      FROM a JOIN (
+        SELECT v.source, k.i AS idx, SUM(k.k * v.v) AS s
+        FROM kmat k JOIN v{t - 1} v ON v.idx = k.j
+        GROUP BY v.source, k.i) kv
+      ON kv.source = a.source AND kv.idx = a.idx
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT ku.source, b.idx, b.b / ku.s AS v
+      FROM b JOIN (
+        SELECT u.source, k.j AS idx, SUM(k.k * u.u) AS s
+        FROM kmat k JOIN u{t} u ON u.idx = k.i
+        GROUP BY u.source, k.j) ku
+      ON ku.idx = b.idx
+    )""")
+    tail = f"""
+    SELECT u.source, ROUND(SUM(u.u * k.k * v.v * k.cst), 6) AS sinkhorn_cost
+    FROM kmat k
+    JOIN u{n_iter} u ON u.idx = k.i
+    JOIN v{n_iter} v ON v.source = u.source AND v.idx = k.j
+    GROUP BY u.source
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@register("curation_sinkhorn_ot", oracle=_sinkhorn_oracle())
+def curation_sinkhorn_ot(spark, sf_dir):
+    """Entropy-regularized optimal-transport distance between each
+    domain's token distribution and the corpus distribution (Sinkhorn;
+    Cuturi 2013) — see operators/curation.sinkhorn_domain_distance for
+    the construction and scale shape. The oracle re-derives the full
+    fixed-point iteration as 15 unrolled CTE pairs over the V×V Gibbs
+    kernel; integer-count normalization makes both engines start from
+    bit-identical marginals, so a green row proves the distributed
+    Arrow-batched solver IS the textbook algorithm."""
+    from ..operators.curation import sinkhorn_domain_distance
+
+    return sinkhorn_domain_distance(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "domain_kl_divergence",
     oracle=r"""

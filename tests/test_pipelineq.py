@@ -526,3 +526,55 @@ def test_attribution_conserves_purchase_value(spark, sf_dir):
         .first()["v"]
     )
     assert abs(total["c"] - expected) <= total["n"], (total["c"], expected)
+
+
+def test_sinkhorn_matches_reference_and_orders_by_rank_distance(spark):
+    """The distributed Sinkhorn solve must equal a straight numpy
+    re-computation from raw token counts (plumbing: support selection,
+    dense-grid zeros, integer normalization), and the distance must
+    respect rank-space geometry: a source concentrated near the top of
+    the global ranking scores closer to the corpus than one concentrated
+    at the bottom."""
+    from ingest_fast_spark.operators.curation import sinkhorn_domain_distance
+
+    # 8 tokens with strictly decreasing global frequency; three sources.
+    vocab = [f"t{i}" for i in range(8)]
+    def doc(counts):
+        return " ".join(" ".join([tok] * c) for tok, c in zip(vocab, counts))
+
+    # bulk dominates so the GLOBAL rank order is exactly the vocab order
+    rows = [
+        (1, "bulk", doc([400, 350, 300, 250, 200, 150, 100, 50])),
+        (2, "near", doc([20, 18, 2, 1, 1, 1, 1, 1])),
+        (3, "far", doc([1, 1, 1, 1, 1, 2, 18, 20])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: r["sinkhorn_cost"]
+        for r in sinkhorn_domain_distance(docs, vocab_size=8).collect()
+    }
+
+    # independent reference from the same construction
+    raw = {s: np.array(c, dtype="float64") for s, c in
+           [("bulk", [400, 350, 300, 250, 200, 150, 100, 50]),
+            ("near", [20, 18, 2, 1, 1, 1, 1, 1]),
+            ("far", [1, 1, 1, 1, 1, 2, 18, 20])]}
+    g_raw = sum(raw.values())
+    # support is ordered by GLOBAL rank (count desc, token asc); the bulk
+    # source makes that the vocab order — assert, then index by rank
+    order = sorted(range(8), key=lambda i: (-g_raw[i], vocab[i]))
+    assert order == list(range(8))
+    counts = {s: c[order] for s, c in raw.items()}
+    g = g_raw[order]
+    idx = np.arange(8, dtype="float64")
+    C = np.abs(idx[:, None] - idx[None, :]) / 7.0
+    K = np.exp(-C / 0.1)
+    for s, c in counts.items():
+        a, b = c / c.sum(), g / g.sum()
+        v = np.ones(8)
+        for _ in range(15):
+            u = a / (K @ v)
+            v = b / (K.T @ u)
+        want = round(float((u[:, None] * K * v[None, :] * C).sum()), 6)
+        assert got[s] == pytest.approx(want, abs=1e-6), s
+    assert got["near"] < got["far"]

@@ -252,6 +252,10 @@ SHUFFLE_BUDGET = {
     # line-df count-distinct agg + the join-back's probe-side exchange +
     # doc_id reassembly + final left join (synthesis is map-only)
     "text_boilerplate_scrub": 4,
+    # global token-count agg, (source, idx) count agg + its source
+    # distinct, the dense-grid join legs, and the applyInPandas group
+    # shuffle; the V-row support and V×V kernel ride broadcasts
+    "curation_sinkhorn_ot": 6,
 }
 
 
