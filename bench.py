@@ -206,6 +206,7 @@ HEADLINE = [
     "linkage_fellegi_sunter",
     "text_boilerplate_scrub",
     "curation_sinkhorn_ot",
+    "stream_topk_mg",
 ]
 
 

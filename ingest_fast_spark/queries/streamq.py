@@ -663,3 +663,104 @@ def stream_cms_windowed(spark, sf_dir):
         "n_est",
         (F.col("n_est") - F.col("n_exact")).alias("overcount"),
     )
+
+
+@register(
+    "stream_topk_mg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS stream_saw_all, TRUE AS n_tracked_ok,
+           TRUE AS bounds_ok, TRUE AS frequent_covered
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def stream_topk_mg(spark, sf_dir):
+    """Streaming Misra-Gries heavy hitters (k=8 counters per event_type,
+    streaming/stateful.mg_heavy_hitters_stream), attested the
+    ann_recall_floors way: the MG tracked set itself is a deterministic
+    function of the arrival order (pinned by a unit test against a Python
+    reference), so the REGISTERED output states what SQL can check —
+    per event_type, the stream processed exactly COUNT(*) rows
+    (stream_saw_all), tracked at most k items (n_tracked_ok), every
+    estimate obeys the Misra-Gries guarantee 0 <= true - est <= n/(k+1)
+    (bounds_ok), and every item with true count > n/(k+1) is tracked
+    (frequent_covered). A green row proves the constant-memory sketch
+    state machine ran over the whole stream and its output satisfies the
+    published error bounds — any dropped batch, double count, or broken
+    decrement flips a boolean.
+
+    Scale shape: state is exactly k (item, count) pairs per key — bounded
+    FOREVER, independent of stream length; the verification legs are
+    batch aggregates on (event_type, user_id)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    K = 8
+    tracked_all = _run(
+        ST.mg_heavy_hitters_stream(SE.stream_events(spark, sf_dir)),
+        "q_mg",
+        output_mode="update",
+    )
+    # Under AvailableNow a static dir is one micro-batch; if the source
+    # ever split it, keep each key's LAST emission (largest n_processed).
+    w = Window.partitionBy("event_type")
+    tracked = tracked_all.withColumn(
+        "n_max", F.max("n_processed").over(w)
+    ).filter(F.col("n_processed") == F.col("n_max"))
+
+    ev = (
+        SE.normalize_ts(load_table(spark, sf_dir, "events"))
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+    )
+    truth = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+    # per-item bound check on the tracked set
+    checked = (
+        tracked.join(truth, ["event_type", "user_id"], "left")
+        .join(totals, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_processed",
+            (
+                F.col("true_cnt").isNotNull()
+                & (F.col("est_count") <= F.col("true_cnt"))
+                & ((F.col("true_cnt") - F.col("est_count")) * (K + 1) <= F.col("n_events"))
+            ).alias("item_ok"),
+        )
+        .groupBy("event_type", "n_events")
+        .agg(
+            F.max("n_processed").alias("n_processed"),
+            (F.count(F.lit(1)) <= K).alias("n_tracked_ok"),
+            F.min("item_ok").alias("bounds_ok"),
+        )
+    )
+    # every frequent item (true_cnt > n/(k+1)) must be tracked
+    frequent = truth.join(totals, "event_type").filter(
+        F.col("true_cnt") * (K + 1) > F.col("n_events")
+    )
+    missed = (
+        frequent.join(tracked, ["event_type", "user_id"], "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    return (
+        checked.join(missed, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("n_processed") == F.col("n_events")).alias("stream_saw_all"),
+            "n_tracked_ok",
+            "bounds_ok",
+            (F.coalesce("n_missed", F.lit(0)) == 0).alias("frequent_covered"),
+        )
+    )

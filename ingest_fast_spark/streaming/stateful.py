@@ -20,6 +20,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -324,4 +325,95 @@ def anomaly_zscore_stream(events: DataFrame) -> DataFrame:
         F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
         "value",
         "zscore",
+    )
+
+
+# --- Streaming Misra-Gries heavy hitters -------------------------------------
+
+_MG_K = 8
+
+MG_STATE = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+MG_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("est_count", LongType()),
+        StructField("n_processed", LongType()),
+    ]
+)
+
+
+def _update_mg_state(key, pdf_iter, state: GroupState):
+    """Fold one micro-batch of user_ids (in deterministic (ts, event_id)
+    order) into the k-counter Misra-Gries summary carried in state, then
+    emit the full tracked set with the rows-processed total. The classic
+    guarantee holds at every prefix: est <= true and
+    true - est <= n/(k+1) (Misra & Gries 1982, "Finding repeated
+    elements")."""
+    import pandas as pd
+
+    if state.exists:
+        items, counts, n = state.get
+        mg = dict(zip(items, counts))
+    else:
+        mg, n = {}, 0
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        for u in pdf["user_id"].astype("int64"):
+            u = int(u)
+            n += 1
+            if u in mg:
+                mg[u] += 1
+            elif len(mg) < _MG_K:
+                mg[u] = 1
+            else:
+                for it in list(mg):
+                    mg[it] -= 1
+                    if mg[it] == 0:
+                        del mg[it]
+    state.update((list(mg.keys()), list(mg.values()), n))
+    yield pd.DataFrame(
+        {
+            "event_type": key[0],
+            "user_id": list(mg.keys()),
+            "est_count": list(mg.values()),
+            "n_processed": n,
+        }
+    )
+
+
+def mg_heavy_hitters_stream(events: DataFrame, k: int = _MG_K) -> DataFrame:
+    """Streaming Misra-Gries top-k per event_type: state is exactly k
+    (item, count) counters per key — CONSTANT memory forever, the whole
+    point of the sketch (contrast stream_cms_windowed's d×w counters).
+    Emits the tracked set after each micro-batch (update mode)."""
+    assert k == _MG_K, "state layout is pinned at module scope"
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_type", "user_id", "ts", "event_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_mg_state,
+            outputStructType=MG_OUTPUT,
+            stateStructType=MG_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

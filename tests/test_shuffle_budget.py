@@ -256,6 +256,10 @@ SHUFFLE_BUDGET = {
     # distinct, the dense-grid join legs, and the applyInPandas group
     # shuffle; the V-row support and V×V kernel ride broadcasts
     "curation_sinkhorn_ot": 6,
+    # verification legs of the finished stream table: last-emission
+    # window, (type,user) truth agg + per-type totals, the bound-check
+    # join + rollup, and the frequent-item anti-join legs
+    "stream_topk_mg": 7,
 }
 
 

@@ -136,3 +136,44 @@ def test_user_running_stats_tws_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_mg_stream_matches_python_reference(spark, sf_dir):
+    """The streamed Misra-Gries tracked set is a deterministic function of
+    the (ts, event_id)-ordered stream; pin it against a straight Python MG
+    over the identically-ordered batch rows."""
+    from ingest_fast_spark.streaming.stateful import mg_heavy_hitters_stream
+
+    out = SE.run_available_now(
+        mg_heavy_hitters_stream(SE.stream_events(spark, sf_dir)), "t_mg_ref", "update"
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["event_type"], {})[r["user_id"]] = r["est_count"]
+
+    ev = (
+        SE.normalize_ts(load_table(spark, sf_dir, "events"))
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_type", "user_id", "ts", "event_id")
+        .collect()
+    )
+    streams = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        streams.setdefault(r["event_type"], []).append(r["user_id"])
+    for etype, users in streams.items():
+        mg = {}
+        for u in users:
+            if u in mg:
+                mg[u] += 1
+            elif len(mg) < 8:
+                mg[u] = 1
+            else:
+                for it in list(mg):
+                    mg[it] -= 1
+                    if mg[it] == 0:
+                        del mg[it]
+        assert got[etype] == mg, etype
