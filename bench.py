@@ -207,6 +207,7 @@ HEADLINE = [
     "text_boilerplate_scrub",
     "curation_sinkhorn_ot",
     "stream_topk_mg",
+    "events_holt_winters",
 ]
 
 

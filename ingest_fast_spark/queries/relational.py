@@ -2997,6 +2997,121 @@ def ivm_incremental_join(spark, sf_dir):
 
 
 @register(
+    "events_holt_winters",
+    oracle="""
+    WITH RECURSIVE
+    daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS MATERIALIZED (
+      SELECT event_type, list(y ORDER BY day) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS t_len
+      FROM daily GROUP BY event_type
+    ),
+    init AS MATERIALIZED (
+      SELECT event_type, ys, t_len,
+             list_sum(ys[1:7]) / 7.0 AS l,
+             (list_sum(ys[8:14]) / 7.0 - list_sum(ys[1:7]) / 7.0) / 7.0 AS b,
+             list_transform(range(7), p -> ys[p+1] - list_sum(ys[1:7]) / 7.0) AS s
+      FROM series
+    ),
+    hw AS (
+      SELECT event_type, ys, t_len, CAST(0 AS BIGINT) AS t, l, b, s FROM init
+      UNION ALL
+      SELECT event_type, ys, t_len, t + 1,
+             0.3 * (ys[t+1] - s[(t % 7) + 1]) + 0.7 * (l + b),
+             0.1 * ((0.3 * (ys[t+1] - s[(t % 7) + 1]) + 0.7 * (l + b)) - l)
+               + 0.9 * b,
+             list_transform(range(7), p -> CASE WHEN p = (t % 7)
+               THEN 0.2 * (ys[t+1] - l - b) + 0.8 * s[p+1]
+               ELSE s[p+1] END)
+      FROM hw WHERE t < t_len
+    )
+    SELECT event_type,
+           floor(l * 1e6 + 0.5) / 1e6 AS level,
+           floor(b * 1e6 + 0.5) / 1e6 AS trend,
+           floor((l + 1 * b + s[(t_len % 7) + 1]) * 1e6 + 0.5) / 1e6       AS forecast_1,
+           floor((l + 2 * b + s[((t_len + 1) % 7) + 1]) * 1e6 + 0.5) / 1e6 AS forecast_2,
+           floor((l + 3 * b + s[((t_len + 2) % 7) + 1]) * 1e6 + 0.5) / 1e6 AS forecast_3
+    FROM hw WHERE t = t_len
+    """,
+)
+def events_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (triple exponential smoothing, weekly
+    season m=7, alpha=.3 beta=.1 gamma=.2; Winters 1960 / Hyndman OTexts
+    init: level = first-week mean, trend = (week2 mean - week1 mean)/7,
+    seasonals = first week's deviations) over the per-type daily count
+    series, emitting the final state and a 3-day-ahead forecast.
+
+    The recurrence is inherently sequential per series, so the Spark side
+    runs it as plain-Python float ops inside ONE applyInPandas group per
+    event_type (a bounded series: 365 rows/type/year no matter the corpus
+    size — the heavy lifting is the distributed daily aggregate before
+    it), while the oracle unrolls the SAME recurrence as a recursive CTE
+    whose working row carries (level, trend, seasonal list). Both engines
+    start from exact integer day-counts and evaluate the identical
+    IEEE-754 expression tree step by step, so the trajectories agree to
+    the last bit; outputs are rounded to 6 dp anyway. Assumes a dense
+    daily series (same as timeseries_seasonal_decompose; a corpus-scale
+    event stream always is)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return holt_winters_daily(daily)
+
+
+def holt_winters_daily(daily: DataFrame) -> DataFrame:
+    """Fit additive Holt-Winters per event_type over a dense
+    (event_type, day, y) daily series — see events_holt_winters."""
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        ys = [float(v) for v in pdf["y"]]
+        t_len = len(ys)
+        w1 = sum(ys[0:7]) / 7.0
+        l, b = w1, (sum(ys[7:14]) / 7.0 - w1) / 7.0
+        s = [ys[p] - w1 for p in range(7)]
+        for t in range(t_len):
+            y, sp = ys[t], s[t % 7]
+            l_new = 0.3 * (y - sp) + 0.7 * (l + b)
+            b_new = 0.1 * (l_new - l) + 0.9 * b
+            s[t % 7] = 0.2 * (y - l - b) + 0.8 * sp
+            l, b = l_new, b_new
+        import math
+
+        def r6(x):
+            # floor(x*1e6+0.5)/1e6 on BOTH engines: identical float ops,
+            # no half-even vs half-up divergence (see cusum's parity note)
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [r6(l)],
+                "trend": [r6(b)],
+                "forecast_1": [r6(l + 1 * b + s[t_len % 7])],
+                "forecast_2": [r6(l + 2 * b + s[(t_len + 1) % 7])],
+                "forecast_3": [r6(l + 3 * b + s[(t_len + 2) % 7])],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, level double, trend double, "
+        "forecast_1 double, forecast_2 double, forecast_3 double",
+    )
+
+
+@register(
     "events_cusum_changepoint",
     oracle="""
     WITH daily AS (

@@ -578,3 +578,32 @@ def test_sinkhorn_matches_reference_and_orders_by_rank_distance(spark):
         want = round(float((u[:, None] * K * v[None, :] * C).sum()), 6)
         assert got[s] == pytest.approx(want, abs=1e-6), s
     assert got["near"] < got["far"]
+
+
+def test_holt_winters_learns_season_and_trend(spark):
+    """A purely periodic series must fit with ~zero trend and forecast the
+    upcoming pattern positions; a purely linear series must learn its
+    slope and extrapolate the line."""
+    import datetime
+
+    from ingest_fast_spark.queries.relational import holt_winters_daily
+
+    pattern = [10.0, 12.0, 8.0, 14.0, 9.0, 11.0, 7.0]
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    for d in range(28):
+        rows.append(("periodic", d0 + datetime.timedelta(days=d), pattern[d % 7]))
+        rows.append(("linear", d0 + datetime.timedelta(days=d), 5.0 + d))
+    daily = spark.createDataFrame(rows, "event_type string, day date, y double")
+    out = {r["event_type"]: r for r in holt_winters_daily(daily).collect()}
+
+    p = out["periodic"]
+    assert abs(p["trend"]) < 0.2
+    for h in (1, 2, 3):
+        assert abs(p[f"forecast_{h}"] - pattern[(28 + h - 1) % 7]) < 1.0, h
+
+    ln = out["linear"]
+    assert abs(ln["trend"] - 1.0) < 0.3
+    # the spurious seasonal init (deviations of the first week from its
+    # mean) decays as 0.8^4 over 4 weeks: ~1.2 residual is expected
+    assert abs(ln["forecast_1"] - 33.0) < 2.0

@@ -260,6 +260,9 @@ SHUFFLE_BUDGET = {
     # window, (type,user) truth agg + per-type totals, the bound-check
     # join + rollup, and the frequent-item anti-join legs
     "stream_topk_mg": 7,
+    # daily count agg + the per-type applyInPandas group shuffle; the
+    # sequential fit rides the bounded daily series
+    "events_holt_winters": 2,
 }
 
 
