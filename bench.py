@@ -208,6 +208,7 @@ HEADLINE = [
     "curation_sinkhorn_ot",
     "stream_topk_mg",
     "events_holt_winters",
+    "quality_train_logreg",
 ]
 
 

@@ -3639,3 +3639,135 @@ def events_anomaly_mad(spark, sf_dir):
             .alias("direction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine model training: logistic-regression quality classifier
+# ---------------------------------------------------------------------------
+
+_LR_THRESH = 306      # fixed label threshold (sf0.01 median n_chars)
+_LR_RATE = 0.1
+_LR_ITERS = 25
+_NO_WS_PQ = r"length(regexp_replace(trim(text), '\s+', '', 'g'))"
+
+
+def _logreg_oracle(iters: int = _LR_ITERS, lr: float = _LR_RATE) -> str:
+    z = "(w.w0 * 1.0 + w.w1 * f.x1 + w.w2 * f.x2)"
+    sig = f"(1.0 / (1.0 + exp(-{z})))"
+    head = rf"""
+    WITH feats AS MATERIALIZED (
+      SELECT CAST(CASE WHEN n_chars >= {_LR_THRESH} THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+             floor(ln(1 + len({_TOKS})) * 1e6 + 0.5) / 1e6 AS x1,
+             CAST(ROUND({_NO_WS_PQ} / len({_TOKS}), 6) AS DOUBLE) AS x2
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    tot AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats),
+    w0_iter AS MATERIALIZED (
+      SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+             CAST(0.0 AS DOUBLE) AS w2
+    )"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    g{t} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(floor(({sig} - f.y) * 1.0 * 1e9) AS BIGINT)) AS BIGINT) AS g0,
+             CAST(SUM(CAST(floor(({sig} - f.y) * f.x1 * 1e9) AS BIGINT)) AS BIGINT) AS g1,
+             CAST(SUM(CAST(floor(({sig} - f.y) * f.x2 * 1e9) AS BIGINT)) AS BIGINT) AS g2
+      FROM feats f CROSS JOIN w{t - 1}_iter w
+    ),
+    w{t}_iter AS MATERIALIZED (
+      SELECT w.w0 - {lr} * ((CAST(g.g0 AS DOUBLE) / 1e9) / t.n) AS w0,
+             w.w1 - {lr} * ((CAST(g.g1 AS DOUBLE) / 1e9) / t.n) AS w1,
+             w.w2 - {lr} * ((CAST(g.g2 AS DOUBLE) / 1e9) / t.n) AS w2
+      FROM w{t - 1}_iter w CROSS JOIN g{t} g CROSS JOIN tot t
+    )""")
+    tail = f"""
+    acc AS MATERIALIZED (
+      SELECT floor((CAST(SUM(CASE WHEN ({sig} >= 0.5) = (f.y = 1.0)
+                                  THEN 1 ELSE 0 END) AS DOUBLE) / t.n) * 1e6 + 0.5)
+               / 1e6 AS acc
+      FROM feats f CROSS JOIN w{iters}_iter w CROSS JOIN tot t GROUP BY t.n
+    )
+    SELECT 'train_accuracy' AS feature, acc AS value FROM acc
+    UNION ALL SELECT 'w0_bias', floor(w0 * 1e6 + 0.5) / 1e6 FROM w{iters}_iter
+    UNION ALL SELECT 'w1_log_tokens', floor(w1 * 1e6 + 0.5) / 1e6 FROM w{iters}_iter
+    UNION ALL SELECT 'w2_avg_token_len', floor(w2 * 1e6 + 0.5) / 1e6 FROM w{iters}_iter
+    """
+    return head + "," + ",".join(steps) + "," + tail
+
+
+@register("quality_train_logreg", oracle=_logreg_oracle())
+def quality_train_logreg(spark, sf_dir):
+    """Train a logistic-regression length/quality classifier IN THE ENGINE
+    by full-batch gradient descent (25 steps, lr 0.1) over per-document
+    text features, and emit the learned weights plus training accuracy.
+
+    Determinism across engines — the hard part of distributed training —
+    comes from the repo's exact-integer playbook: every per-row gradient
+    contribution is floored to int64 nano-units BEFORE the SUM, so the
+    gradient is an exact integer total regardless of partition order, and
+    the weight recurrence is the identical IEEE-754 expression both sides
+    (the oracle unrolls all 25 steps as CTE pairs). The driver carries
+    only the 3 weights per step — bounded, algorithm-intrinsic state, not
+    data (contrast the size-gated GEMM collects in operators/similarity).
+
+    Scale shape: features are computed once and localCheckpointed (3
+    doubles/row); each GD step is one map-side-combinable aggregate over
+    them — the canonical iterate-on-Spark loop (same pattern as
+    graph_pagerank). Label threshold is a FIXED constant (the sf0.01
+    median n_chars), so the query is scale-portable without a quantile
+    pass; at 10x data the classes skew but the algebra is unchanged."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    t = F.col("text")
+    feats = (
+        ensure_parallelism(d)
+        .select(
+            F.when(F.col("n_chars") >= _LR_THRESH, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+            (
+                F.floor(
+                    F.log(F.lit(1.0) + T.token_count(t).cast("double")) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("x1"),
+            T.avg_token_len(t).alias("x2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = feats.count()
+    w = [0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2")]
+    for _ in range(_LR_ITERS):
+        z = F.lit(w[0]) * F.lit(1.0) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        dd = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+        g = feats.agg(
+            *[F.sum(F.floor(dd * x * F.lit(1e9))).alias(f"g{j}") for j, x in enumerate(xs)]
+        ).collect()[0]
+        w = [w[j] - _LR_RATE * ((g[f"g{j}"] / 1e9) / n) for j in range(3)]
+    z = F.lit(w[0]) * F.lit(1.0) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    n_correct = feats.agg(
+        F.sum(
+            F.when((sig >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("c")
+    ).collect()[0]["c"]
+    acc = math.floor((n_correct / n) * 1e6 + 0.5) / 1e6
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    return spark.createDataFrame(
+        [
+            ("train_accuracy", acc),
+            ("w0_bias", r6(w[0])),
+            ("w1_log_tokens", r6(w[1])),
+            ("w2_avg_token_len", r6(w[2])),
+        ],
+        "feature string, value double",
+    )

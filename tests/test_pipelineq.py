@@ -607,3 +607,13 @@ def test_holt_winters_learns_season_and_trend(spark):
     # the spurious seasonal init (deviations of the first week from its
     # mean) decays as 0.8^4 over 4 weeks: ~1.2 residual is expected
     assert abs(ln["forecast_1"] - 33.0) < 2.0
+
+
+def test_logreg_training_learns_signal(spark):
+    """25 GD steps must beat the 50% base rate decisively on the
+    length-balanced label (the oracle pins exactness; this pins learning)."""
+    from ingest_fast_spark.queries.pipelineq import quality_train_logreg
+
+    out = {r["feature"]: r["value"] for r in quality_train_logreg(spark, SF).collect()}
+    assert out["train_accuracy"] > 0.7
+    assert out["w1_log_tokens"] > 0  # longer docs -> positive class

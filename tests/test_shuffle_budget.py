@@ -263,6 +263,10 @@ SHUFFLE_BUDGET = {
     # daily count agg + the per-type applyInPandas group shuffle; the
     # sequential fit rides the bounded daily series
     "events_holt_winters": 2,
+    # returned frame is the 4-row local weights relation; the training
+    # passes are map-side-combinable aggs over the checkpointed features
+    # (run before the plan is built — nothing shuffles corpus-sized data)
+    "quality_train_logreg": 0,
 }
 
 
