@@ -102,6 +102,12 @@ _SHOWCASE_ORDER = [
     "text_unicode_normalize",       # NEW: NFC + homoglyph fold, dual-impl
     "bitext_mining_margin",         # NEW: Artetxe-Schwenk margin miner
     "text_detect_encoding",         # BOM-ambiguous fixtures filtered
+    # (1b) round-9 second wave — all new, never sampled
+    "text_boilerplate_scrub",       # NEW: CCNet line-frequency scrub
+    "curation_sinkhorn_ot",         # NEW: Sinkhorn OT domain distance
+    "stream_topk_mg",               # NEW: streaming Misra-Gries + bounds
+    "events_holt_winters",          # NEW: triple exponential smoothing
+    "quality_train_logreg",         # NEW: in-engine GD training
     # (2) the 8 remaining r1 attestations (r8 rotation note)
     "sample_weighted",
     "text_chunk_overlap",
@@ -133,13 +139,9 @@ _SHOWCASE_ORDER = [
     "funnel_stages",
     "graph_pagerank",
     "join_anti",
-    "join_asof",
-    "join_inner_broadcast",
-    "join_lateral_topk",
-    "join_left_outer",
-    "join_range",
-    # (join_semi, pack_training_sequences, q18, q1, q21, q3/q5/q7, quality_model_score,
-    #  scalar_string_funcs, search_*,
+    # (join_asof, join_inner_broadcast, join_lateral_topk, join_left_outer,
+    #  join_range, join_semi, pack_training_sequences, q18, q1, q21,
+    #  q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
     #  sessionize, sessions_max_concurrency, text_quality_score,
     #  timeseries_gapfill_ffill, topk_per_group, window_running_agg —
     #  also r2 — rotate into the r10 prefix)
