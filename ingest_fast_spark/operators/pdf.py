@@ -15,8 +15,11 @@ objects with indirect /Length and FlateDecode (stdlib zlib), page-tree
 walk (/Pages /Kids recursion, /Contents ref or array), and a
 content-stream interpreter that collects the text-showing operators Tj,
 ', ", and TJ (array form with kerning numbers). Pages are joined with
-newlines. Honest gates: /Encrypt, non-Flate stream filters, and the TIFF
-predictor raise NotImplementedError; structurally broken files raise
+newlines. Stream filters: FlateDecode, ASCIIHexDecode, ASCII85Decode,
+RunLengthDecode and LZWDecode (EarlyChange, 9-12-bit MSB codes) including
+filter CHAINS and the PNG/TIFF predictors. Honest gates: /Encrypt and the
+image-only codecs (DCTDecode, CCITTFaxDecode, JBIG2Decode, JPXDecode,
+Crypt) raise NotImplementedError; structurally broken files raise
 ValueError.
 
 Synthesizer (`make_pdf`): a conformant writer used for round-trip
@@ -213,7 +216,15 @@ def _png_unpredict(data: bytes, columns: int, predictor: int, bpp: int = 1) -> b
     if predictor < 2:
         return data
     if predictor == 2:
-        raise NotImplementedError("PDF TIFF predictor 2")
+        # TIFF horizontal differencing: no per-row tag byte, each sample is
+        # stored as the delta from the previous sample in the row
+        if columns <= 0 or len(data) % columns:
+            raise ValueError("PDF TIFF predictor data is not whole rows")
+        out = bytearray(data)
+        for r in range(0, len(out), columns):
+            for i in range(bpp, columns):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
     rowlen = columns + 1
     if rowlen <= 1 or len(data) % rowlen:
         raise ValueError("PDF predictor data is not a whole number of rows")
@@ -246,6 +257,199 @@ def _png_unpredict(data: bytes, columns: int, predictor: int, bpp: int = 1) -> b
         out += row
         prev = row
     return bytes(out)
+
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    """/ASCIIHexDecode (ISO 32000 7.4.2): hex pairs, whitespace ignored,
+    '>' is EOD, an odd trailing digit is padded with 0."""
+    body = raw.split(b">", 1)[0]
+    digits = bytes(c for c in body if c not in _WS)
+    if not re.fullmatch(rb"[0-9a-fA-F]*", digits):
+        raise ValueError("ASCIIHexDecode: non-hex digit")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """/ASCII85Decode (ISO 32000 7.4.3): base-85 groups, 'z' for an all-zero
+    group, '~>' EOD, whitespace ignored (stdlib a85 codec, Adobe framing
+    stripped by hand since PDF omits the leading '<~')."""
+    import base64
+
+    body = raw.split(b"~>", 1)[0]
+    body = bytes(c for c in body if c not in _WS)
+    return base64.a85decode(body)
+
+
+def _rle_decode(raw: bytes) -> bytes:
+    """/RunLengthDecode (ISO 32000 7.4.5): length byte L — 0..127 copies the
+    next L+1 bytes literally, 129..255 repeats the next byte 257-L times,
+    128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        l = raw[i]
+        if l == 128:
+            return bytes(out)
+        if l < 128:
+            chunk = raw[i + 1 : i + 2 + l]
+            if len(chunk) != l + 1:
+                raise ValueError("RunLengthDecode: truncated literal run")
+            out += chunk
+            i += 2 + l
+        else:
+            if i + 1 >= len(raw):
+                raise ValueError("RunLengthDecode: truncated repeat run")
+            out += raw[i + 1 : i + 2] * (257 - l)
+            i += 2
+    raise ValueError("RunLengthDecode: missing EOD")
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLength encoder (writer side): greedy runs >= 3, literal chunks
+    otherwise — any conformant splitter is valid; this one exercises both
+    decoder branches."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run]) + data[i : i + 1]
+            i += run
+        else:
+            j = i
+            while j < n and j - i < 128:
+                # stop the literal before a run of >= 3 starts
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            if j == i:
+                j = i + 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
+    """/LZWDecode (ISO 32000 7.4.4): MSB-first variable-width codes
+    (9..12 bits), 256 = clear table, 257 = EOD, code width grows one entry
+    early under the default EarlyChange=1."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    width, nxt, prev = 9, 258, None
+    acc = nbits = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table.clear()
+                width, nxt, prev = 9, 258, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("LZWDecode: first code not a literal")
+                entry = bytes([code])
+            elif code < 256:
+                entry = bytes([code])
+            elif code < nxt:
+                entry = table[code]
+            elif code == nxt:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZWDecode: code beyond table")
+            out += entry
+            if prev is not None and nxt < 4096:
+                table[nxt] = prev + entry[:1]
+                nxt += 1
+                if nxt + early_change > (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("LZWDecode: missing EOD")
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """LZW encoder (writer side), width schedule mirroring _lzw_decode."""
+    bits: list[tuple[int, int]] = []
+    table: dict[bytes, int] = {}
+    width, nxt = 9, 258
+    bits.append((256, width))
+    if data:
+        w = data[:1]
+        for c in data[1:]:
+            wc = w + bytes([c])
+            if wc in table:
+                w = wc
+                continue
+            # emit code for w
+            bits.append((w[0] if len(w) == 1 else table[w], width))
+            if nxt < 4096:
+                table[wc] = nxt
+                nxt += 1
+                # the decoder's table trails one entry behind (KwKwK rule),
+                # so its width bump lands one code later — mirror with nxt-1
+                if nxt - 1 + early_change > (1 << width) and width < 12:
+                    width += 1
+            w = bytes([c])
+        bits.append((w[0] if len(w) == 1 else table[w], width))
+    bits.append((257, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_FILTER_DECODERS = {
+    "/ASCIIHexDecode": _ascii_hex_decode,
+    "/ASCII85Decode": _ascii85_decode,
+    "/RunLengthDecode": _rle_decode,
+    "/LZWDecode": _lzw_decode,
+}
+
+
+def _apply_filters(raw: bytes, filt, parms=None) -> bytes:
+    """Apply a stream's /Filter chain in array order (ISO 32000 7.4:
+    filters are listed in DECODING order). /DecodeParms predictors are
+    honored for Flate/LZW stages. Unsupported filters (the image codecs
+    DCTDecode/CCITTFaxDecode/JBIG2Decode/JPXDecode, and Crypt) raise —
+    the module's honest gate."""
+    filters = filt if isinstance(filt, list) else [filt]
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    data = raw
+    for f, p in zip(filters, parms_list):
+        if f == "/FlateDecode":
+            data = zlib.decompress(data)
+        elif f in _FILTER_DECODERS:
+            data = _FILTER_DECODERS[f](data)
+        else:
+            raise NotImplementedError(f"PDF stream filter {f}")
+        if isinstance(p, dict) and p.get("/Predictor", 1) != 1 and f in (
+            "/FlateDecode",
+            "/LZWDecode",
+        ):
+            colors = p.get("/Colors", 1)
+            bitspc = p.get("/BitsPerComponent", 8)
+            bpp = max(1, (colors * bitspc) // 8)
+            data = _png_unpredict(
+                data, p.get("/Columns", 1) * bpp, p.get("/Predictor"), bpp
+            )
+    return data
 
 
 def _parse_xref_stream_at(
@@ -284,10 +488,9 @@ def _parse_xref_stream_at(
     filt = d.get("/Filter")
     if filt in (None, []):
         data = raw
-    elif filt == "/FlateDecode" or filt == ["/FlateDecode"]:
-        data = zlib.decompress(raw)
     else:
-        raise NotImplementedError(f"PDF xref stream filter {filt}")
+        # predictors are handled below from /DecodeParms — pass none here
+        data = _apply_filters(raw, filt)
     w = d.get("/W")
     size = d.get("/Size")
     if not (isinstance(w, list) and len(w) == 3 and all(isinstance(x, int) for x in w)):
@@ -479,10 +682,10 @@ class _Doc:
             filt = self.resolve(val.get("/Filter"))
             if filt in (None, []):
                 data = raw
-            elif filt == "/FlateDecode" or filt == ["/FlateDecode"]:
-                data = zlib.decompress(raw)
             else:
-                raise NotImplementedError(f"PDF stream filter {filt}")
+                data = _apply_filters(
+                    raw, filt, self.resolve(val.get("/DecodeParms"))
+                )
             val = {"dict": val, "data": data}
         else:
             lx.i = save
@@ -575,7 +778,12 @@ def _esc_literal(s: bytes) -> bytes:
     return s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def make_pdf(pages: list[str], xref_stream: bool = False) -> bytes:
+def make_pdf(
+    pages: list[str],
+    xref_stream: bool = False,
+    filter_mix: bool = False,
+    filter_phase: int = 0,
+) -> bytes:
     """A complete, valid PDF with one page per entry. Page text alternates
     the three text-show forms the spec allows — literal string ``(..) Tj``,
     hex string ``<..> Tj`` (byte-exact for any UTF-8 payload), and the
@@ -587,7 +795,12 @@ def make_pdf(pages: list[str], xref_stream: bool = False) -> bytes:
     are packed into a ``/Type /ObjStm`` object stream and the
     cross-reference is a ``/Type /XRef`` STREAM (W=[1 4 2], FlateDecode,
     PNG Up predictor 12 — the layout real-world writers emit), so the
-    extractor's 1.5+ path is attested against the same ground truth."""
+    extractor's 1.5+ path is attested against the same ground truth.
+
+    ``filter_mix=True`` rotates the content-stream encoding through the
+    five text-capable ISO 32000 filters — FlateDecode, ASCIIHexDecode,
+    the [/ASCII85Decode /FlateDecode] CHAIN, RunLengthDecode and
+    LZWDecode — so a round-trip attests the whole filter surface."""
     objs: list[bytes] = []  # 1-based object bodies, in object-number order
 
     n_pages = len(pages)
@@ -626,9 +839,23 @@ def make_pdf(pages: list[str], xref_stream: bool = False) -> bytes:
                 + b"> ] TJ"
             )
         content = b"BT /F1 12 Tf 72 720 Td " + show + b" ET"
-        comp = zlib.compress(content)
+        fidx = (i + filter_phase) % 5
+        if not filter_mix or fidx == 0:
+            comp, fdecl = zlib.compress(content), b"/Filter /FlateDecode"
+        elif fidx == 1:
+            comp = content.hex().encode("ascii") + b">"
+            fdecl = b"/Filter /ASCIIHexDecode"
+        elif fidx == 2:
+            import base64
+
+            comp = base64.a85encode(zlib.compress(content)) + b"~>"
+            fdecl = b"/Filter [ /ASCII85Decode /FlateDecode ]"
+        elif fidx == 3:
+            comp, fdecl = _rle_encode(content), b"/Filter /RunLengthDecode"
+        else:
+            comp, fdecl = _lzw_encode(content), b"/Filter /LZWDecode"
         objs.append(
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            b"<< /Length %d %s >>\nstream\n" % (len(comp), fdecl)
             + comp
             + b"\nendstream"
         )

@@ -6400,7 +6400,12 @@ def multimodal_pdf_text(spark, sf_dir):
     content streams → Tj/'/"/TJ), and emits the recovered page count,
     FULL text, and version against the original — the oracle re-derives
     the exact expected text AND the doc_id-keyed version in SQL, so the
-    driver proves byte-exact extraction over both xref layouts.
+    driver proves byte-exact extraction over both xref layouts. Round 9:
+    content streams additionally rotate through ALL FIVE text-capable
+    ISO 32000 filters by doc_id (FlateDecode, ASCIIHexDecode, the
+    [/ASCII85Decode /FlateDecode] chain, RunLengthDecode, LZWDecode) —
+    a green row now attests the whole filter surface, narrowing the
+    honest gate to /Encrypt and the image-only codecs.
 
     Scale shape: two chained map-only mapInPandas passes — no shuffle."""
 
@@ -6417,6 +6422,10 @@ def multimodal_pdf_text(spark, sf_dir):
                     make_pdf(
                         [f"doc {i} (synthetic) cover \\ page", str(t)],
                         xref_stream=int(i) % 2 == 1,
+                        # rotate the content-stream filter (Flate, ASCIIHex,
+                        # A85+Flate chain, RunLength, LZW) across documents
+                        filter_mix=True,
+                        filter_phase=int(i) % 5,
                     )
                 )
             yield pd.DataFrame(

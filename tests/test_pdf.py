@@ -126,14 +126,48 @@ def test_png_predictors_unit():
 
     for ft in range(5):
         assert _png_unpredict(predict(ft), cols, 12) == raw, ft
-    with pytest.raises(NotImplementedError):
-        _png_unpredict(raw, cols, 2)  # TIFF predictor stays an honest gate
+    # TIFF predictor 2 (round 9): horizontal differencing, no tag byte
+    tiff = bytearray()
+    for r in range(0, len(raw), cols):
+        row = raw[r : r + cols]
+        tiff.append(row[0])
+        for i in range(1, cols):
+            tiff.append((row[i] - row[i - 1]) & 0xFF)
+    assert _png_unpredict(bytes(tiff), cols, 2) == raw
+    with pytest.raises(ValueError):
+        _png_unpredict(bytes(tiff[:-1]), cols, 2)  # not whole rows
+
+
+def test_filter_mix_roundtrip_and_codec_vectors():
+    """Round 9: all five text-capable stream filters round-trip, in both
+    xref layouts; LZW is additionally pinned against a hand-assembled
+    MSB bitstream (codes 256,65,257 at 9 bits -> 'A')."""
+    from ingest_fast_spark.operators.pdf import (
+        _ascii85_decode,
+        _lzw_decode,
+        _lzw_encode,
+        _rle_decode,
+        _rle_encode,
+    )
+
+    pages = [f"filter page {i} repetition repetition repetition" for i in range(10)]
+    for xs in (False, True):
+        got = extract_pdf_text(make_pdf(pages, xref_stream=xs, filter_mix=True))
+        assert got["text"].split("\n") == pages
+        assert got["n_pages"] == 10
+    assert _lzw_decode(bytes([0x80, 0x10, 0x60, 0x20])) == b"A"
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    # run + literal branches of RunLength
+    data = b"aaaaaaXYZbbbbbb" * 40
+    assert _rle_decode(_rle_encode(data)) == data
+    blob = bytes(range(256)) * 30
+    assert _lzw_decode(_lzw_encode(blob)) == blob
 
 
 def test_unknown_filter_gate():
     p = make_pdf(["page"])
     with pytest.raises(NotImplementedError, match="filter"):
-        extract_pdf_text(p.replace(b"/FlateDecode", b"/LZWDecode  "))
+        extract_pdf_text(p.replace(b"/FlateDecode", b"/DCTDecode  "))
 
 
 def test_corrupt_stream_raises():
