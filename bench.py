@@ -209,6 +209,7 @@ HEADLINE = [
     "stream_topk_mg",
     "events_holt_winters",
     "quality_train_logreg",
+    "multimodal_tiff_roundtrip",
 ]
 
 

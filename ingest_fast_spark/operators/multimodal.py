@@ -130,6 +130,21 @@ def parse_image_header(payload: bytes) -> dict | None:
             w, h = struct.unpack("<ii", b[18:26])
             return {"width": w, "height": abs(h), "mode": "RGB", "format": "BMP"}
         return None
+    # TIFF: either byte order; dims live in the first IFD
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            _, tags = _tiff_tags(b)
+        except ValueError:
+            return None
+        if 256 not in tags or 257 not in tags:
+            return None
+        spp = tags.get(277, [1])[0]
+        return {
+            "width": tags[256][0],
+            "height": tags[257][0],
+            "mode": "L" if spp == 1 else "RGB",
+            "format": "TIFF",
+        }
     # JPEG: walk marker segments to the first SOFn frame header
     if b[:2] == b"\xff\xd8":
         i = 2
@@ -1852,6 +1867,248 @@ def make_bmp(
     return head + info + pixel
 
 
+# --- TIFF (TIFF 6.0, Adobe 1992) ---------------------------------------------
+# Baseline container support for the dominant scanned-document format:
+# both byte orders, gray (Photometric 1) and RGB, strips (single or
+# multiple), Compression 1 (none) / 32773 (PackBits) / 5 (LZW — the SAME
+# MSB-first EarlyChange variant ISO 32000 adopted, so the codec is shared
+# with operators/pdf.py), and Predictor 2 (horizontal differencing).
+# Honest gates: tiles, palettes, planar config 2, bit depths != 8,
+# WhiteIsZero, other compressions.
+
+from .pdf import _lzw_decode, _lzw_encode, _png_unpredict  # noqa: E402
+
+
+def _packbits_decode(raw: bytes) -> bytes:
+    """TIFF PackBits (TIFF 6.0 §9): like PDF RunLengthDecode but 128 is a
+    no-op, not EOD — the strip byte count bounds the data instead."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        n = raw[i]
+        if n < 128:
+            chunk = raw[i + 1 : i + 2 + n]
+            if len(chunk) != n + 1:
+                raise ValueError("PackBits: truncated literal run")
+            out += chunk
+            i += 2 + n
+        elif n == 128:
+            i += 1
+        else:
+            if i + 1 >= len(raw):
+                raise ValueError("PackBits: truncated repeat run")
+            out += raw[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run]) + data[i : i + 1]
+            i += run
+        else:
+            j = i
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            if j == i:
+                j = i + 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _tiff_predict2(rows, w: int, spp: int):
+    """Apply horizontal differencing (writer side)."""
+    import numpy as np
+
+    flat = rows.reshape(-1, w * spp).astype(np.int16)
+    diff = flat.copy()
+    diff[:, spp:] -= flat[:, :-spp]
+    return (diff & 0xFF).astype(np.uint8).tobytes()
+
+
+def make_tiff(
+    vals,
+    compression: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """Conformant baseline TIFF writer for round-trip attestation: gray
+    (h,w) or RGB (h,w,3) uint8, II or MM byte order, strip layout,
+    Compression 1/5/32773, optional Predictor 2 (LZW/none)."""
+    import struct
+
+    import numpy as np
+
+    vals = np.asarray(vals, dtype=np.uint8)
+    h, w = vals.shape[:2]
+    spp = 1 if vals.ndim == 2 else vals.shape[2]
+    E = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rps):
+        rows = vals[r0 : r0 + rps]
+        raw = _tiff_predict2(rows, w, spp) if predictor == 2 else rows.tobytes()
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 5:
+            strips.append(_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            raise ValueError(f"make_tiff: compression {compression}")
+
+    out = bytearray(struct.pack(E + "2sHI", b"II" if E == "<" else b"MM", 42, 0))
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) % 2:
+        out += b"\x00"  # IFD must start on a word boundary
+
+    extra = bytearray()  # out-of-line value arrays, placed after the IFD
+    ents = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [compression]),
+        (262, 3, [1 if spp == 1 else 2]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if predictor == 2:
+        ents.append((317, 3, [predictor]))
+    ents.sort()
+    ifd_off = len(out)
+    n_ent = len(ents)
+    ifd = bytearray(struct.pack(E + "H", n_ent))
+    extra_start = ifd_off + 2 + 12 * n_ent + 4
+    for tag, typ, values in ents:
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ] * len(values)
+        ifd += struct.pack(E + "HHI", tag, typ, len(values))
+        if size <= 4:
+            packed = struct.pack(E + fmt * len(values), *values)
+            ifd += packed + b"\x00" * (4 - size)
+        else:
+            ifd += struct.pack(E + "I", extra_start + len(extra))
+            extra += struct.pack(E + fmt * len(values), *values)
+    ifd += struct.pack(E + "I", 0)  # no next IFD
+    out += ifd + extra
+    # patch the header's first-IFD offset
+    out[4:8] = struct.pack(E + "I", ifd_off)
+    return bytes(out)
+
+
+def _tiff_tags(b: bytes):
+    """(byte-order, {tag: [values]}) from the FIRST IFD; raises ValueError
+    on a broken container."""
+    import struct
+
+    if b[:4] == b"II*\x00":
+        E = "<"
+    elif b[:4] == b"MM\x00*":
+        E = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    ifd_off = struct.unpack(E + "I", b[4:8])[0]
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of range")
+    n = struct.unpack(E + "H", b[ifd_off : ifd_off + 2])[0]
+    tags = {}
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    for k in range(n):
+        ent = b[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
+        if len(ent) < 12:
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, cnt = struct.unpack(E + "HHI", ent[:8])
+        if typ not in sizes:
+            continue  # RATIONAL etc. — nothing the baseline reader needs
+        total = sizes[typ] * cnt
+        if total <= 4:
+            data = ent[8 : 8 + total]
+        else:
+            off = struct.unpack(E + "I", ent[8:12])[0]
+            data = b[off : off + total]
+            if len(data) < total:
+                raise ValueError("TIFF tag value out of range")
+        tags[tag] = list(struct.unpack(E + fmts[typ] * cnt, data))
+    return E, tags
+
+
+def decode_tiff_pixels(payload: bytes):
+    """{width, height, mode, pixels, format:'TIFF'} — see the section
+    banner for the supported baseline and the honest gates."""
+    import numpy as np
+
+    b = bytes(payload)
+    _, tags = _tiff_tags(b)
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    bits = tags.get(258, [8])
+    if any(x != 8 for x in bits):
+        raise NotImplementedError(f"TIFF bit depths {bits} (only 8)")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    photo = tags.get(262, [1])[0]
+    if photo not in (1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if 256 not in tags or 257 not in tags or 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF missing required tags")
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+    data = bytearray()
+    for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = b[off : off + cnt]
+        if len(raw) != cnt:
+            raise ValueError("TIFF strip out of range")
+        if comp == 1:
+            dec = raw
+        elif comp == 5:
+            dec = _lzw_decode(raw)
+        else:
+            dec = _packbits_decode(raw)
+        nrows = min(rps, h - idx * rps)
+        if len(dec) != nrows * w * spp:
+            raise ValueError("TIFF strip length mismatch")
+        if predictor == 2:
+            dec = _png_unpredict(dec, w * spp, 2, spp)
+        data += dec
+    arr = np.frombuffer(bytes(data), np.uint8)
+    pixels = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+    return {
+        "width": w,
+        "height": h,
+        "mode": "L" if spp == 1 else "RGB",
+        "format": "TIFF",
+        "pixels": pixels,
+    }
+
+
 # Formats with a REAL no-PIL pixel decoder (module bottom: both functions
 # must exist; callers look up at call time).
 from .jpeg import decode_jpeg_pixels, make_jpeg  # noqa: E402  (module bottom)
@@ -1861,6 +2118,7 @@ _PIXEL_DECODERS = {
     "GIF": decode_gif_pixels,
     "JPEG": decode_jpeg_pixels,
     "BMP": decode_bmp_pixels,
+    "TIFF": decode_tiff_pixels,
 }
 
 

@@ -108,6 +108,7 @@ _SHOWCASE_ORDER = [
     "stream_topk_mg",               # NEW: streaming Misra-Gries + bounds
     "events_holt_winters",          # NEW: triple exponential smoothing
     "quality_train_logreg",         # NEW: in-engine GD training
+    "multimodal_tiff_roundtrip",    # NEW: TIFF 6.0 (LZW/PackBits/II+MM)
     # (2) the 8 remaining r1 attestations (r8 rotation note)
     "sample_weighted",
     "text_chunk_overlap",
@@ -138,8 +139,7 @@ _SHOWCASE_ORDER = [
     "filter_project",
     "funnel_stages",
     "graph_pagerank",
-    "join_anti",
-    # (join_asof, join_inner_broadcast, join_lateral_topk, join_left_outer,
+    # (join_anti, join_asof, join_inner_broadcast, join_lateral_topk, join_left_outer,
     #  join_range, join_semi, pack_training_sequences, q18, q1, q21,
     #  q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
     #  sessionize, sessions_max_concurrency, text_quality_score,

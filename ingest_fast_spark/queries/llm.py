@@ -1230,6 +1230,72 @@ def text_boilerplate_scrub(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 11 AS BIGINT) AS width,
+           CAST(2 + doc_id % 6 AS BIGINT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'L' ELSE 'RGB' END AS mode,
+           'TIFF' AS format
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_tiff_roundtrip(spark, sf_dir):
+    """TIFF 6.0 decode attestation — the scanned-document container a
+    crawl-scale multimodal corpus cannot skip: per document synthesize a
+    real TIFF (gray on even ids, RGB on odd) rotating through BOTH byte
+    orders, strip layouts (single and 3-row strips), Compression 1 (none)
+    / 5 (LZW, the shared ISO 32000 codec) / 32773 (PackBits), and
+    Predictor 2 horizontal differencing — push through the production
+    ``decode_images`` operator (pure-Python IFD walk + strip reassembly),
+    and emit recovered metadata vs the generator's ground truth. Pixel
+    exactness across the whole matrix is pinned in
+    tests/test_multimodal.py.
+
+    Scale shape: two chained map-only mapInPandas passes — no shuffle."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h = 3 + i % 11, 2 + i % 6
+                shape = (h, w) if i % 2 == 0 else (h, w, 3)
+                comp = [1, 5, 32773][i % 3]
+                pred = 2 if (comp in (1, 5) and i % 7 == 0) else 1
+                rng = np.random.RandomState(i % 99991)
+                vals = rng.randint(0, 256, size=shape).astype(np.uint8)
+                payloads.append(
+                    M.make_tiff(
+                        vals,
+                        compression=comp,
+                        big_endian=i % 5 == 0,
+                        rows_per_strip=3 if i % 4 == 0 else None,
+                        predictor=pred,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/tiff",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(gen, M.PAYLOAD_SCHEMA)
+    return M.decode_images(payloads)
+
+
+@register(
     "multimodal_dedup_ahash",
     oracle="""
     SELECT doc_id,

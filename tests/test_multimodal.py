@@ -1484,3 +1484,65 @@ def test_png_adam7_truncation_raises():
     bad = png[: i - 4] + chunk(b"IDAT", cut) + png[i + 8 + ln :]
     with pytest.raises(ValueError, match="truncated|trailing"):
         M.decode_png_pixels(bad)
+
+
+def test_tiff_roundtrip_matrix_pixel_exact():
+    """TIFF 6.0: every (compression × byte-order × predictor × strip
+    layout × gray/RGB) combination round-trips pixel-exact through the
+    pure-Python encoder/decoder."""
+    import numpy as np
+
+    from ingest_fast_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(42)
+    for comp in (1, 5, 32773):
+        for be in (False, True):
+            for pred in (1, 2) if comp in (1, 5) else (1,):
+                for shape in ((7, 5), (6, 9, 3), (1, 1)):
+                    for rps in (None, 3):
+                        vals = rng.randint(0, 256, size=shape).astype(np.uint8)
+                        t = M.make_tiff(
+                            vals, compression=comp, big_endian=be,
+                            rows_per_strip=rps, predictor=pred,
+                        )
+                        out = M.decode_tiff_pixels(t)
+                        assert out["mode"] == ("L" if len(shape) == 2 else "RGB")
+                        assert np.array_equal(
+                            out["pixels"].reshape(vals.shape), vals
+                        ), (comp, be, pred, shape, rps)
+                        hdr = M.parse_image_header(t)
+                        assert hdr["format"] == "TIFF"
+                        assert (hdr["width"], hdr["height"]) == (shape[1], shape[0])
+
+
+def test_tiff_gates_and_corruption():
+    """Unsupported shapes raise NotImplementedError (honest gates);
+    structural corruption raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ingest_fast_spark.operators import multimodal as M
+
+    t = M.make_tiff(np.zeros((4, 4), np.uint8))
+    tag = struct.pack("<HHIHH", 259, 3, 1, 1, 0)
+
+    def patched(new):
+        return t.replace(tag, struct.pack("<HHIHH", 259, 3, 1, new, 0))
+
+    with pytest.raises(NotImplementedError, match="compression"):
+        M.decode_tiff_pixels(patched(7))  # JPEG-in-TIFF
+    # bit depth gate: patch BitsPerSample 8 -> 16
+    bits = struct.pack("<HHIHH", 258, 3, 1, 8, 0)
+    with pytest.raises(NotImplementedError, match="bit depths"):
+        M.decode_tiff_pixels(t.replace(bits, struct.pack("<HHIHH", 258, 3, 1, 16, 0)))
+    with pytest.raises(ValueError):
+        M.decode_tiff_pixels(t[:30])  # truncated strips/IFD
+    with pytest.raises(ValueError):
+        M.decode_tiff_pixels(b"II*\x00\xff\xff\xff\xff")  # IFD out of range
+    # LZW data corruption must raise, not return garbage
+    z = M.make_tiff(np.arange(64, dtype=np.uint8).reshape(8, 8), compression=5)
+    i = z.index(b"\x80")  # LZW stream starts with the CLEAR code byte
+    with pytest.raises(ValueError):
+        M.decode_tiff_pixels(z[:i] + b"\xff\xff" + z[i + 2:])

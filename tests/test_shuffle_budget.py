@@ -267,6 +267,7 @@ SHUFFLE_BUDGET = {
     # passes are map-side-combinable aggs over the checkpointed features
     # (run before the plan is built — nothing shuffles corpus-sized data)
     "quality_train_logreg": 0,
+    "multimodal_tiff_roundtrip": 0,  # synth + decode, both map-only
 }
 
 
