@@ -622,6 +622,7 @@ def make_jpeg(
     rgb_rows=None,
     subsample420: bool = False,
     restart_interval: int = 0,
+    grayscale: bool = False,
 ) -> bytes:
     """A complete, valid baseline JPEG built with the stdlib + numpy:
     4:4:4 (or 4:2:0 with ``subsample420``) sampling, flat all-ones
@@ -629,7 +630,9 @@ def make_jpeg(
     restart markers. ``rgb_rows`` is an (h, w, 3) array-like of uint8
     (default: a deterministic gradient). Solid-color inputs round-trip
     EXACTLY (DC-only blocks, integer DCT coefficients); arbitrary inputs
-    within DCT rounding (max abs error a few counts at 4:4:4)."""
+    within DCT rounding (max abs error a few counts at 4:4:4).
+    ``grayscale=True`` emits a SINGLE-component (luma-only) frame — the
+    other baseline shape in the wild; ``rgb_rows`` may then be (h, w)."""
     import numpy as np
 
     if rgb_rows is None:
@@ -638,14 +641,26 @@ def make_jpeg(
             [(xx * 8) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256], axis=-1
         )
     img = np.asarray(rgb_rows, dtype=np.float64)
-    if img.shape != (height, width, 3):
-        raise ValueError("rgb_rows must be (height, width, 3)")
-    r, g, b_ = img[..., 0], img[..., 1], img[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b_
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0
-
-    hv = [(2, 2), (1, 1), (1, 1)] if subsample420 else [(1, 1), (1, 1), (1, 1)]
+    if grayscale:
+        if img.shape == (height, width):
+            y = img
+        elif img.shape == (height, width, 3):
+            y = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        else:
+            raise ValueError("rgb_rows must be (h, w) or (h, w, 3)")
+        if subsample420:
+            raise ValueError("grayscale has no chroma to subsample")
+        comps_yc = (y,)
+        hv = [(1, 1)]
+    else:
+        if img.shape != (height, width, 3):
+            raise ValueError("rgb_rows must be (height, width, 3)")
+        r, g, b_ = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b_
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0
+        comps_yc = (y, cb, cr)
+        hv = [(2, 2), (1, 1), (1, 1)] if subsample420 else [(1, 1), (1, 1), (1, 1)]
     hmax = max(h_ for h_, _ in hv)
     vmax = max(v_ for _, v_ in hv)
     mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
@@ -664,12 +679,12 @@ def make_jpeg(
             full = full.reshape(ph, fy, pw, fx).mean(axis=(1, 3))
         return full
 
-    planes = [prep(p, h_, v_) for p, (h_, v_) in zip((y, cb, cr), hv)]
+    planes = [prep(p, h_, v_) for p, (h_, v_) in zip(comps_yc, hv)]
     M = _dct_basis()
     dc_tab = _enc_table(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_tab = _enc_table(_ENC_AC_BITS, _ENC_AC_VALS)
     bw = _BitWriter()
-    pred = [0, 0, 0]
+    pred = [0] * len(hv)
     body = bytearray()
     n_mcu = mcux * mcuy
     rst = 0
@@ -679,7 +694,7 @@ def make_jpeg(
             bw = _BitWriter()
             body += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
-            pred = [0, 0, 0]
+            pred = [0] * len(hv)
         my, mx = divmod(mcu, mcux)
         for ci, (h_, v_) in enumerate(hv):
             for by in range(v_):
@@ -728,7 +743,7 @@ def make_jpeg(
         bytes([8])
         + struct.pack(">HH", height, width)
         + bytes(
-            [3]
+            [len(hv)]
             + [x for cid, (h_, v_) in enumerate(hv, 1) for x in (cid, (h_ << 4) | v_, 0)]
         ),
     )
@@ -738,7 +753,12 @@ def make_jpeg(
         + bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS,
     )
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    sos = seg(
+        0xDA,
+        bytes([len(hv)]
+              + [x for cid in range(1, len(hv) + 1) for x in (cid, 0x00)]
+              + [0, 63, 0]),
+    )
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(body) + b"\xff\xd9"
 
 
@@ -819,7 +839,7 @@ def make_jpeg_progressive(
         bytes([8])
         + struct.pack(">HH", height, width)
         + bytes(
-            [3]
+            [len(hv)]
             + [x for cid, (h_, v_) in enumerate(hv, 1) for x in (cid, (h_ << 4) | v_, 0)]
         ),
     )

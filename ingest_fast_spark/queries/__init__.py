@@ -94,6 +94,7 @@ _SHOWCASE_ORDER = [
     "split_cluster_safe_fast_invariants",
     # (1) round-9 changed operators / fixtures
     "multimodal_jpeg_progressive",  # AC-refine ZRL flush fix (T.81 G.1.2.3)
+    "multimodal_jpeg_roundtrip",    # grayscale 1-component rotation (r9)
     "multimodal_archive_extract",   # ZIP + tar.gz mix, zip-bomb caps
     "multimodal_pdf_text",          # 1.4/1.5 mix: xref streams + ObjStm
     "multimodal_png_advanced_roundtrip",  # NEW: 16-bit + Adam7 decode
@@ -137,9 +138,8 @@ _SHOWCASE_ORDER = [
     "fast_table_end_to_end",
     "fast_viaf_update",
     "filter_project",
-    "funnel_stages",
     "graph_pagerank",
-    # (join_anti, join_asof, join_inner_broadcast, join_lateral_topk, join_left_outer,
+    # (funnel_stages, join_anti, join_asof, join_inner_broadcast, join_lateral_topk, join_left_outer,
     #  join_range, join_semi, pack_training_sequences, q18, q1, q21,
     #  q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
     #  sessionize, sessions_max_concurrency, text_quality_score,

@@ -6314,7 +6314,7 @@ def token_zipf_slope(spark, sf_dir):
     SELECT doc_id,
            CAST(8 + doc_id % 9 AS BIGINT) AS width,
            CAST(6 + doc_id % 4 AS BIGINT) AS height,
-           'RGB' AS mode,
+           CASE WHEN doc_id % 7 = 0 THEN 'L' ELSE 'RGB' END AS mode,
            'JPEG' AS format
     FROM documents WHERE doc_id IS NOT NULL
     """,
@@ -6323,12 +6323,13 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     """Lossy-format twin of ``multimodal_png_roundtrip``: synthesize a
     deterministic real baseline JPEG per document (doc_id-derived
     dimensions, solid doc_id-derived color so the flat-quantization
-    round-trip is EXACT; every second payload 4:2:0-subsampled and every
-    third carrying restart markers, so the decoder's chroma-upsample and
-    RST-resync paths execute in the driver-attested run), push through
-    the production ``decode_images`` operator (pure-Python Huffman+IDCT
-    here; PIL where installed), and emit recovered metadata against the
-    generator's embedded ground truth.
+    round-trip is EXACT; every second payload 4:2:0-subsampled, every
+    third carrying restart markers, and every seventh a SINGLE-COMPONENT
+    GRAYSCALE frame (round 9) — so the decoder's chroma-upsample,
+    RST-resync, and 1-component paths all execute in the driver-attested
+    run), push through the production ``decode_images`` operator
+    (pure-Python Huffman+IDCT here; PIL where installed), and emit
+    recovered metadata against the generator's embedded ground truth.
 
     Scale shape: two chained map-only mapInPandas passes — no shuffle."""
 
@@ -6348,11 +6349,14 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
                     (i % 256, (i * 5) % 256, (i * 11) % 256),
                     dtype=np.uint8,
                 )
+                gray = i % 7 == 0
                 payloads.append(
                     make_jpeg(
-                        w, h, img,
-                        subsample420=(i % 2 == 0),
+                        w, h,
+                        img[:, :, 0] if gray else img,
+                        subsample420=(i % 2 == 0) and not gray,
                         restart_interval=1 if i % 3 == 0 else 0,
+                        grayscale=gray,
                     )
                 )
             yield pd.DataFrame(

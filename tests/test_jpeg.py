@@ -156,3 +156,27 @@ def test_decode_images_catches_corrupt_jpeg_without_pil(spark):
     with pytest.raises(Exception) as ei:
         M.decode_images(df).collect()
     assert "JPEG" in str(ei.value) or "truncated" in str(ei.value)
+
+
+def test_grayscale_single_component_roundtrip():
+    """Round 9: 1-component (luma-only) baseline frames — solid values
+    round-trip exactly, gradients within DCT rounding, restart markers
+    resync, and the RGB path is unchanged."""
+    import numpy as np
+
+    from ingest_fast_spark.operators.jpeg import make_jpeg
+    from ingest_fast_spark.operators.multimodal import decode_jpeg_pixels
+
+    for val in (0, 77, 255):
+        out = decode_jpeg_pixels(
+            make_jpeg(9, 6, np.full((6, 9), val, np.uint8), grayscale=True)
+        )
+        assert (out["mode"], out["width"], out["height"]) == ("L", 9, 6)
+        assert (out["pixels"] == val).all()
+    g = (np.arange(16 * 24).reshape(16, 24) * 3 % 256).astype(np.uint8)
+    for rst in (0, 2):
+        out = decode_jpeg_pixels(
+            make_jpeg(24, 16, g, grayscale=True, restart_interval=rst)
+        )
+        assert np.abs(out["pixels"][:, :, 0].astype(int) - g.astype(int)).max() <= 4
+    assert decode_jpeg_pixels(make_jpeg(8, 8))["mode"] == "RGB"
