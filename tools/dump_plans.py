@@ -289,6 +289,35 @@ SHOWCASE = [
         "expression over the scan; one partial+final aggregate over 256 "
         "static buckets — no sort, no range exchange, no Python.",
     ),
+    (
+        "text_boilerplate_scrub",
+        "Line-frequency boilerplate scrub (round 9): in-plan line "
+        "synthesis is pure codegen; the count-distinct line-df aggregate "
+        "and its join-back are the only corpus-keyed exchanges (the hot "
+        "boilerplate key is probe-side only — AQE skew split applies), "
+        "then one doc_id reassembly.",
+    ),
+    (
+        "curation_sinkhorn_ot",
+        "Sinkhorn OT (round 9): token counting is a two-phase hash agg; "
+        "the V-row support and V×V Gibbs kernel ride broadcasts; the "
+        "fixed-point solve runs inside one Arrow batch per source "
+        "(applyInPandas) — a million domains = a million independent "
+        "tiny solves, no driver traffic.",
+    ),
+    (
+        "events_holt_winters",
+        "Holt-Winters (round 9): the corpus-sized work is one daily "
+        "count aggregate; the sequential recurrence rides the BOUNDED "
+        "per-type daily series inside applyInPandas (365 rows/type/year "
+        "at any corpus size).",
+    ),
+    (
+        "multimodal_tiff_roundtrip",
+        "TIFF synthesize + decode (round 9): two chained map-only "
+        "mapInPandas passes — zero exchanges; strips decode Arrow-batched "
+        "in the executors.",
+    ),
 ]
 
 

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""Round-8 x50 growth study ON THE SAME sf5 dataset (within-dataset
-ratios are the signal; /tmp regenerations make cross-round absolutes
-incomparable): the winnowing rewrite, the bootstrap twin, the let_col-
-fixed shingle family, progressive JPEG. Min-of-2, noop sink, one JVM.
+"""Round-9 growth study ON THE SAME sf5 dataset (within-dataset ratios
+are the signal; /tmp regenerations make cross-round absolutes
+incomparable): the round-9 operator surface — line-frequency boilerplate
+scrub, Sinkhorn OT, in-engine logreg training, Holt-Winters, the
+ingest/normalization wave (WARC, URL, NFC, TIFF, PDF with the full
+filter mix incl. per-byte Python LZW), the two linkage/mining joins —
+plus the r8 continuity canaries. Min-of-2, noop sink, one JVM.
 
 Usage: python tools/x50_study.py [out.json] [mult]
 """
@@ -16,39 +19,36 @@ import sys
 import time
 
 QUERIES = [
-    # round-8 headliners: the map-only winnowing rewrite (r7's one weak
-    # mark — was 65-76 s here) + its xxhash64 twin, and the bootstrap
-    # CI's md5 vs xxhash64 split
+    # round-9 second wave
+    "text_boilerplate_scrub",
+    "curation_sinkhorn_ot",
+    "quality_train_logreg",
+    "events_holt_winters",
+    "multimodal_tiff_roundtrip",
+    # round-9 first wave (ingest/normalization + the two join queries)
+    "multimodal_warc_extract",
+    "web_url_canonicalize",
+    "text_unicode_normalize",
+    "bitext_mining_margin",
+    "linkage_fellegi_sunter",
+    "multimodal_png_advanced_roundtrip",
+    # PDF now rotates ALL five content filters (Python LZW per byte —
+    # the expensive one); watch its constant vs the r8 flate-only run
+    "multimodal_pdf_text",
+    "multimodal_jpeg_roundtrip",
+    # continuity canaries from the r8 study
     "dedup_winnowing",
     "dedup_winnowing_fast",
-    "agg_bootstrap_ci",
-    "agg_bootstrap_ci_fast",
-    # the let_col O(n^2) fix touches every shingle builder: re-pin the
-    # whole shingle family's growth on the same dataset
     "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix_filter",
     "dedup_weighted_minhash",
-    "dedup_weighted_minhash_fast",
-    "dedup_exact_substring",
-    "dedup_substring_scrub",
-    "search_phrase_positional",
-    "text_dedup_sentences_within_doc",
-    # progressive JPEG vs baseline at scale (both synthesize + decode)
-    "multimodal_jpeg_roundtrip",
-    "multimodal_jpeg_progressive",
-    # continuity canaries from the r7 study
-    "dedup_soft_weights_minhash",
-    "graph_common_neighbors",
-    "assign_global_ids",
     "graph_clustering_coefficient",
+    "agg_bootstrap_ci_fast",
 ]
 
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_x50_r08.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_x50_r09.json"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     from ingest_fast_spark.queries import QUERIES as REG
     from ingest_fast_spark.session import get_spark
@@ -79,10 +79,10 @@ def main() -> None:
         "src": "sf0.1",
         "host": "local[32] quiet",
         "note": (
-            "Round-8 growth study: the map-only winnowing rewrite vs its "
-            "r7 per-character-shuffle cost (the r7 weak mark), the "
-            "xxhash64 bootstrap twin, the let_col-fixed shingle family, "
-            "and the progressive-JPEG roundtrip."
+            "Round-9 growth study: the second-wave operators (boilerplate "
+            "scrub, Sinkhorn OT, logreg training, Holt-Winters, TIFF), the "
+            "first-wave ingest/normalization and linkage queries, the PDF "
+            "filter-mix constant, and the r8 continuity canaries."
         ),
         "min_of_2": {k: min(v) for k, v in runs.items()},
         "runs": runs,
