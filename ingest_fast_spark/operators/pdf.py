@@ -371,17 +371,42 @@ def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
             if prev is not None and nxt < 4096:
                 table[nxt] = prev + entry[:1]
                 nxt += 1
-                if nxt + early_change > (1 << width) and width < 12:
+                # normative early-change schedule (pdf.js LZWStream /
+                # libtiff): grow when the NEXT code to assign reaches
+                # 2^width - earlyChange
+                if nxt + early_change >= (1 << width) and width < 12:
                     width += 1
             prev = entry
     raise ValueError("LZWDecode: missing EOD")
 
 
 def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
-    """LZW encoder (writer side), width schedule mirroring _lzw_decode."""
+    """LZW encoder (writer side). The WIDTH schedule simulates the
+    decoder's table growth exactly (``dec_next``): the decoder adds one
+    entry per data code processed after the first — one entry BEHIND the
+    encoder's own additions, and one entry AHEAD at the final data code
+    (which adds nothing encoder-side) — and grows the width when
+    dec_next + earlyChange reaches 2^width. Tracking the encoder's own
+    ``nxt`` instead desynchronizes at both boundaries (caught live on
+    the sf0.1 corpus at the 512-entry boundary)."""
     bits: list[tuple[int, int]] = []
     table: dict[bytes, int] = {}
     width, nxt = 9, 258
+    dec_next = 258
+    emitted_data = 0
+
+    def emit(code: int) -> None:
+        nonlocal width, dec_next, emitted_data
+        bits.append((code, width))
+        emitted_data += 1
+        # the decoder adds a table entry while PROCESSING every data code
+        # after the first, then may grow the width it reads the NEXT
+        # code with — mirror that state machine exactly
+        if emitted_data >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next + early_change >= (1 << width) and width < 12:
+                width += 1
+
     bits.append((256, width))
     if data:
         w = data[:1]
@@ -390,17 +415,12 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
             if wc in table:
                 w = wc
                 continue
-            # emit code for w
-            bits.append((w[0] if len(w) == 1 else table[w], width))
+            emit(w[0] if len(w) == 1 else table[w])
             if nxt < 4096:
                 table[wc] = nxt
                 nxt += 1
-                # the decoder's table trails one entry behind (KwKwK rule),
-                # so its width bump lands one code later — mirror with nxt-1
-                if nxt - 1 + early_change > (1 << width) and width < 12:
-                    width += 1
             w = bytes([c])
-        bits.append((w[0] if len(w) == 1 else table[w], width))
+        emit(w[0] if len(w) == 1 else table[w])
     bits.append((257, width))
     acc = nbits = 0
     out = bytearray()

@@ -209,3 +209,26 @@ def test_spark_extract_operator(spark):
     got = {r["doc_id"]: r for r in M.extract_document_text(df).collect()}
     assert got[1]["n_pages"] == 2 and got[1]["text"] == "alpha\nbeta"
     assert got[2]["n_pages"] is None and got[2]["text"] is None
+
+
+def test_lzw_width_boundary_and_corpus_shapes():
+    """Regression: the 9->10 bit switch follows the normative early-change
+    schedule (decoder grows when its NEXT table slot reaches 2^w - 1).
+    The encoder must simulate the DECODER's entry count — one behind its
+    own mid-stream, one ahead at the final data code — or streams whose
+    length lands near the 512-entry boundary desync (caught live on the
+    sf0.1 corpus: 466-byte word-repetitive text)."""
+    from ingest_fast_spark.operators.pdf import _lzw_decode, _lzw_encode
+
+    # word-repetitive text sized to straddle the 512-entry boundary
+    words = ["key", "agg", "row", "scan", "slow", "fast", "table", "value"]
+    base = " ".join(words[i % 8] for i in range(200)).encode()
+    for cut in range(380, 520, 7):
+        d = base[:cut]
+        assert _lzw_decode(_lzw_encode(d)) == d, cut
+    # and across the 1024/2048 boundaries
+    import random
+
+    rng = random.Random(11)
+    big = bytes(rng.choice(b"abcdef ") for _ in range(20000))
+    assert _lzw_decode(_lzw_encode(big)) == big
