@@ -48,18 +48,22 @@ EXACT_GEMM_MAX_ROWS = 1_000_000
 
 
 def _gated_collect(df: DataFrame, what: str, scale_twin: str, max_rows: int | None = None):
-    """Driver-side collect with a size gate: count first, and raise a
-    USEFUL error pointing at the bucketed scale twin instead of dying in
-    an un-diagnosable driver OOM mid-collect at 100x data."""
+    """Driver-side collect with a size gate: a single LIMIT gate+1 probe
+    (NOT a separate count() — that re-evaluates the whole upstream plan;
+    the r9 bench caught embedding_dbscan_lsh paying its pair pipeline
+    twice). Memory stays bounded at the gate either way, and the error
+    points at the bucketed scale twin instead of dying in an
+    un-diagnosable driver OOM mid-collect at 100x data."""
     limit = EXACT_GEMM_MAX_ROWS if max_rows is None else max_rows
-    n = df.count()
-    if n > limit:
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
         raise ValueError(
-            f"{what}: {n} vectors exceed the exact-GEMM driver-collect "
-            f"gate ({limit}); use the bucketed scale path ({scale_twin}) "
-            "instead, or raise EXACT_GEMM_MAX_ROWS deliberately"
+            f"{what}: more than {limit} vectors exceed the exact-GEMM "
+            f"driver-collect gate; use the bucketed scale path "
+            f"({scale_twin}) instead, or raise EXACT_GEMM_MAX_ROWS "
+            "deliberately"
         )
-    return df.collect()
+    return rows
 
 
 def brute_force_topk_expr(
