@@ -1550,19 +1550,63 @@ def bitext_mining_margin(
     ``dbscan_cosine`` uses."""
     from pyspark.sql import Window
 
+    import numpy as np
+
+    from ..catalog import ensure_parallelism
+
     a = src.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("src_id"), as_double(F.col(vec_col)).alias("va")
     )
     b = tgt.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("tgt_id"), as_double(F.col(vec_col)).alias("vb")
     )
-    scored = a.crossJoin(F.broadcast(b)).select(
-        "src_id",
-        "tgt_id",
-        F.floor(cosine(F.col("va"), F.col("vb")) * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("cos_m"),
+    # Cross-score as the broadcast-GEMM pattern (cosine_near_dup_pairs):
+    # a per-pair HOF cosine over the cross join re-allocates arrays and
+    # re-computes norms per pair — measured 19 s for a 1025×975 cross at
+    # sf0.1 vs ~1 s as a blocked matrix product.
+    trows = _gated_collect(
+        b, "bitext_mining_margin target set",
+        "candidate-pair margin (feed ivf_topk/cosine_near_dup_lsh pairs)",
     )
+    if not trows:
+        return src.sparkSession.createDataFrame(
+            [], "src_id long, tgt_id long, cos_m long, margin_micro long"
+        )
+    t_ids = np.array([r["tgt_id"] for r in trows], dtype=np.int64)
+    t_mat = np.array([r["vb"] for r in trows], dtype=np.float64)
+    t_mat = t_mat / np.linalg.norm(t_mat, axis=1, keepdims=True)
+    bc = src.sparkSession.sparkContext.broadcast((t_ids, t_mat))
+
+    def score(batches):
+        import pandas as pd
+
+        all_ids, corpus = bc.value
+        rows_per_sub = max(1, (1 << 22) // max(1, len(all_ids)))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block_ids = pdf["src_id"].to_numpy(dtype=np.int64)
+            block = np.array(list(pdf["va"]), dtype=np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            for s in range(0, len(block), rows_per_sub):
+                sub_ids = block_ids[s : s + rows_per_sub]
+                sims = block[s : s + rows_per_sub] @ corpus.T
+                cos_m = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+                n_sub, n_t = cos_m.shape
+                yield pd.DataFrame(
+                    {
+                        "src_id": np.repeat(sub_ids, n_t),
+                        "tgt_id": np.tile(all_ids, n_sub),
+                        "cos_m": cos_m.reshape(-1),
+                    }
+                )
+
+    scored = ensure_parallelism(a).mapInPandas(
+        score, "src_id long, tgt_id long, cos_m long"
+    )
+    # the cross-score feeds THREE consumers (both k-NN windows + the join
+    # back); materialize it once
+    scored = scored.localCheckpoint(eager=True)
     wa = Window.partitionBy("src_id").orderBy(F.desc("cos_m"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos_m"), F.asc("src_id"))
     ka = (

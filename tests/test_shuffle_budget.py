@@ -245,7 +245,7 @@ SHUFFLE_BUDGET = {
     "text_unicode_normalize": 0,
     "multimodal_png_advanced_roundtrip": 0,
     # src-side rank window + agg, tgt-side rank window + agg, join back
-    # (the cross-score itself is a broadcast NLJ, no exchange)
+    # (the cross-score is a checkpointed broadcast GEMM, no exchange)
     "bitext_mining_margin": 5,
     # the SymSpell variant equi-join; both attribute joins broadcast
     "linkage_fellegi_sunter": 1,
