@@ -45,6 +45,8 @@ def as_double(a: Column) -> Column:
 # float64 vectors) and a driver OOM beyond. Same size-gated logic class
 # as connected_components' 1M-edge union-find gate (operators/graph.py).
 EXACT_GEMM_MAX_ROWS = 1_000_000
+# dense |src|x|tgt| materialization bound for the bitext exact baseline
+BITEXT_EXACT_MAX_PAIRS = 200_000_000
 
 
 def _gated_collect(df: DataFrame, what: str, scale_twin: str, max_rows: int | None = None):
@@ -1575,6 +1577,19 @@ def bitext_mining_margin(
     t_ids = np.array([r["tgt_id"] for r in trows], dtype=np.int64)
     t_mat = np.array([r["vb"] for r in trows], dtype=np.float64)
     t_mat = t_mat / np.linalg.norm(t_mat, axis=1, keepdims=True)
+    # dense-pair gate: the exact baseline MATERIALIZES |src|x|tgt| scored
+    # rows (3 consumers -> checkpoint); past ~2e8 pairs that is the
+    # scale-killer (it OOMed the sf5 study JVM), and the candidate-pair
+    # margin path is the answer — same gate family as _gated_collect
+    n_src = a.count()
+    if n_src * len(trows) > BITEXT_EXACT_MAX_PAIRS:
+        raise ValueError(
+            f"bitext_mining_margin: {n_src} x {len(trows)} dense pairs "
+            f"exceed the exact-baseline gate ({BITEXT_EXACT_MAX_PAIRS}); "
+            "feed candidate pairs (ivf_topk / cosine_near_dup_lsh) into "
+            "the margin algebra instead, or raise BITEXT_EXACT_MAX_PAIRS "
+            "deliberately"
+        )
     bc = src.sparkSession.sparkContext.broadcast((t_ids, t_mat))
 
     def score(batches):

@@ -435,3 +435,19 @@ def test_bitext_margin_cancels_hubness(spark):
         assert rows[i]["tgt_id"] == 100 + i, rows[i]
     # sanity: raw cosine WOULD have preferred the hub (cos .577 > .5)
     assert rows[0]["cos_m"] < 577351
+
+
+def test_bitext_dense_pair_gate(spark, monkeypatch):
+    """The exact bitext baseline materializes |src|x|tgt| scored pairs;
+    past the gate it must raise with a pointer at the candidate-pair
+    margin path instead of OOMing the JVM (caught live: the sf5 growth
+    study)."""
+    import pytest
+
+    from ingest_fast_spark.operators import similarity as SIM
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(SIM, "BITEXT_EXACT_MAX_PAIRS", 4)
+    with pytest.raises(ValueError, match="candidate pairs"):
+        SIM.bitext_mining_margin(df, df).collect()

@@ -29,7 +29,12 @@ QUERIES = [
     "multimodal_warc_extract",
     "web_url_canonicalize",
     "text_unicode_normalize",
-    "bitext_mining_margin",
+    # bitext_mining_margin is EXCLUDED from the growth study on the
+    # record (the dbscan_lsh precedent): it is the exact ALL-PAIRS
+    # baseline — |src|x|tgt| scored pairs is ~2.5e9 rows at sf5 by
+    # definition (OOMed the study JVM); the scale path feeds candidate
+    # pairs from ivf_topk/cosine_near_dup_lsh into the same margin
+    # algebra, which is pair-source-agnostic.
     "linkage_fellegi_sunter",
     "multimodal_png_advanced_roundtrip",
     # PDF now rotates ALL five content filters (Python LZW per byte —
