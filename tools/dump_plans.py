@@ -318,6 +318,15 @@ SHOWCASE = [
         "mapInPandas passes — zero exchanges; strips decode Arrow-batched "
         "in the executors.",
     ),
+    (
+        "bitext_mining_margin",
+        "Margin-criterion bitext mining (round 9, rewritten): the "
+        "cross-score is the blocked broadcast GEMM (one Arrow pass per "
+        "source block against the broadcast target matrix, numpy dot), "
+        "localCheckpointed once and consumed by both k-NN normalizers "
+        "and the final argmax — not a per-pair HOF cosine; a dense-pair "
+        "gate bounds the exact baseline and points to the LSH path.",
+    ),
 ]
 
 
