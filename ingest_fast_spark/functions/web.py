@@ -55,3 +55,25 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (port stripped) of an absolute URL. Pure Column
+    expression."""
+    hostport = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+    return F.regexp_replace(hostport, r":\d+$", "")
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two dot-labels of a host — the registrable domain under the
+    common public-suffix approximation (example.com for
+    cdn.static.example.com). A real deployment swaps in the Public
+    Suffix List (a ~10k-rule broadcast dim); the two-label rule is the
+    deterministic, oracle-expressible core with the same plan shape."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n <= 2, host
+    ).otherwise(
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    )

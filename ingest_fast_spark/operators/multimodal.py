@@ -2297,3 +2297,238 @@ def extract_archive_members(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(extract, ARCHIVE_SCHEMA)
+
+
+# --- EXIF (JEITA CP-3451 — TIFF 6.0 IFDs inside a JPEG APP1 segment) ---------
+#
+# EXIF is the metadata side of every camera JPEG in a crawl: capture time,
+# orientation (without which thumbnails render sideways), exposure, ISO,
+# pixel dimensions. Structurally it is a complete TIFF file (header + IFD
+# chain) embedded in an APP1 marker segment tagged "Exif\0\0" — so the
+# parser below is a generalized IFD walker (types BYTE/ASCII/SHORT/LONG/
+# RATIONAL, both byte orders) that follows the 0x8769 Exif sub-IFD
+# pointer, plus a JPEG segment walk to find APP1. Zero dependencies.
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _exif_ifd_entries(b: bytes, off: int, E: str) -> dict:
+    """{tag: typed-value} for ONE IFD at ``off``. ASCII → str (NUL
+    stripped), RATIONAL → (num, den) tuples, numeric → list of ints.
+    Raises ValueError on truncation."""
+    import struct
+
+    if off + 2 > len(b):
+        raise ValueError("EXIF IFD offset out of range")
+    n = struct.unpack(E + "H", b[off : off + 2])[0]
+    out = {}
+    for k in range(n):
+        ent = b[off + 2 + 12 * k : off + 14 + 12 * k]
+        if len(ent) < 12:
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, cnt = struct.unpack(E + "HHI", ent[:8])
+        if typ not in _EXIF_TYPE_SIZE:
+            continue  # UNDEFINED / SRATIONAL etc. — skip, don't fail
+        total = _EXIF_TYPE_SIZE[typ] * cnt
+        if total <= 4:
+            raw = ent[8 : 8 + total]
+        else:
+            voff = struct.unpack(E + "I", ent[8:12])[0]
+            raw = b[voff : voff + total]
+            if len(raw) < total:
+                raise ValueError("EXIF tag value out of range")
+        if typ == 2:
+            out[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 5:
+            out[tag] = [
+                struct.unpack(E + "II", raw[8 * i : 8 * i + 8]) for i in range(cnt)
+            ]
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            out[tag] = list(struct.unpack(E + fmt * cnt, raw))
+    return out
+
+
+def exif_tags(payload: bytes) -> dict:
+    """Named EXIF fields from a JPEG payload: walk the marker segments to
+    the first APP1 tagged ``Exif\\0\\0``, parse the embedded TIFF header
+    (either byte order), read IFD0 and the 0x8769 Exif sub-IFD. Returns
+    {byte_order, make, model, orientation, datetime, exposure_num,
+    exposure_den, iso, pixel_x, pixel_y} with None for absent tags.
+    Raises ValueError when there is no well-formed EXIF block."""
+    import struct
+
+    b = payload
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, tiff = 2, None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[pos + 1]
+        if marker == 0xDA:  # SOS — entropy data; no APP1 past here
+            break
+        seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        pos += 2 + seglen
+    if tiff is None:
+        raise ValueError("no EXIF APP1 segment")
+    if tiff[:4] == b"II*\x00":
+        E = "<"
+    elif tiff[:4] == b"MM\x00*":
+        E = ">"
+    else:
+        raise ValueError("EXIF APP1 is not a TIFF block")
+    ifd0_off = struct.unpack(E + "I", tiff[4:8])[0]
+    ifd0 = _exif_ifd_entries(tiff, ifd0_off, E)
+    sub = {}
+    if 0x8769 in ifd0:
+        sub = _exif_ifd_entries(tiff, ifd0[0x8769][0], E)
+
+    def first(d, tag):
+        v = d.get(tag)
+        return v[0] if isinstance(v, list) and v else v
+
+    exposure = first(sub, 0x829A)
+    return {
+        "byte_order": "II" if E == "<" else "MM",
+        "make": ifd0.get(0x010F),
+        "model": ifd0.get(0x0110),
+        "orientation": first(ifd0, 0x0112),
+        "datetime": ifd0.get(0x0132),
+        "exposure_num": exposure[0] if exposure else None,
+        "exposure_den": exposure[1] if exposure else None,
+        "iso": first(sub, 0x8827),
+        "pixel_x": first(sub, 0xA002),
+        "pixel_y": first(sub, 0xA003),
+    }
+
+
+def make_exif_app1(
+    make: str,
+    model: str,
+    orientation: int,
+    datetime: str,
+    exposure: tuple[int, int],
+    iso: int,
+    pixel_x: int,
+    pixel_y: int,
+    byte_order: str = "<",
+) -> bytes:
+    """A complete APP1 marker segment (FFE1 + length + ``Exif\\0\\0`` +
+    TIFF block) carrying IFD0 {Make, Model, Orientation, DateTime,
+    ExifIFDPointer} and an Exif sub-IFD {ExposureTime, ISO,
+    PixelXDimension, PixelYDimension} — the conformant writer half of the
+    round-trip attestation."""
+    import struct
+
+    E = byte_order
+
+    def ser(entries, data_off):
+        """entries: [(tag, typ, payload)] sorted by tag (TIFF 6.0 §2
+        requires ascending tag order). Returns (table_wo_header, data,
+        next_off); out-of-line values land at running ``data_off``."""
+        table, data = b"", b""
+        for tag, typ, val in sorted(entries):
+            if typ == 2:
+                raw = val.encode("ascii") + b"\x00"
+                cnt = len(raw)
+            elif typ == 5:
+                raw = b"".join(struct.pack(E + "II", n, d) for n, d in val)
+                cnt = len(val)
+            else:
+                fmt = {1: "B", 3: "H", 4: "I"}[typ]
+                raw = struct.pack(E + fmt * len(val), *val)
+                cnt = len(val)
+            ent = struct.pack(E + "HHI", tag, typ, cnt)
+            if len(raw) <= 4:
+                ent += raw + b"\x00" * (4 - len(raw))
+            else:
+                pad = len(raw) % 2
+                ent += struct.pack(E + "I", data_off)
+                data += raw + b"\x00" * pad
+                data_off += len(raw) + pad
+            table += ent
+        return table, data, data_off
+
+    ifd0_entries = [
+        (0x010F, 2, make),
+        (0x0110, 2, model),
+        (0x0112, 3, [orientation]),
+        (0x0132, 2, datetime),
+    ]
+    sub_entries = [
+        (0x829A, 5, [exposure]),
+        (0x8827, 3, [iso]),
+        (0xA002, 4, [pixel_x]),
+        (0xA003, 4, [pixel_y]),
+    ]
+    ifd0_size = 2 + 12 * (len(ifd0_entries) + 1) + 4  # +1 for the ExifIFD ptr
+    sub_size = 2 + 12 * len(sub_entries) + 4
+    sub_off = 8 + ifd0_size
+    data_start = sub_off + sub_size
+    ifd0_entries.append((0x8769, 4, [sub_off]))
+    t0, d0, off = ser(ifd0_entries, data_start)
+    t1, d1, _ = ser(sub_entries, off)
+    tiff = (
+        (b"II*\x00" if E == "<" else b"MM\x00*")
+        + struct.pack(E + "I", 8)
+        + struct.pack(E + "H", len(ifd0_entries))
+        + t0
+        + struct.pack(E + "I", 0)
+        + struct.pack(E + "H", len(sub_entries))
+        + t1
+        + struct.pack(E + "I", 0)
+        + d0
+        + d1
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment immediately after SOI — where EXIF lives in
+    every camera file."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_order", StringType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("orientation", LongType()),
+        StructField("datetime", StringType()),
+        StructField("exposure_num", LongType()),
+        StructField("exposure_den", LongType()),
+        StructField("iso", LongType()),
+        StructField("pixel_x", LongType()),
+        StructField("pixel_y", LongType()),
+    ]
+)
+
+
+def exif_metadata(df: DataFrame) -> DataFrame:
+    """(doc_id, byte_order, make, model, orientation, datetime,
+    exposure_num, exposure_den, iso, pixel_x, pixel_y) via ``exif_tags``
+    over the payload column. Map-only Arrow pass — one JPEG in memory at
+    a time per row; payload bytes never shuffle."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                t = exif_tags(bytes(payload))
+                t["doc_id"] = i
+                rows.append(t)
+            yield pd.DataFrame(rows, columns=[f.name for f in EXIF_SCHEMA.fields])
+
+    return df.mapInPandas(extract, EXIF_SCHEMA)

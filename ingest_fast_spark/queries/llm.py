@@ -417,6 +417,22 @@ def minhash_jaccard_estimate(spark, sf_dir):
     )
 
 
+@register("dedup_bbit_minhash", oracle=D.bbit_minhash_oracle_sql())
+def dedup_bbit_minhash(spark, sf_dir):
+    """b-bit MinHash signature compression (Li & König, WWW 2010): the
+    lowest 4 bits of each of 16 slots — 8 BYTES per document instead of
+    128 — with the collision-corrected estimator Ĵ = (A_b − C)/(1 − C).
+    For every LSH-verified pair: exact Jaccard, full-width estimate,
+    b-bit estimate, both |errors| — the accuracy-vs-storage report that
+    sizes the sketch before a trillion-document dedup pass (16× smaller
+    signature table AND verify shuffle). Oracle-checked: DuckDB
+    re-derives identical signatures, truncations, and corrections."""
+    return D.bbit_minhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16, bands=4, b=4, threshold=0.05,
+    )
+
+
 @register("dedup_simhash", oracle=D.simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dups (hamming <= 3, cf. Manku et al. WWW'07) — at d<=3
@@ -1839,6 +1855,114 @@ def web_url_canonicalize(spark, sf_dir):
 
 
 @register(
+    "web_url_filter",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.static.' END) ||
+             'example' || CAST(doc_id % 7 AS VARCHAR) || '.com/' ||
+             (CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 'news' WHEN 1 THEN 'casino'
+                WHEN 2 THEN 'sports' WHEN 3 THEN 'poker-online'
+                ELSE 'blog' END) ||
+             '/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS host
+      FROM urls
+    ),
+    dom AS (
+      SELECT doc_id, url, host,
+             CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                  ELSE string_split(host, '.')[-2] || '.' ||
+                       string_split(host, '.')[-1] END AS registered_domain
+      FROM parsed
+    ),
+    scored AS (
+      SELECT doc_id, url, host, registered_domain,
+             registered_domain IN ('example1.com', 'example4.com')
+               AS domain_blocked,
+             CAST((CASE WHEN url LIKE '%casino%' THEN 10 ELSE 0 END) +
+                  (CASE WHEN url LIKE '%poker%' THEN 8 ELSE 0 END) +
+                  (CASE WHEN url LIKE '%viagra%' THEN 10 ELSE 0 END) +
+                  (CASE WHEN url LIKE '%webcam%' THEN 6 ELSE 0 END)
+                  AS BIGINT) AS soft_score
+      FROM dom
+    )
+    SELECT doc_id, url, registered_domain, soft_score,
+           CASE WHEN domain_blocked THEN 'blocked_domain'
+                WHEN soft_score >= 5 THEN 'blocked_softwords'
+                ELSE 'keep' END AS verdict
+    FROM scored
+    """,
+)
+def web_url_filter(spark, sf_dir):
+    """UT1-style URL filtering — the step every web-scale curation
+    pipeline (RefinedWeb §3.1, CCNet) runs before fetching or keeping a
+    page: (1) a registered-domain BLOCKLIST lookup and (2) weighted
+    soft-word scoring over the URL string. The fixture synthesizes a
+    subdomained URL per document in-plan; two of the seven registered
+    domains are blocklisted and two path words carry soft-word weight,
+    so every branch of the verdict is exercised and the oracle states
+    the expected verdicts in closed form.
+
+    Spark-first shape: host/domain extraction and soft-word scoring are
+    pure whole-stage codegen (regexp + CASE — scan speed at 100 TB);
+    the blocklist is a BROADCAST join (the real UT1 list is ~4M domains
+    ≈ 100 MB — comfortably a broadcast dim on any executor; a
+    public-suffix-list upgrade rides the same shape). The domain rule
+    wins over soft words, matching production precedence."""
+    from ..functions.web import registered_domain, url_host
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    path_word = (
+        F.when(i % 5 == 0, F.lit("news"))
+        .when(i % 5 == 1, F.lit("casino"))
+        .when(i % 5 == 2, F.lit("sports"))
+        .when(i % 5 == 3, F.lit("poker-online"))
+        .otherwise(F.lit("blog"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 2 == 0, F.lit("www.")).otherwise(F.lit("cdn.static.")),
+        F.lit("example"), s(i % 7), F.lit(".com/"),
+        path_word, F.lit("/"), s(i),
+    )
+    host = url_host(url)
+    parsed = d.select(
+        "doc_id",
+        url.alias("url"),
+        registered_domain(host).alias("registered_domain"),
+    )
+    blocklist = spark.createDataFrame(
+        [("example1.com",), ("example4.com",)], "registered_domain string"
+    ).withColumn("domain_blocked", F.lit(True))
+    soft_terms = [("casino", 10), ("poker", 8), ("viagra", 10), ("webcam", 6)]
+    soft_score = sum(
+        F.when(F.col("url").contains(t), F.lit(w)).otherwise(F.lit(0))
+        for t, w in soft_terms
+    ).cast("long")
+    return (
+        parsed.join(F.broadcast(blocklist), "registered_domain", "left")
+        .select(
+            "doc_id",
+            "url",
+            "registered_domain",
+            soft_score.alias("soft_score"),
+            F.when(F.col("domain_blocked"), F.lit("blocked_domain"))
+            .when(soft_score >= 5, F.lit("blocked_softwords"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
+@register(
     "multimodal_warc_extract",
     oracle="""
     SELECT doc_id, rec_type, target_uri, http_status, content, n_bytes FROM (
@@ -1916,6 +2040,84 @@ def multimodal_warc_extract(spark, sf_dir):
         .select("doc_id", "text")
     )
     return extract_warc_records(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))
+
+
+@register(
+    "multimodal_exif",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'Cam-' || CAST(doc_id % 11 AS VARCHAR) AS model,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           '2023:07:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS datetime,
+           CAST(1 AS BIGINT) AS exposure_num,
+           CAST(10 + doc_id % 50 AS BIGINT) AS exposure_den,
+           CAST(100 * (1 + doc_id % 16) AS BIGINT) AS iso,
+           CAST(16 AS BIGINT) AS pixel_x,
+           CAST(16 AS BIGINT) AS pixel_y
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_exif(spark, sf_dir):
+    """EXIF metadata extraction (JEITA CP-3451): every camera JPEG in a
+    crawl carries capture time, orientation, exposure, ISO and pixel
+    dimensions as a complete TIFF file embedded in an APP1 segment —
+    orientation alone decides whether a vision-training image renders
+    sideways, and capture time is the dedup/provenance key for photo
+    corpora. The fixture wraps a real 16×16 grayscale JPEG (the round-8
+    encoder) with a conformant APP1 built by ``make_exif_app1`` —
+    id-derived Make/Model/Orientation/DateTime/ExposureTime/ISO, even
+    doc_ids little-endian (II), odd big-endian (MM) — and the production
+    ``exif_metadata`` operator walks the marker segments and both IFDs
+    back out. The oracle states every field in closed form, so a green
+    row proves the JPEG segment walk, both byte orders, all five TIFF
+    value types (ASCII, SHORT, LONG, RATIONAL in and out of line), and
+    the 0x8769 sub-IFD chase.
+
+    Scale shape: two chained map-only mapInPandas passes — zero
+    exchanges; one JPEG in executor memory per row."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..operators.jpeg import make_jpeg
+        from ..operators.multimodal import insert_exif, make_exif_app1
+
+        base = make_jpeg(16, 16, grayscale=True)
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                app1 = make_exif_app1(
+                    make=f"Maker{i % 5}",
+                    model=f"Cam-{i % 11}",
+                    orientation=1 + i % 8,
+                    datetime=f"2023:07:{1 + i % 28:02d} 12:00:00",
+                    exposure=(1, 10 + i % 50),
+                    iso=100 * (1 + i % 16),
+                    pixel_x=16,
+                    pixel_y=16,
+                    byte_order="<" if i % 2 == 0 else ">",
+                )
+                ids.append(i)
+                payloads.append(insert_exif(base, app1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    return M.exif_metadata(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))
 
 
 @register(

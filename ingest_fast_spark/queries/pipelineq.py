@@ -3744,6 +3744,15 @@ def quality_train_logreg(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     n = feats.count()
+    if n == 0:
+        # Empty input: no gradient exists (SUM over zero rows is NULL and
+        # accuracy is 0/0) — emit the report shape with NULL values
+        # rather than crashing the job on an empty shard.
+        return spark.createDataFrame(
+            [(f, None) for f in
+             ("train_accuracy", "w0_bias", "w1_log_tokens", "w2_avg_token_len")],
+            "feature string, value double",
+        )
     w = [0.0, 0.0, 0.0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2")]
     for _ in range(_LR_ITERS):

@@ -420,3 +420,34 @@ def test_boilerplate_line_scrub_drops_frequent_keeps_rare(spark):
     # df=2 stays under min_df=3 -> kept everywhere
     assert out[5]["text_clean"] == "delta unique five\nshared twice"
     assert out[6]["text_clean"] == "shared twice\nepsilon unique six"
+
+
+def test_bbit_minhash_identical_docs_estimate_one(spark):
+    """Identical documents agree on EVERY b-bit slot; after the collision
+    correction the estimate is exactly 1.0, matching the exact Jaccard.
+    The corrected estimator must also never go negative on unrelated
+    pairs (greatest(agree - c_slots, 0) clamp)."""
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in D.bbit_minhash_pairs(docs_with_dupes(spark), threshold=0.0).collect()
+    }
+    exact = out[(1, 2)]
+    assert exact["jaccard"] == 1.0
+    assert exact["est_full"] == 1.0
+    assert exact["est_bbit"] == 1.0
+    for r in out.values():
+        assert 0.0 <= r["est_bbit"] <= 1.0
+        assert r["err_bbit"] >= 0.0
+
+
+def test_bbit_minhash_correction_tracks_full_width(spark, sf_dir):
+    """On the real corpus the corrected b-bit estimate stays close to the
+    full-width estimate: collisions add noise bounded by the correction,
+    so mean |est_bbit - est_full| must be small (< 0.15 over verified
+    pairs at b=4, 16 slots) and the b-bit error must not blow past the
+    full-width error by more than the theoretical variance inflation."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = D.bbit_minhash_pairs(docs, threshold=0.05).collect()
+    assert rows, "no verified pairs at sf0.001"
+    diffs = [abs(r["est_bbit"] - r["est_full"]) for r in rows]
+    assert sum(diffs) / len(diffs) < 0.15

@@ -1546,3 +1546,42 @@ def test_tiff_gates_and_corruption():
     i = z.index(b"\x80")  # LZW stream starts with the CLEAR code byte
     with pytest.raises(ValueError):
         M.decode_tiff_pixels(z[:i] + b"\xff\xff" + z[i + 2:])
+
+
+def test_exif_roundtrip_both_orders_and_gates():
+    """EXIF writer/parser round-trip in both byte orders; structural
+    garbage raises; a JPEG without APP1 raises; unknown value types are
+    skipped, not fatal."""
+    import pytest
+
+    from ingest_fast_spark.operators.jpeg import make_jpeg
+    from ingest_fast_spark.operators.multimodal import (
+        exif_tags,
+        insert_exif,
+        make_exif_app1,
+    )
+
+    base = make_jpeg(16, 16, grayscale=True)
+    for bo, name in (("<", "II"), (">", "MM")):
+        app1 = make_exif_app1(
+            "MakerX", "Cam-Y", 8, "2021:12:31 23:59:59", (3, 1000), 1600, 16, 16, bo
+        )
+        t = exif_tags(insert_exif(base, app1))
+        assert t["byte_order"] == name
+        assert (t["make"], t["model"], t["orientation"]) == ("MakerX", "Cam-Y", 8)
+        assert (t["exposure_num"], t["exposure_den"], t["iso"]) == (3, 1000, 1600)
+        assert t["datetime"] == "2021:12:31 23:59:59"
+
+    with pytest.raises(ValueError):
+        exif_tags(b"\x00\x01nonsense")
+    with pytest.raises(ValueError):
+        exif_tags(base)  # valid JPEG, no APP1
+    # Truncated TIFF block inside an otherwise well-formed APP1.
+    app1 = make_exif_app1("M", "C", 1, "2020:01:01 00:00:00", (1, 2), 100, 16, 16)
+    broken = app1[:2] + app1[2:4] + app1[4:20]  # cut the TIFF mid-header
+    import struct
+
+    seg = broken[4:]
+    framed = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+    with pytest.raises(ValueError):
+        exif_tags(insert_exif(base, framed))

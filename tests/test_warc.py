@@ -134,3 +134,36 @@ def test_unicode_normalize_and_homoglyphs(spark):
     assert got[1]["scrub"] == "apple page"
     assert got[2]["scrub"] == "ok O"
     assert got[3]["nfc"] is None and got[3]["scrub"] is None
+
+
+def test_url_filter_precedence_and_broadcast(spark, sf_dir):
+    """Domain blocklist must win over soft words; the blocklist join must
+    broadcast (never a shuffle for a 2-row — or 4M-row — dim); host and
+    registered-domain extraction handle subdomains and ports."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.functions.web import registered_domain, url_host
+    from ingest_fast_spark.queries.llm import web_url_filter
+
+    df = spark.createDataFrame(
+        [("https://CDN.Static.Example1.COM:8443/casino/x",)], "url string"
+    ).select(
+        url_host(F.col("url")).alias("h"),
+        registered_domain(url_host(F.col("url"))).alias("rd"),
+    )
+    row = df.collect()[0]
+    assert row["h"] == "cdn.static.example1.com"
+    assert row["rd"] == "example1.com"
+
+    out = web_url_filter(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1: example1.com (blocked domain) AND 'casino' path — domain wins.
+    assert rows[1]["verdict"] == "blocked_domain"
+    assert rows[1]["soft_score"] == 10
+    # doc 8: example1.com blocked regardless of benign path.
+    assert rows[8]["verdict"] == "blocked_domain"
+    # doc 16: example2.com + 'casino' -> softwords; doc 10: keep.
+    assert rows[16]["verdict"] == "blocked_softwords"
+    assert rows[10]["verdict"] == "keep"
