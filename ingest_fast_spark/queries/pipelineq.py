@@ -3780,3 +3780,178 @@ def quality_train_logreg(spark, sf_dir):
         ],
         "feature string, value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference data: Bradley-Terry strength fitting (RLHF reward-model audit)
+# ---------------------------------------------------------------------------
+
+_BT_ITEMS = 16
+_BT_ITERS = 10
+
+_BT_A = "CAST(event_id % 16 AS BIGINT)"
+_BT_B = "CAST((event_id * 31 + 7) % 16 AS BIGINT)"
+
+
+def _bt_oracle(items: int = _BT_ITEMS, iters: int = _BT_ITERS) -> str:
+    head = f"""
+    WITH prefs AS MATERIALIZED (
+      SELECT {_BT_A} AS a, {_BT_B} AS b,
+             (event_id % ({_BT_A} + {_BT_B} + 2)) <= {_BT_A} AS win_a
+      FROM events
+      WHERE event_id IS NOT NULL AND {_BT_A} != {_BT_B}
+    ),
+    counts AS MATERIALIZED (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT a AS i, b AS j FROM prefs
+        UNION ALL SELECT b AS i, a AS j FROM prefs
+      ) GROUP BY i, j
+    ),
+    wins AS MATERIALIZED (
+      SELECT w AS i, CAST(COUNT(*) AS BIGINT) AS wins FROM (
+        SELECT CASE WHEN win_a THEN a ELSE b END AS w FROM prefs
+      ) GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+      SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS wm FROM counts
+    )"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT c.i,
+             CAST(SUM(CAST(floor(c.n * 1e9 / (wi.wm + wj.wm)) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM counts c
+      JOIN w{t - 1} wi ON wi.i = c.i
+      JOIN w{t - 1} wj ON wj.i = c.j
+      GROUP BY c.i
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT w.i,
+             CASE WHEN s.s > 0 THEN
+               CAST(floor(1e9 * COALESCE(wn.wins, 0) / s.s + 0.5) AS BIGINT)
+             ELSE w.wm END AS wm
+      FROM w{t - 1} w
+      JOIN s{t} s ON s.i = w.i
+      LEFT JOIN wins wn ON wn.i = w.i
+    )""")
+    tail = f"""
+    tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM w{iters}),
+    games AS (SELECT i, CAST(SUM(n) AS BIGINT) AS matches FROM counts GROUP BY i)
+    SELECT w.i AS item, COALESCE(wn.wins, 0) AS wins, g.matches,
+           w.wm AS strength_micro,
+           CAST(floor(w.wm * ({items} * 1000000.0) / tot.t + 0.5) AS BIGINT)
+             AS strength_norm_micro,
+           CAST(RANK() OVER (ORDER BY w.wm DESC, w.i) AS BIGINT) AS rank
+    FROM w{iters} w
+    LEFT JOIN wins wn ON wn.i = w.i
+    JOIN games g ON g.i = w.i
+    CROSS JOIN tot
+    """
+    return head + "," + ",".join(steps) + "," + tail
+
+
+@register("preference_bradley_terry", oracle=_bt_oracle())
+def preference_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference-strength fitting (Hunter 2004 MM
+    algorithm) — THE model behind RLHF preference data: given pairwise
+    "A beat B" judgments, recover a latent strength per item (policy,
+    annotator, model checkpoint) and a ranking. Run on a preference
+    corpus before reward-model training, it surfaces degenerate
+    comparisons (never-winning items, disconnected match graphs) and
+    gives the baseline ranking a reward model must at least reproduce.
+
+    The 100 TB design point is SUFFICIENT STATISTICS: the MM update needs
+    only the m×m match-count matrix and the per-item win totals — one
+    distributed groupBy over billions of preferences reduces to ≤ m²
+    rows, and the O(m²) iterations run on that bounded, data-independent
+    state (the same contract as ``quality_train_logreg``'s 3 weights —
+    the collect is gated by algebra, not data size). Engine parity uses
+    the exact-integer playbook: strengths live as int64 micro-units, each
+    MM denominator term is floored to int64 BEFORE the (exact) sum, and
+    the update is a single double division floored back — bit-identical
+    across engines and partition orders; the oracle unrolls all 10
+    iterations as CTE pairs.
+
+    Preferences are synthesized in-plan from events (items = event_id
+    mod 16 vs a shuffled opponent; the winner rule biases toward
+    higher-indexed items so the fit recovers a real gradient), so the
+    oracle re-derives the full pipeline from the raw table."""
+    import math
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    i64 = F.col("event_id")
+    a = (i64 % 16).cast("long")
+    b = ((i64 * 31 + 7) % 16).cast("long")
+    prefs = (
+        e.select(
+            a.alias("a"),
+            b.alias("b"),
+            ((i64 % (a + b + 2)) <= a).alias("win_a"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    games = prefs.select(
+        F.col("a").alias("i"), F.col("b").alias("j")
+    ).unionAll(prefs.select(F.col("b").alias("i"), F.col("a").alias("j")))
+    counts = games.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n"))
+    wins = (
+        prefs.select(
+            F.when(F.col("win_a"), F.col("a")).otherwise(F.col("b")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wins"))
+    )
+    # Sufficient statistics to the driver: ≤ items² rows by construction.
+    cnt_rows = counts.collect()
+    win_rows = {r["w"]: r["wins"] for r in wins.collect()}
+    items = sorted({r["i"] for r in cnt_rows})
+    n_ij = {(r["i"], r["j"]): r["n"] for r in cnt_rows}
+    wm = {i: 1_000_000 for i in items}
+    for _ in range(_BT_ITERS):
+        s = {
+            i: sum(
+                math.floor(n * 1e9 / (wm[i] + wm[j]))
+                for (ii, j), n in sorted(n_ij.items())
+                if ii == i
+            )
+            for i in items
+        }
+        wm = {
+            i: (
+                math.floor(1e9 * win_rows.get(i, 0) / s[i] + 0.5)
+                if s[i] > 0
+                else wm[i]
+            )
+            for i in items
+        }
+    total = sum(wm.values())
+    matches = {
+        i: sum(n for (ii, _), n in n_ij.items() if ii == i) for i in items
+    }
+    order = sorted(items, key=lambda i: (-wm[i], i))
+    rank = {}
+    for pos, i in enumerate(order):
+        rank[i] = (
+            rank[order[pos - 1]]
+            if pos and wm[i] == wm[order[pos - 1]]
+            else pos + 1
+        )
+    rows = [
+        (
+            i,
+            win_rows.get(i, 0),
+            matches[i],
+            wm[i],
+            math.floor(wm[i] * (_BT_ITEMS * 1_000_000.0) / total + 0.5),
+            rank[i],
+        )
+        for i in items
+    ]
+    return spark.createDataFrame(
+        rows,
+        "item long, wins long, matches long, strength_micro long, "
+        "strength_norm_micro long, rank long",
+    )

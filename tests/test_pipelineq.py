@@ -617,3 +617,30 @@ def test_logreg_training_learns_signal(spark):
     out = {r["feature"]: r["value"] for r in quality_train_logreg(spark, SF).collect()}
     assert out["train_accuracy"] > 0.7
     assert out["w1_log_tokens"] > 0  # longer docs -> positive class
+
+
+def test_bradley_terry_recovers_planted_order(spark):
+    """The winner rule biases toward higher-indexed items, so the fitted
+    strengths must correlate with empirical win rate, ranks must be a
+    valid 1..m assignment with ties shared, and the normalized strengths
+    must sum to ~m*1e6 (exact-integer normalization)."""
+    from ingest_fast_spark.queries.pipelineq import preference_bradley_terry
+
+    rows = preference_bradley_terry(spark, SF).collect()
+    assert len(rows) == 16
+    by_item = {r["item"]: r for r in rows}
+    # Strength order must match win-rate order at the extremes.
+    win_rate = {i: by_item[i]["wins"] / by_item[i]["matches"] for i in by_item}
+    best = max(win_rate, key=win_rate.get)
+    worst = min(win_rate, key=win_rate.get)
+    assert by_item[best]["strength_micro"] > by_item[worst]["strength_micro"]
+    assert by_item[best]["rank"] < by_item[worst]["rank"]
+    # Valid rank assignment and exact normalization.
+    assert min(r["rank"] for r in rows) == 1
+    total_norm = sum(r["strength_norm_micro"] for r in rows)
+    assert abs(total_norm - 16_000_000) <= 16  # one floor step per item
+    # Spearman-ish: top-4 by strength should all sit in the top half by
+    # win rate (the MM fit must not inverse the gradient).
+    top4 = sorted(rows, key=lambda r: r["rank"])[:4]
+    wr_sorted = sorted(win_rate, key=win_rate.get, reverse=True)[:8]
+    assert all(r["item"] in wr_sorted for r in top4)
