@@ -3393,6 +3393,132 @@ def pack_training_sequences(spark, sf_dir):
     )
 
 
+_SPAN_SEED_MOD = 20   # 5% of positions seed a span
+_SPAN_LEN = 3         # each seed masks 3 consecutive tokens (T5 mean span)
+
+
+def _span_corruption_oracle() -> str:
+    from ..operators.dedup import portable_hash60_sql
+
+    def seed(t):
+        key = "doc_id || ':' || CAST(" + t + " AS VARCHAR)"
+        return f"({portable_hash60_sql(key)} % {_SPAN_SEED_MOD} = 0)"
+    masked = (
+        f"({seed('t')} OR (t >= 1 AND {seed('t - 1')})"
+        f" OR (t >= 2 AND {seed('t - 2')}))"
+    )
+    prev_masked = (
+        f"(t >= 1 AND ({seed('t - 1')} OR (t >= 2 AND {seed('t - 2')})"
+        f" OR (t >= 3 AND {seed('t - 3')})))"
+    )
+    return f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    marks AS (
+      SELECT doc_id, n_tokens,
+             CAST(list_sum(list_transform(generate_series(0, n_tokens - 1),
+               t -> CASE WHEN {masked} THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_masked,
+             CAST(list_sum(list_transform(generate_series(0, n_tokens - 1),
+               t -> CASE WHEN {masked} AND NOT {prev_masked}
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS n_sentinels
+      FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           COALESCE(n_masked, 0) AS n_masked,
+           COALESCE(n_sentinels, 0) AS n_sentinels,
+           n_tokens - COALESCE(n_masked, 0) + COALESCE(n_sentinels, 0)
+             AS input_len,
+           COALESCE(n_masked, 0) + COALESCE(n_sentinels, 0) + 1 AS target_len,
+           CAST(floor(1e6 * COALESCE(n_masked, 0) / n_tokens + 0.5) AS BIGINT)
+             AS corruption_micro
+    FROM marks WHERE n_tokens > 0
+    """
+
+
+@register("pack_span_corruption", oracle=_span_corruption_oracle())
+def pack_span_corruption(spark, sf_dir):
+    """T5-style span-corruption shaping (Raffel et al. 2020 §3.1.4): the
+    denoising objective masks ~15% of tokens in contiguous spans (mean
+    length 3) and replaces each span with one sentinel; the TARGET is the
+    sentinels + the masked tokens. Before packing a seq2seq corpus you
+    need the post-corruption lengths — encoder input = n − masked +
+    sentinels, decoder target = masked + sentinels + 1 (EOS) — because
+    THOSE, not raw lengths, set the context-fill geometry.
+
+    The mask is deterministic hash noise, not RNG: position t seeds a
+    span iff portable_hash60(doc_id:t) % 20 == 0, and a token is masked
+    iff any of t, t−1, t−2 seeds — overlapping spans merge by
+    construction, and a sentinel starts wherever masked(t) AND NOT
+    masked(t−1). Expected corruption = 1 − (19/20)³ ≈ 14.3%, the T5
+    operating point. Both engines re-derive the identical mask from the
+    identical hash, so the oracle is exact — and the same trick is how
+    you make corruption REPRODUCIBLE across reruns of a 100 TB job
+    (seeded by content position, not by worker state).
+
+    Scale shape: pure per-row Column HOFs over a generate-sequence of
+    positions — map-only whole-stage codegen, zero exchanges, no UDF."""
+    from ..operators.dedup import portable_hash60
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+    def seed(t):
+        return (
+            portable_hash60(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), t.cast("string"))
+            )
+            % _SPAN_SEED_MOD
+            == 0
+        )
+
+    def masked(t):
+        return (
+            seed(t)
+            | ((t >= 1) & seed(t - 1))
+            | ((t >= 2) & seed(t - 2))
+        )
+
+    pos = F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - 1)
+    n_masked = F.aggregate(
+        F.transform(pos, lambda t: F.when(masked(t), 1).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_sentinels = F.aggregate(
+        F.transform(
+            pos,
+            lambda t: F.when(masked(t) & ~((t >= 1) & masked(t - 1)), 1).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        n_masked.alias("n_masked"),
+        n_sentinels.alias("n_sentinels"),
+        (F.col("n_tokens") - n_masked + n_sentinels).alias("input_len"),
+        (n_masked + n_sentinels + 1).alias("target_len"),
+        F.floor(F.lit(1e6) * n_masked / F.col("n_tokens") + F.lit(0.5))
+        .cast("long")
+        .alias("corruption_micro"),
+    )
+
+
 @register(
     "build_vocabulary",
     oracle=r"""

@@ -104,3 +104,27 @@ def test_contamination_clean_corpus_empty(spark):
     bench = spark.createDataFrame([(9, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
     train = spark.createDataFrame([(1, "one two three four five six")], ["doc_id", "text"])
     assert ngram_contamination(train, bench, k=4).count() == 0
+
+
+def test_span_corruption_operating_point_and_pure_codegen(spark):
+    """Corpus-level corruption must sit near the T5 operating point
+    (1 - (19/20)^3 ~ 14.3%), sentinels can never exceed masked tokens or
+    seeds, lengths must reconcile, and the plan must contain no Python
+    node (pure Column HOFs)."""
+    from ingest_fast_spark.queries.llm import pack_span_corruption
+
+    out = pack_span_corruption(spark, "/root/testdata/sf0.01")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    rows = out.collect()
+    tot_tokens = sum(r["n_tokens"] for r in rows)
+    tot_masked = sum(r["n_masked"] for r in rows)
+    rate = tot_masked / tot_tokens
+    assert 0.11 < rate < 0.18, rate
+    for r in rows:
+        assert 0 <= r["n_sentinels"] <= r["n_masked"]
+        assert r["input_len"] == r["n_tokens"] - r["n_masked"] + r["n_sentinels"]
+        assert r["target_len"] == r["n_masked"] + r["n_sentinels"] + 1
+        # A sentinel consumes >= 1 masked token and spans merge, so
+        # sentinels <= ceil(masked / 1) trivially and masked <= 3*seeds
+        # implies sentinels <= masked.
