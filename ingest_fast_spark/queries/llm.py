@@ -1962,6 +1962,162 @@ def web_url_filter(spark, sf_dir):
     )
 
 
+_ROBOTS_GRP = r"User-agent: \*\n(.*?)(\nUser-agent:|$)"
+
+
+@register(
+    "web_robots_rules",
+    oracle=rf"""
+    WITH urls AS (
+      SELECT doc_id,
+             'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+             (CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN '/news/' WHEN 1 THEN '/casino/'
+                WHEN 2 THEN '/casino/vip/' WHEN 3 THEN '/poker/'
+                ELSE '/blog/' END) || CAST(doc_id AS VARCHAR) AS path,
+             '# robots for example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             || chr(10) || 'User-agent: googlebot' || chr(10)
+             || 'Disallow: /private' || chr(10) || 'User-agent: *' || chr(10)
+             || (CASE WHEN doc_id % 7 IN (0, 3, 6)
+                      THEN 'Disallow: /casino' || chr(10) || 'Allow: /casino/vip'
+                      WHEN doc_id % 7 IN (1, 4) THEN 'Disallow: /'
+                      ELSE '' END)
+             || chr(10) || 'User-agent: badbot' || chr(10) || 'Disallow: /'
+               AS robots_txt
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    parsed AS (
+      SELECT doc_id, domain, path,
+             list_filter(list_transform(
+               string_split(regexp_extract(robots_txt,
+                              '(?s){_ROBOTS_GRP}', 1), chr(10)),
+               l -> CASE WHEN starts_with(l, 'Allow: ')
+                         THEN 'A:' || substr(l, 8)
+                         WHEN starts_with(l, 'Disallow: ')
+                         THEN 'D:' || substr(l, 11)
+                         ELSE NULL END), r -> r IS NOT NULL) AS rules
+      FROM urls
+    ),
+    scored AS (
+      SELECT doc_id, domain, path,
+             CAST(len(rules) AS BIGINT) AS n_star_rules,
+             list_filter(rules, r -> starts_with(path, substr(r, 3))) AS hits
+      FROM parsed
+    ),
+    best AS (
+      SELECT doc_id, domain, path, n_star_rules,
+             COALESCE(list_max(list_transform(hits,
+               r -> (length(r) - 2) * 2
+                    + CASE WHEN substr(r, 1, 1) = 'A' THEN 1 ELSE 0 END)), -1)
+               AS best_score,
+             hits
+      FROM scored
+    )
+    SELECT doc_id, domain, path, n_star_rules,
+           CAST(best_score AS BIGINT) AS best_score,
+           substr(list_filter(hits, r -> (length(r) - 2) * 2
+             + CASE WHEN substr(r, 1, 1) = 'A' THEN 1 ELSE 0 END
+             = best_score)[1], 3) AS matched_rule,
+           (best_score < 0 OR best_score % 2 = 1) AS allowed
+    FROM best
+    """,
+)
+def web_robots_rules(spark, sf_dir):
+    """robots.txt evaluation (RFC 9309) — whether a crawler may fetch a
+    URL is the FIRST gate of every web corpus, and respecting it is both
+    a legal and a data-quality requirement. The fixture synthesizes a
+    realistic multi-group robots.txt per domain (googlebot group, ``*``
+    group whose rules vary by domain, badbot full-block group) and the
+    query does the real work in-plan: extract the ``User-agent: *``
+    group (regexp over the raw file), parse Allow/Disallow lines into
+    rules, match each rule as a path prefix, and apply the RFC
+    precedence — LONGEST match wins, Allow beats Disallow on ties
+    (encoded as score = 2·len + is_allow, one integer max), no match =
+    allowed. The /casino/vip/ carve-out inside a /casino block exercises
+    the longest-match rule both ways.
+
+    Scale shape: pure whole-stage codegen (regexp + array HOFs + CASE) —
+    zero exchanges, scan speed; in production the parsed per-domain rule
+    arrays are a broadcast dim keyed by registered domain."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    nl = "\n"
+    m7, m5 = (i % 7).cast("int"), (i % 5).cast("int")
+    domain = F.concat(F.lit("example"), s(i % 7), F.lit(".com"))
+    path = F.concat(
+        F.when(m5 == 0, F.lit("/news/"))
+        .when(m5 == 1, F.lit("/casino/"))
+        .when(m5 == 2, F.lit("/casino/vip/"))
+        .when(m5 == 3, F.lit("/poker/"))
+        .otherwise(F.lit("/blog/")),
+        s(i),
+    )
+    star_rules = (
+        F.when(
+            m7.isin(0, 3, 6),
+            F.lit("Disallow: /casino" + nl + "Allow: /casino/vip"),
+        )
+        .when(m7.isin(1, 4), F.lit("Disallow: /"))
+        .otherwise(F.lit(""))
+    )
+    robots_txt = F.concat(
+        F.lit("# robots for example"), s(i % 7), F.lit(".com" + nl),
+        F.lit("User-agent: googlebot" + nl + "Disallow: /private" + nl),
+        F.lit("User-agent: *" + nl),
+        star_rules,
+        F.lit(nl + "User-agent: badbot" + nl + "Disallow: /"),
+    )
+    group = F.regexp_extract(robots_txt, "(?s)" + _ROBOTS_GRP, 1)
+    rules = F.filter(
+        F.transform(
+            F.split(group, nl),
+            lambda ln: F.when(
+                ln.startswith("Allow: "),
+                F.concat(F.lit("A:"), F.substring(ln, 8, 1 << 20)),
+            ).when(
+                ln.startswith("Disallow: "),
+                F.concat(F.lit("D:"), F.substring(ln, 11, 1 << 20)),
+            ),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    base = d.select(
+        "doc_id", domain.alias("domain"), path.alias("path"), rules.alias("rules")
+    )
+
+    def score(r):
+        return (F.length(r) - 2) * 2 + F.when(
+            F.substring(r, 1, 1) == "A", 1
+        ).otherwise(0)
+
+    hits = F.filter(
+        F.col("rules"),
+        lambda r: F.col("path").startswith(F.substring(r, 3, 1 << 20)),
+    )
+    withhits = base.select(
+        "doc_id", "domain", "path",
+        F.size("rules").cast("long").alias("n_star_rules"),
+        hits.alias("hits"),
+    )
+    best = F.coalesce(
+        F.array_max(F.transform(F.col("hits"), score)), F.lit(-1)
+    ).cast("long")
+    return withhits.select(
+        "doc_id", "domain", "path", "n_star_rules",
+        best.alias("best_score"),
+        F.substring(
+            F.try_element_at(
+                F.filter(F.col("hits"), lambda r: score(r).cast("long") == best),
+                F.lit(1),
+            ),
+            3,
+            1 << 20,
+        ).alias("matched_rule"),
+        ((best < 0) | (best % 2 == 1)).alias("allowed"),
+    )
+
+
 @register(
     "multimodal_warc_extract",
     oracle="""

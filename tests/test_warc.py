@@ -167,3 +167,29 @@ def test_url_filter_precedence_and_broadcast(spark, sf_dir):
     # doc 16: example2.com + 'casino' -> softwords; doc 10: keep.
     assert rows[16]["verdict"] == "blocked_softwords"
     assert rows[10]["verdict"] == "keep"
+
+
+def test_robots_longest_match_precedence(spark, sf_dir):
+    """RFC 9309: longest match wins, Allow beats Disallow on ties; no
+    match = allowed; other user-agent groups never leak into the *
+    group. The /casino/vip carve-out inside a Disallow /casino domain is
+    the both-ways probe."""
+    from ingest_fast_spark.queries.llm import web_robots_rules
+
+    rows = {r["doc_id"]: r for r in web_robots_rules(spark, sf_dir).collect()}
+    for i, r in rows.items():
+        k, m = i % 7, i % 5
+        if k in (0, 3, 6):
+            assert r["n_star_rules"] == 2
+            if m == 1:  # /casino/... blocked by Disallow /casino
+                assert not r["allowed"] and r["matched_rule"] == "/casino"
+            elif m == 2:  # /casino/vip/... re-allowed by the longer rule
+                assert r["allowed"] and r["matched_rule"] == "/casino/vip"
+            else:  # /news /poker /blog unmatched -> allowed
+                assert r["allowed"] and r["matched_rule"] is None
+        elif k in (1, 4):  # Disallow: / blocks every path
+            assert r["n_star_rules"] == 1
+            assert not r["allowed"] and r["matched_rule"] == "/"
+        else:  # empty * group: googlebot/badbot rules must NOT apply
+            assert r["n_star_rules"] == 0
+            assert r["allowed"] and r["matched_rule"] is None
