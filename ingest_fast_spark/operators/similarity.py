@@ -1661,3 +1661,121 @@ def bitext_mining_margin(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98) --------
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k: greedily select ``k`` of each query's ``pool``
+    nearest candidates maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected — the selection rule for few-shot example pools and
+    eval panels where the plain top-k is k near-duplicates of the same
+    document. λ = lam_num/lam_den (default 0.7).
+
+    Engine-exact by integer arithmetic: relevance and candidate-pair
+    cosines are floored to int64 micro-units once, and every greedy
+    comparison is ``lam_num·rel − (lam_den−lam_num)·max_sim`` over ints
+    (ties → lowest id) — no FP drift can reorder a selection, so a
+    5-step unrolled SQL oracle reproduces the selection exactly.
+
+    Scale shape: candidate generation is the standard broadcast-queries ×
+    corpus scan + per-query window (pool rows per query survive); the
+    pair-similarity join and the greedy both touch ONLY the pool —
+    O(pool²) rows per query — inside ``applyInPandas`` groups keyed by
+    query, so the quadratic part is bounded by a constant and fully
+    distributed across queries."""
+    import pandas as pd
+
+    mu = 1_000_000.0
+    div = lam_den - lam_num
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            "cvec",
+            F.floor(cosine(F.col("qvec"), F.col("cvec")) * mu + F.lit(0.5))
+            .cast("long")
+            .alias("rel_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_micro"), F.asc(id_col))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= pool)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("query_id").alias("qa"), F.col(id_col).alias("a"),
+        F.col("cvec").alias("av"),
+    )
+    b = cand.select(
+        F.col("query_id").alias("qb"), F.col(id_col).alias("b"),
+        F.col("cvec").alias("bv"),
+    )
+    pairs = (
+        a.join(b, F.col("qa") == F.col("qb"))
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("qa").alias("query_id"), "a", "b",
+            F.floor(cosine(F.col("av"), F.col("bv")) * mu + F.lit(0.5))
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    rels = cand.select("query_id", F.col(id_col), "rel_micro")
+
+    def greedy(key, rel_pdf, pair_pdf):
+        qid = key[0]
+        rel = dict(zip(rel_pdf[id_col], rel_pdf["rel_micro"]))
+        sim = {}
+        for aa, bb, ss in zip(pair_pdf["a"], pair_pdf["b"], pair_pdf["sim_micro"]):
+            sim[(aa, bb)] = ss
+            sim[(bb, aa)] = ss
+        selected, out = [], []
+        for pos in range(1, min(k, len(rel)) + 1):
+            best = None
+            for cid, r in rel.items():
+                if cid in selected:
+                    continue
+                if not selected:
+                    score = lam_num * int(r)
+                else:
+                    score = lam_num * int(r) - div * max(
+                        int(sim[(cid, s)]) for s in selected
+                    )
+                if best is None or score > best[1] or (
+                    score == best[1] and cid < best[0]
+                ):
+                    best = (cid, score)
+            selected.append(best[0])
+            out.append((best[0], best[1], pos))
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out),
+                id_col: [o[0] for o in out],
+                "position": [o[2] for o in out],
+                "rel_micro": [int(rel[o[0]]) for o in out],
+                "mmr_micro": [o[1] for o in out],
+            }
+        )
+
+    return rels.groupBy("query_id").cogroup(pairs.groupBy("query_id")).applyInPandas(
+        greedy,
+        f"query_id long, {id_col} long, position int, rel_micro long, "
+        "mmr_micro long",
+    )

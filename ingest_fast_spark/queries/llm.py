@@ -551,6 +551,92 @@ def embed_topk_bruteforce(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _mmr_oracle(k: int = 5, pool: int = 10, lam_num: int = 7, lam_den: int = 10) -> str:
+    div = lam_den - lam_num
+    cosm = (
+        "CAST(floor(list_dot_product({x}, {y}) / "
+        "(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
+        " * 1e6 + 0.5) AS BIGINT)"
+    )
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.v,
+             {cosm.format(x="q.qv", y="e.v")} AS rel_micro
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, vec_id, v, rel_micro FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel_micro DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {pool}
+    ),
+    sims AS MATERIALIZED (
+      SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+             {cosm.format(x="c1.v", y="c2.v")} AS sim_micro
+      FROM cand c1 JOIN cand c2
+        ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+    ),
+    sel1 AS (
+      SELECT query_id, vec_id, rel_micro,
+             {lam_num} * rel_micro AS mmr_micro, 1 AS position
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY rel_micro DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1
+    ),
+    all1 AS (SELECT query_id, vec_id FROM sel1)"""
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f"""
+    sc{t} AS (
+      SELECT c.query_id, c.vec_id, c.rel_micro,
+             {lam_num} * c.rel_micro - {div} * MAX(s.sim_micro) AS mmr_micro
+      FROM cand c
+      JOIN sims s ON s.query_id = c.query_id AND s.a = c.vec_id
+      JOIN all{t - 1} sel ON sel.query_id = s.query_id AND sel.vec_id = s.b
+      LEFT JOIN all{t - 1} ex
+        ON ex.query_id = c.query_id AND ex.vec_id = c.vec_id
+      WHERE ex.vec_id IS NULL
+      GROUP BY c.query_id, c.vec_id, c.rel_micro
+    ),
+    sel{t} AS (
+      SELECT query_id, vec_id, rel_micro, mmr_micro, {t} AS position
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY mmr_micro DESC, vec_id) AS rn
+            FROM sc{t}) WHERE rn = 1
+    ),
+    all{t} AS (SELECT * FROM all{t - 1}
+               UNION ALL SELECT query_id, vec_id FROM sel{t})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT query_id, vec_id, CAST(position AS INT) AS position, "
+        f"rel_micro, mmr_micro FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return head + "," + ",".join(steps) + "\n    " + union
+
+
+@register("search_mmr_rerank", oracle=_mmr_oracle())
+def search_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein SIGIR'98):
+    greedily pick 5 of each query's 10 nearest neighbors maximizing
+    0.7·relevance − 0.3·max-similarity-to-selected — the anti-redundancy
+    selection behind few-shot example pools and eval panels, where plain
+    top-k returns k copies of the same document. All greedy comparisons
+    run on int64 micro-unit scores (λ scaled to 7/10), so the selection
+    is bit-stable and the oracle unrolls all 5 greedy steps as CTEs.
+    Candidate generation is the broadcast-queries × corpus scan; the
+    O(pool²) diversity matrix and the greedy live in per-query
+    ``applyInPandas`` groups — quadratic only in the constant pool."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    return S.mmr_rerank(emb, emb.filter(F.col("vec_id") < 5), k=5, pool=10)
+
+
 _IVF_COS_A = (
     "list_dot_product({x}, {y}) / "
     "(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"

@@ -451,3 +451,29 @@ def test_bitext_dense_pair_gate(spark, monkeypatch):
     monkeypatch.setattr(SIM, "BITEXT_EXACT_MAX_PAIRS", 4)
     with pytest.raises(ValueError, match="candidate pairs"):
         SIM.bitext_mining_margin(df, df).collect()
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted geometry: candidates 10 and 11 are near-duplicates highly
+    relevant to the query; candidate 12 is slightly less relevant but
+    orthogonal to them. Plain top-2 is {10, 11}; MMR at lambda=0.7 must
+    select the diverse {10, 12} instead, and positions must be a valid
+    1..k sequence with position-1 being the plain argmax."""
+    from ingest_fast_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),           # query spans two directions
+        (10, [1.0, 0.10, 0.0, 0.0]),         # relevant via axis 1
+        (11, [1.0, 0.11, 0.0, 0.0]),         # near-duplicate of 10
+        (12, [0.1, 1.0, 0.0, 0.0]),          # equally relevant via axis 2
+        (13, [0.0, 0.0, 0.0, 1.0]),          # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(
+        df, df.filter("vec_id = 0"), k=3, pool=4
+    ).collect()
+    sel = {r["position"]: r for r in out if r["query_id"] == 0}
+    assert sel[1]["vec_id"] == 11
+    assert sel[2]["vec_id"] == 12, "MMR must skip the near-duplicate 10"
+    assert sel[1]["mmr_micro"] == 7 * sel[1]["rel_micro"]
+    assert sorted(sel) == [1, 2, 3]
