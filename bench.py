@@ -210,6 +210,15 @@ HEADLINE = [
     "events_holt_winters",
     "quality_train_logreg",
     "multimodal_tiff_roundtrip",
+    # round 9 second wave: web curation, preference fitting, seq2seq
+    # shaping, sketch compression, diversified rerank, EXIF
+    "web_url_filter",
+    "web_robots_rules",
+    "preference_bradley_terry",
+    "pack_span_corruption",
+    "dedup_bbit_minhash",
+    "search_mmr_rerank",
+    "multimodal_exif",
 ]
 
 

@@ -119,18 +119,20 @@ _SHOWCASE_ORDER = [
     "text_repetition_signals",
     "token_cooccurrence_lift",
     "udtf_sentences",
+    # (1c) round-9 third wave — built after the r9 prefix was first laid
+    # down, never sampled; they take the slots of 7 r2 refreshes (those
+    # already hold an unchanged r2 attestation and rotate to r10):
+    "dedup_bbit_minhash",        # NEW: b-bit signature compression
+    "web_url_filter",            # NEW: UT1-style blocklist + soft words
+    "web_robots_rules",          # NEW: RFC 9309 parse + precedence
+    "multimodal_exif",           # NEW: APP1/TIFF IFD walk, both orders
+    "preference_bradley_terry",  # NEW: MM fit on sufficient statistics
+    "pack_span_corruption",      # NEW: T5 mask shaping, pure codegen
+    "search_mmr_rerank",         # NEW: integer-exact greedy diversifier
     # (3) the oldest (r2) attestations — refresh to exactly 50
     "agg_basic_stats",
     "agg_distinct_collect",
     "agg_percentiles",
-    "date_time_funcs",
-    "decontaminate_benchmark",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_simhash",
-    "doc_unigram_logppl",
-    "embed_topk_bruteforce",
     "event_transition_matrix",
     "fast_aggregate_docs",
     "fast_enrich_sameas",
@@ -139,7 +141,10 @@ _SHOWCASE_ORDER = [
     "fast_viaf_update",
     "filter_project",
     "graph_pagerank",
-    # (funnel_stages, join_anti, join_asof, join_inner_broadcast, join_lateral_topk, join_left_outer,
+    # (date_time_funcs, decontaminate_benchmark, dedup_cluster_canonical,
+    #  dedup_embedding_cosine, dedup_exact, dedup_simhash,
+    #  doc_unigram_logppl, embed_topk_bruteforce, funnel_stages, join_anti, join_asof,
+    #  join_inner_broadcast, join_lateral_topk, join_left_outer,
     #  join_range, join_semi, pack_training_sequences, q18, q1, q21,
     #  q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,
     #  sessionize, sessions_max_concurrency, text_quality_score,
