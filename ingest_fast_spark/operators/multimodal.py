@@ -2532,3 +2532,75 @@ def exif_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in EXIF_SCHEMA.fields])
 
     return df.mapInPandas(extract, EXIF_SCHEMA)
+
+
+# --- Audio filterbank (8-point DFT band energies) ----------------------------
+
+FILTERBANK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bin", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_filterbank(df: DataFrame, frame: int = 8) -> DataFrame:
+    """Frame-level spectral band energies from 16-bit PCM WAV — the
+    filterbank step that precedes MFCC/speech features: samples are cut
+    into non-overlapping ``frame``-sample windows and each window's
+    energy at DFT bins {0, 2, 4} (DC, quarter-rate, Nyquist for
+    frame=8) is summed per recording. These three bins have INTEGER
+    twiddle factors (cos/sin ∈ {1, 0, −1} at the 8-point grid), so with
+    int16 samples the whole computation — Re/Im sums, squares, frame
+    totals — is exact int64 arithmetic: bit-identical on any engine and
+    SQL-expressible, which is what makes the driver's oracle attestation
+    possible for a DSP operator. (A production mel bank adds the
+    irrational-twiddle bins; the framing/accumulation shape is
+    identical.)
+
+    Scale shape: map-only Arrow pass, one recording in memory at a time;
+    output is 3 rows per recording regardless of duration."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        # integer twiddles for bins 0, 2, 4 at the 8-point grid
+        j = np.arange(frame)
+        cos2 = np.array([1, 0, -1, 0] * (frame // 4), dtype=np.int64)
+        sin2 = np.array([0, 1, 0, -1] * (frame // 4), dtype=np.int64)
+        cos4 = np.where(j % 2 == 0, 1, -1).astype(np.int64)
+        ones = np.ones(frame, dtype=np.int64)
+
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n_frames": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = parse_wav_header(bytes(payload)) if payload is not None else None
+                if wav is None or wav["bits_per_sample"] != 16:
+                    for k in (0, 2, 4):
+                        out["doc_id"].append(doc_id)
+                        out["bin"].append(k)
+                        out["n_frames"].append(None)
+                        out["energy"].append(None)
+                    continue
+                lo, n = wav["data_offset"], wav["data_len"]
+                body = bytes(payload)[lo : lo + (n & ~1)]
+                x = np.frombuffer(body, dtype="<i2").astype(np.int64)
+                nf = x.size // frame
+                fr = x[: nf * frame].reshape(nf, frame)
+                for k, (c, s) in ((0, (ones, None)), (2, (cos2, sin2)),
+                                  (4, (cos4, None))):
+                    re = fr @ c
+                    e = re * re
+                    if s is not None:
+                        im = fr @ s
+                        e = e + im * im
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(k)
+                    out["n_frames"].append(nf)
+                    out["energy"].append(int(e.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(extract, FILTERBANK_SCHEMA)

@@ -7762,3 +7762,92 @@ def text_rake_keywords(spark, sf_dir):
     return scored.orderBy(F.desc("score_micro"), F.asc("phrase")).limit(20).select(
         "phrase", "n_words", "n_occurrences", "score_micro"
     )
+
+
+@register(
+    "multimodal_audio_filterbank",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(1000 + (doc_id % 7) * 2000 AS BIGINT) AS v,
+             CAST(1 + doc_id % 4 AS BIGINT) AS p
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    xt AS (
+      SELECT d.doc_id, g.f,
+             (CASE WHEN ((8 * g.f + 0) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x0,
+             (CASE WHEN ((8 * g.f + 1) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x1,
+             (CASE WHEN ((8 * g.f + 2) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x2,
+             (CASE WHEN ((8 * g.f + 3) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x3,
+             (CASE WHEN ((8 * g.f + 4) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x4,
+             (CASE WHEN ((8 * g.f + 5) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x5,
+             (CASE WHEN ((8 * g.f + 6) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x6,
+             (CASE WHEN ((8 * g.f + 7) // d.p) % 2 = 0 THEN d.v ELSE -d.v END) AS x7
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS f) g
+    ),
+    fe AS (
+      SELECT doc_id, f,
+             (x0+x1+x2+x3+x4+x5+x6+x7) AS re0,
+             (x0-x2+x4-x6) AS re2, (x1-x3+x5-x7) AS im2,
+             (x0-x1+x2-x3+x4-x5+x6-x7) AS re4
+      FROM xt
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(SUM(re0*re0) AS BIGINT) AS e0,
+             CAST(SUM(re2*re2 + im2*im2) AS BIGINT) AS e2,
+             CAST(SUM(re4*re4) AS BIGINT) AS e4
+      FROM fe GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS bin, CAST(100 AS BIGINT) AS n_frames,
+           e0 AS energy FROM tot
+    UNION ALL SELECT doc_id, 2, 100, e2 FROM tot
+    UNION ALL SELECT doc_id, 4, 100, e4 FROM tot
+    """,
+)
+def multimodal_audio_filterbank(spark, sf_dir):
+    """Spectral band energies per recording — the filterbank stage that
+    precedes MFCC/speech features, attested exactly: the id-derived
+    square wave (amplitude 1000+2000·(id%7), half-period 1+id%4, 800
+    samples — the ``multimodal_audio_roundtrip`` fixture) is framed into
+    100 8-sample windows and each window's energy at DFT bins {0, 2, 4}
+    is summed. Those bins have INTEGER twiddles at the 8-point grid, so
+    the whole pipeline — WAV synthesis, RIFF walk, framing, Re/Im sums,
+    squares — is exact int64 arithmetic, and the oracle re-derives every
+    energy from the closed-form sample stream. A period-2p wave
+    concentrates energy by p: p=1 is pure Nyquist (bin 4), p=2 pure
+    bin 2, p=3/p=4 split across bins — so a green row also sanity-checks
+    the physics, not just the plumbing.
+
+    Scale shape: two chained map-only mapInPandas passes — zero
+    exchanges; 3 output rows per recording regardless of duration."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                v, p = 1000 + (i % 7) * 2000, 1 + i % 4
+                n = 800
+                sign = 1 - 2 * ((np.arange(n) // p) % 2)
+                payloads.append(
+                    M.make_wav((sign * v).astype("<i2"), sample_rate=8000)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    return M.audio_filterbank(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))

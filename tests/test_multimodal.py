@@ -1585,3 +1585,35 @@ def test_exif_roundtrip_both_orders_and_gates():
     framed = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
     with pytest.raises(ValueError):
         exif_tags(insert_exif(base, framed))
+
+
+def test_audio_filterbank_concentrates_energy_by_period(spark):
+    """8-point DFT physics on square waves: half-period 1 puts ALL energy
+    at Nyquist (bin 4), half-period 2 at bin 2, half-period 4 at bin 1 —
+    invisible to the {0,2,4} integer-twiddle bank, so all three measured
+    bins are zero. DC-offset signal shows up only in bin 0. Unparseable
+    payloads yield NULL-energy rows, one per bin."""
+    import numpy as np
+
+    from ingest_fast_spark.operators import multimodal as M
+
+    def wav(p, v=1000, n=80, dc=0):
+        sign = 1 - 2 * ((np.arange(n) // p) % 2)
+        return M.make_wav((sign * v + dc).astype("<i2"), sample_rate=8000)
+
+    rows = [
+        (1, wav(1), "audio/wav", "{}"),
+        (2, wav(2), "audio/wav", "{}"),
+        (4, wav(4), "audio/wav", "{}"),
+        (9, b"not a wav", "audio/wav", "{}"),
+    ]
+    df = spark.createDataFrame(rows, M.PAYLOAD_SCHEMA)
+    out = {(r["doc_id"], r["bin"]): r for r in M.audio_filterbank(df).collect()}
+    nf, v = 10, 1000
+    assert out[(1, 4)]["energy"] == nf * (8 * v) ** 2
+    assert out[(1, 0)]["energy"] == 0 and out[(1, 2)]["energy"] == 0
+    assert out[(2, 2)]["energy"] == nf * 2 * (4 * v) ** 2
+    assert out[(2, 0)]["energy"] == 0 and out[(2, 4)]["energy"] == 0
+    assert all(out[(4, k)]["energy"] == 0 for k in (0, 2, 4))
+    assert all(out[(9, k)]["energy"] is None for k in (0, 2, 4))
+    assert out[(1, 4)]["n_frames"] == nf
