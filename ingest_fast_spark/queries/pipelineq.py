@@ -3955,3 +3955,86 @@ def preference_bradley_terry(spark, sf_dir):
         "item long, wins long, matches long, strength_micro long, "
         "strength_norm_micro long, rank long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib): invariants attestation
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_compression_invariants",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           TRUE AS ok_const_floor, TRUE AS ok_repeat_window,
+           TRUE AS ok_bounds
+    FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) >= 50
+    """,
+)
+def quality_compression_invariants(spark, sf_dir):
+    """zlib compression ratio — the information-density gate (templated
+    or repetitive pages compress far better than prose; near-random
+    noise barely compresses) used by Dolma/RefinedWeb-class pipelines.
+    The compressed length is deterministic but not SQL-derivable, so
+    this is the oracle-attested INVARIANTS face (the established
+    ``ann_recall_floors`` pattern): for every document ≥ 50 chars the
+    executor compresses the text, its self-concatenation, and an
+    equal-length constant run, and the oracle states byte counts and the
+    compression algebra that must hold —
+      * ok_const_floor: a constant run never compresses worse than the
+        real text (c_const ≤ c_orig);
+      * ok_repeat_window: the second copy of text‖text is a window
+        match, so c_repeat < 2·c_orig (catches a broken window/flush);
+      * ok_bounds: 0 < c_orig ≤ n_bytes + 64 (zlib's stored-block
+        expansion cap).
+    The raw per-doc ratios are ``operators/quality.compression_ratios``
+    — same Arrow pass, report form.
+
+    Scale shape: map-only Arrow pass; one document in memory at a time,
+    zero exchanges — scan-speed at 100 TB."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("ok_const_floor", BooleanType()),
+            StructField("ok_repeat_window", BooleanType()),
+            StructField("ok_bounds", BooleanType()),
+        ]
+    )
+
+    def extract(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(t).encode("utf-8")
+                c_orig = len(zlib.compress(raw, 6))
+                c_rep = len(zlib.compress(raw + raw, 6))
+                c_const = len(zlib.compress(b"a" * len(raw), 6))
+                out["doc_id"].append(i)
+                out["n_bytes"].append(len(raw))
+                out["ok_const_floor"].append(c_const <= c_orig)
+                out["ok_repeat_window"].append(c_rep < 2 * c_orig)
+                out["ok_bounds"].append(0 < c_orig <= len(raw) + 64)
+            yield pd.DataFrame(out)
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.length("text") >= 50)
+        )
+        .select("doc_id", "text")
+    )
+    return d.mapInPandas(extract, schema)

@@ -147,3 +147,33 @@ def test_c4_rules_flag_planted_pathologies(spark, tmp_path):
     assert not rows[6]["pass_no_braces"] and not rows[6]["pass_all"]
     # javascript drops exactly the one line; the two clean sentences survive
     assert rows[7]["n_kept_lines"] == 2 and rows[7]["n_lines"] == 3
+
+
+def test_compression_ratio_separates_prose_from_noise_and_template(spark):
+    """The signal the gate rests on: repetitive/templated text compresses
+    far better than prose, and high-entropy noise barely compresses.
+    Ratios must order template < prose < noise, and the invariant
+    booleans must hold on all three."""
+    from ingest_fast_spark.operators.quality import compression_ratios
+    from ingest_fast_spark.queries.pipelineq import (
+        quality_compression_invariants,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    prose = ("the quick brown fox jumps over the lazy dog and then " * 20)
+    template = "menu home about contact " * 50
+    noise = "".join(chr(33 + rng.randrange(90)) for _ in range(1000))
+    df = spark.createDataFrame(
+        [(1, prose), (2, template), (3, noise)], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x for x in compression_ratios(df).collect()}
+    assert r[2]["ratio_micro"] < r[1]["ratio_micro"] < r[3]["ratio_micro"]
+    assert r[3]["ratio_micro"] > 700_000     # noise stays near 1.0
+    assert r[2]["ratio_micro"] < 100_000     # template crushes
+    inv = quality_compression_invariants(spark, "/root/testdata/sf0.001").collect()
+    assert inv and all(
+        row["ok_const_floor"] and row["ok_repeat_window"] and row["ok_bounds"]
+        for row in inv
+    )
