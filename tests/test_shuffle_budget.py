@@ -268,6 +268,22 @@ SHUFFLE_BUDGET = {
     # (run before the plan is built — nothing shuffles corpus-sized data)
     "quality_train_logreg": 0,
     "multimodal_tiff_roundtrip": 0,  # synth + decode, both map-only
+    # round-9 third wave
+    # post-checkpoint signature frame: banded candidate join only (the
+    # shingle-agg exchange is inside the checkpointed frame, pinned by
+    # the operator tests — same convention as the *_fast twins above)
+    "dedup_bbit_minhash": 1,
+    "web_url_filter": 0,         # blocklist rides a broadcast
+    "web_robots_rules": 0,       # parse + precedence all in-row
+    "multimodal_exif": 0,        # synth + APP1 walk, map-only
+    # sufficient-statistics collect happens before the 16-row result
+    # relation is built — nothing corpus-sized in the returned plan
+    "preference_bradley_terry": 0,
+    "pack_span_corruption": 0,   # hash-mask HOFs, map-only
+    # pool pair join + the two cogroup legs feeding the greedy
+    "search_mmr_rerank": 3,
+    "multimodal_audio_filterbank": 0,  # synth + DFT, map-only
+    "quality_compression_invariants": 0,  # zlib per row, map-only
 }
 
 
