@@ -219,6 +219,9 @@ HEADLINE = [
     "dedup_bbit_minhash",
     "search_mmr_rerank",
     "multimodal_exif",
+    "multimodal_audio_filterbank",
+    "quality_compression_invariants",
+    "embed_matryoshka_recall",
 ]
 
 

@@ -129,11 +129,11 @@ _SHOWCASE_ORDER = [
     "preference_bradley_terry",  # NEW: MM fit on sufficient statistics
     "pack_span_corruption",      # NEW: T5 mask shaping, pure codegen
     "search_mmr_rerank",         # NEW: integer-exact greedy diversifier
+    "multimodal_audio_filterbank",  # NEW: integer-twiddle DFT bands
+    "quality_compression_invariants",  # NEW: zlib-ratio algebra
+    "embed_matryoshka_recall",   # NEW: truncated-dim retrieval audit
     # (3) the oldest (r2) attestations — refresh to exactly 50
-    "agg_basic_stats",
-    "agg_distinct_collect",
     "agg_percentiles",
-    "event_transition_matrix",
     "fast_aggregate_docs",
     "fast_enrich_sameas",
     "fast_parse_triples",
@@ -143,7 +143,8 @@ _SHOWCASE_ORDER = [
     "graph_pagerank",
     # (date_time_funcs, decontaminate_benchmark, dedup_cluster_canonical,
     #  dedup_embedding_cosine, dedup_exact, dedup_simhash,
-    #  doc_unigram_logppl, embed_topk_bruteforce, funnel_stages, join_anti, join_asof,
+    #  doc_unigram_logppl, embed_topk_bruteforce, agg_basic_stats,
+    #  agg_distinct_collect, event_transition_matrix, funnel_stages, join_anti, join_asof,
     #  join_inner_broadcast, join_lateral_topk, join_left_outer,
     #  join_range, join_semi, pack_training_sequences, q18, q1, q21,
     #  q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,

@@ -551,6 +551,86 @@ def embed_topk_bruteforce(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@register(
+    "embed_matryoshka_recall",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding[1:16] AS DOUBLE[]) AS vt
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, vt AS qvt FROM e WHERE vec_id < 5),
+    full_rank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND({_COS.replace('qvec', 'q.qv').replace('cvec', 'e.v')}, 6)
+            DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    ),
+    trunc_rank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+          PARTITION BY q.query_id
+          ORDER BY ROUND({_COS.replace('qvec', 'q.qvt').replace('cvec', 'e.vt')}, 6)
+            DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    )
+    SELECT f.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(floor(1e6 * COUNT(t.vec_id) / 10 + 0.5) AS BIGINT)
+             AS recall_micro
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def embed_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation audit (Kusupati et al. 2022): how much of
+    each query's exact top-10 survives when retrieval uses only the
+    FIRST 16 of 64 embedding dimensions — the measurement that decides
+    whether a 4× cheaper index (4× less storage, 4× less dot-product
+    work at 100 TB) is acceptable, and the check that the embedding
+    model actually front-loads information MRL-style. Emits per-query
+    top-10 overlap and recall. Both rankings are the standard broadcast-
+    queries × corpus scan with round-6 cosine and (score, id) ordering;
+    the truncated leg just slices the array — the plan is two scans +
+    two per-query windows + one overlap join, no new machinery."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    full = S.brute_force_topk_expr(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    trunc_emb = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    trunc = S.brute_force_topk_expr(
+        trunc_emb, trunc_emb.filter(F.col("vec_id") < 5), k=10
+    )
+    f = full.select("query_id", "vec_id")
+    t = trunc.select(
+        F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        f.join(
+            t,
+            (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(10).cast("long").alias("k"),
+            F.count("hit").alias("n_overlap"),
+            F.floor(F.lit(1e6) * F.count("hit") / 10 + F.lit(0.5))
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
 def _mmr_oracle(k: int = 5, pool: int = 10, lam_num: int = 7, lam_den: int = 10) -> str:
     div = lam_den - lam_num
     cosm = (

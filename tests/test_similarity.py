@@ -477,3 +477,35 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert sel[2]["vec_id"] == 12, "MMR must skip the near-duplicate 10"
     assert sel[1]["mmr_micro"] == 7 * sel[1]["rel_micro"]
     assert sorted(sel) == [1, 2, 3]
+
+
+def test_matryoshka_recall_bounds_and_identity(spark):
+    """Truncation recall is in [0,1]; and when the 'truncation' keeps all
+    information (vectors whose tail 48 dims are zero), the truncated
+    ranking is identical and recall is exactly 1.0."""
+    import random
+
+    from ingest_fast_spark.queries.llm import embed_matryoshka_recall
+
+    rows = embed_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_micro"] == (r["n_overlap"] * 1_000_000) // 10
+
+    rng = random.Random(3)
+    data = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 48)
+        for i in range(30)
+    ]
+    import pyspark.sql.functions as F
+
+    from ingest_fast_spark.operators.similarity import brute_force_topk_expr
+
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    full = brute_force_topk_expr(df, df.filter("vec_id < 3"), k=10)
+    tr = df.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = brute_force_topk_expr(tr, tr.filter("vec_id < 3"), k=10)
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in trunc.collect()}
+    assert a == b
