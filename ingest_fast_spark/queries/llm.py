@@ -7931,3 +7931,69 @@ def multimodal_audio_filterbank(spark, sf_dir):
         .select("doc_id")
     )
     return M.audio_filterbank(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))
+
+
+@register(
+    "multimodal_motion_energy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 50 AS BIGINT) AS a,
+             CAST(1 + doc_id % 7 AS BIGINT) AS s
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    fr AS (
+      SELECT d.doc_id, d.s, g.f,
+             CASE WHEN g.f = 5 THEN d.s + 80
+                  WHEN g.f = 6 THEN 80 - d.s
+                  ELSE d.s END AS delta
+      FROM d CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS f) g
+    )
+    SELECT doc_id, f AS frame_idx,
+           CAST(48 * delta AS BIGINT) AS sad,
+           CAST(floor(48 * delta * 1e6 / 48 + 0.5) AS BIGINT) AS mad_micro
+    FROM fr
+    """,
+)
+def multimodal_motion_energy(spark, sf_dir):
+    """Per-frame motion profile (SAD + mean absolute difference) over a
+    synthesized 10-frame Y4M clip whose luma ramps linearly (slope s =
+    1+id%7) with a planted +80 spike at frame 5 — so the expected SAD
+    sequence is s,s,s,s,s+80,80−s,s,s,s per 8×6 plane and the oracle
+    states every row in closed form. A green row proves the Y4M frame
+    walk, the integer SAD accumulation, and the micro-unit mean against
+    ground truth; the motion spike also demonstrates what the operator
+    is FOR — ranking clips by motion and spotting keyframe boundaries
+    the binary cut detector collapses to one bit.
+
+    Scale shape: two chained map-only mapInPandas passes — zero
+    exchanges; 9 rows per clip regardless of resolution."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                a, slope = i % 50, 1 + i % 7
+                frames = [
+                    a + f * slope + (80 if f == 5 else 0) for f in range(10)
+                ]
+                ids.append(i)
+                payloads.append(M.make_y4m(8, 6, frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "video/y4m",
+                    "media_meta": "{}",
+                }
+            )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    return M.motion_energy(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))

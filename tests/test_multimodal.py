@@ -1617,3 +1617,26 @@ def test_audio_filterbank_concentrates_energy_by_period(spark):
     assert all(out[(4, k)]["energy"] == 0 for k in (0, 2, 4))
     assert all(out[(9, k)]["energy"] is None for k in (0, 2, 4))
     assert out[(1, 4)]["n_frames"] == nf
+
+
+def test_motion_energy_exact_sad_and_gates(spark):
+    """SAD is the exact integer sum of per-pixel |diffs|; a planted
+    mid-clip spike dominates the profile; NULL payloads yield no rows;
+    non-Y4M payloads raise (no fake motion data)."""
+    import pytest
+
+    from ingest_fast_spark.operators import multimodal as M
+
+    clip = M.make_y4m(4, 2, [10, 12, 12, 112, 112])
+    rows = [(1, clip, "video/y4m", "{}"), (2, None, "video/y4m", "{}")]
+    df = spark.createDataFrame(rows, M.PAYLOAD_SCHEMA)
+    got = {r["frame_idx"]: r for r in M.motion_energy(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["sad"] == 8 * 2 and got[2]["sad"] == 0
+    assert got[3]["sad"] == 8 * 100 and got[4]["sad"] == 0
+    assert got[3]["mad_micro"] == 100_000_000
+    bad = spark.createDataFrame(
+        [(9, b"not video", "video/y4m", "{}")], M.PAYLOAD_SCHEMA
+    )
+    with pytest.raises(Exception, match="Y4M|ffmpeg"):
+        M.motion_energy(bad).collect()
