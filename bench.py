@@ -222,6 +222,7 @@ HEADLINE = [
     "multimodal_audio_filterbank",
     "quality_compression_invariants",
     "embed_matryoshka_recall",
+    "multimodal_motion_energy",
 ]
 
 

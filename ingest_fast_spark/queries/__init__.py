@@ -132,6 +132,7 @@ _SHOWCASE_ORDER = [
     "multimodal_audio_filterbank",  # NEW: integer-twiddle DFT bands
     "quality_compression_invariants",  # NEW: zlib-ratio algebra
     "embed_matryoshka_recall",   # NEW: truncated-dim retrieval audit
+    "multimodal_motion_energy",  # NEW: integer SAD frame profile
     # (3) the oldest (r2) attestations — refresh to exactly 50
     "agg_percentiles",
     "fast_aggregate_docs",

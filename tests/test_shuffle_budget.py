@@ -284,6 +284,9 @@ SHUFFLE_BUDGET = {
     "search_mmr_rerank": 3,
     "multimodal_audio_filterbank": 0,  # synth + DFT, map-only
     "quality_compression_invariants": 0,  # zlib per row, map-only
+    # two ranking windows + the overlap join + final per-query agg
+    "embed_matryoshka_recall": 5,
+    "multimodal_motion_energy": 0,  # synth + SAD walk, map-only
 }
 
 
