@@ -7997,3 +7997,109 @@ def multimodal_motion_energy(spark, sf_dir):
         .select("doc_id")
     )
     return M.motion_energy(d.mapInPandas(gen, M.PAYLOAD_SCHEMA))
+
+
+@register(
+    "text_code_detect",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+               'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) ||
+               '    if x > 0: return {"k": [x, 1]};' || chr(10) ||
+               '    else: return (x == 0) && (x != 1);'
+             ELSE text END AS body
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    feat AS (
+      SELECT doc_id, body,
+             CAST(length(body) - length(replace(replace(replace(replace(
+                    replace(replace(body, '{', ''), '}', ''), '[', ''),
+                    ']', ''), '(', ''), ')', '')) AS BIGINT) AS n_brackets,
+             CAST(length(body)
+                  - length(replace(replace(replace(body, ';', ''), '=', ''),
+                           ':', '')) AS BIGINT) AS n_ops,
+             CAST(len(regexp_extract_all(body,
+                    '(?m)^(    |\t)')) AS BIGINT) AS n_indented,
+             CAST(len(regexp_extract_all(lower(body),
+                    '\b(def|return|if|else|for|while|import|function|var|let|const)\b'))
+               AS BIGINT) AS n_keywords,
+             CAST(length(body) AS BIGINT) AS n_chars
+      FROM s
+    )
+    SELECT doc_id, n_brackets, n_ops, n_indented, n_keywords,
+           CAST(floor((10000 * n_brackets + 5000 * n_ops
+                       + 200000 * n_indented + 100000 * n_keywords)
+                      / n_chars + 0.5) AS BIGINT) AS code_score_milli,
+           (floor((10000 * n_brackets + 5000 * n_ops
+                   + 200000 * n_indented + 100000 * n_keywords)
+                  / n_chars + 0.5) >= 3000) AS is_code
+    FROM feat WHERE n_chars > 0
+    """,
+)
+def text_code_detect(spark, sf_dir):
+    """Code-vs-prose detection — a code-corpus curation pipeline's router
+    (code goes to a code tokenizer/dedup config, prose to the text one;
+    misrouting either hurts both): bracket density, operator density,
+    indented-line count, and reserved-keyword hits combined into one
+    integer milli-score. Every fourth document is swapped for a
+    synthesized code snippet in-plan, so the fixture contains both
+    classes and the oracle states the exact feature counts and verdicts
+    for each. All features are pure Column arithmetic (length diffs for
+    character classes, one multiline regexp for indentation, one word
+    regexp for keywords) — whole-stage codegen, scan speed at 100 TB.
+
+    Exactness: the score is integer micro-arithmetic over integer counts
+    with one floored division — no FP drift; the verdict threshold
+    (3000 milli = heavy structural density) separates the synthesized
+    snippet (~keywords+indent+brackets) from the corpus prose."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    nl = "\n"
+    code_body = F.concat(
+        F.lit("def f_"), F.col("doc_id").cast("string"), F.lit("(x):" + nl),
+        F.lit('    if x > 0: return {"k": [x, 1]};' + nl),
+        F.lit("    else: return (x == 0) && (x != 1);"),
+    )
+    body = F.when(F.col("doc_id") % 4 == 0, code_body).otherwise(F.col("text"))
+
+    def class_count(col, chars):
+        out = col
+        for ch in chars:
+            out = F.replace(out, F.lit(ch), F.lit(""))
+        return (F.length(col) - F.length(out)).cast("long")
+
+    s = d.select("doc_id", body.alias("body"))
+    n_brackets = class_count(F.col("body"), "{}[]()")
+    n_ops = class_count(F.col("body"), ";=:")
+    n_indented = F.size(
+        F.regexp_extract_all(F.col("body"), F.lit(r"(?m)^(    |\t)"), F.lit(1))
+    ).cast("long")
+    n_keywords = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("body")),
+            F.lit(r"\b(def|return|if|else|for|while|import|function|var|let|const)\b"),
+            F.lit(1),
+        )
+    ).cast("long")
+    n_chars = F.length("body").cast("long")
+    score = F.floor(
+        (
+            F.lit(10000) * n_brackets
+            + F.lit(5000) * n_ops
+            + F.lit(200000) * n_indented
+            + F.lit(100000) * n_keywords
+        )
+        / n_chars
+        + F.lit(0.5)
+    ).cast("long")
+    return s.filter(n_chars > 0).select(
+        "doc_id",
+        n_brackets.alias("n_brackets"),
+        n_ops.alias("n_ops"),
+        n_indented.alias("n_indented"),
+        n_keywords.alias("n_keywords"),
+        score.alias("code_score_milli"),
+        (score >= 3000).alias("is_code"),
+    )

@@ -177,3 +177,19 @@ def test_compression_ratio_separates_prose_from_noise_and_template(spark):
         row["ok_const_floor"] and row["ok_repeat_window"] and row["ok_bounds"]
         for row in inv
     )
+
+
+def test_code_detect_separates_planted_snippets(spark):
+    """Every doc_id % 4 == 0 row carries the synthesized code snippet and
+    must classify as code; the prose corpus must overwhelmingly not."""
+    from ingest_fast_spark.queries.llm import text_code_detect
+
+    rows = text_code_detect(spark, "/root/testdata/sf0.01").collect()
+    code = [r for r in rows if r["doc_id"] % 4 == 0]
+    prose = [r for r in rows if r["doc_id"] % 4 != 0]
+    assert code and prose
+    assert all(r["is_code"] for r in code)
+    fp = sum(1 for r in prose if r["is_code"]) / len(prose)
+    assert fp < 0.05, f"prose false-positive rate {fp}"
+    for r in code:
+        assert r["n_keywords"] >= 5 and r["n_indented"] == 2
