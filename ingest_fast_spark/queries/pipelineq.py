@@ -4038,3 +4038,99 @@ def quality_compression_invariants(spark, sf_dir):
         .select("doc_id", "text")
     )
     return d.mapInPandas(extract, schema)
+
+
+# ---------------------------------------------------------------------------
+# Layout ops: partition-column advisor
+# ---------------------------------------------------------------------------
+
+_ADVISOR_CANDS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_custkey", "o_custkey"),
+    ("order_month", "substr(CAST(o_orderdate AS VARCHAR), 1, 7)"),
+]
+
+
+def _advisor_oracle() -> str:
+    parts = []
+    for name, expr in _ADVISOR_CANDS:
+        parts.append(f"""
+      SELECT '{name}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(floor(1e6 * MAX(n) / SUM(n) + 0.5) AS BIGINT)
+               AS top1_share_micro
+      FROM (SELECT {expr} AS v, COUNT(*) AS n FROM orders GROUP BY 1)""")
+    stats = "\n      UNION ALL".join(parts)
+    return f"""
+    WITH stats AS ({stats}
+    ),
+    scored AS (
+      SELECT column_name, n_distinct, top1_share_micro,
+             (CASE WHEN n_distinct BETWEEN 8 AND 10000 THEN 500 ELSE 0 END)
+             + CAST(floor(500 * (1000000 - top1_share_micro) / 1000000.0)
+                    AS BIGINT) AS score_milli
+      FROM stats
+    )
+    SELECT column_name, n_distinct, top1_share_micro, score_milli,
+           RANK() OVER (ORDER BY score_milli DESC, column_name) = 1
+             AS recommended
+    FROM scored
+    """
+
+
+@register("layout_partition_advisor", oracle=_advisor_oracle())
+def layout_partition_advisor(spark, sf_dir):
+    """Partition-column advisor — the first question of laying out 100 TB
+    as a partitioned table: which column balances partition COUNT (too
+    few → no pruning; too many → small-file death, metastore blowup)
+    against partition SKEW (one giant partition serializes every reader).
+    Scores each candidate on cardinality-in-range [8, 10000] plus
+    evenness (1 − top-partition share), integer milli-units, and flags
+    the winner. The stats are exactly the aggregates a real advisor
+    (or Iceberg's partition-stats file) maintains.
+
+    Scale shape: one groupBy per candidate column over the fact table —
+    each map-side combinable — then a 4-row union and rank; nothing
+    corpus-sized past the first aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    frames = []
+    for name, _ in _ADVISOR_CANDS:
+        col = (
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+            if name == "order_month"
+            else F.col(name)
+        )
+        g = o.groupBy(col.alias("v")).agg(F.count(F.lit(1)).alias("n"))
+        frames.append(
+            g.agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.floor(
+                    F.lit(1e6) * F.max("n") / F.sum("n") + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("top1_share_micro"),
+            )
+        )
+    stats = frames[0]
+    for fr in frames[1:]:
+        stats = stats.unionAll(fr)
+    score = (
+        F.when(F.col("n_distinct").between(8, 10000), F.lit(500))
+        .otherwise(F.lit(0))
+        + F.floor(
+            F.lit(500) * (F.lit(1000000) - F.col("top1_share_micro"))
+            / F.lit(1000000.0)
+        ).cast("long")
+    ).cast("long")
+    from pyspark.sql import Window
+
+    scored = stats.select(
+        "column_name", "n_distinct", "top1_share_micro",
+        score.alias("score_milli"),
+    )
+    w = Window.orderBy(F.desc("score_milli"), F.asc("column_name"))
+    return scored.select(
+        "*", (F.rank().over(w) == 1).alias("recommended")
+    )

@@ -644,3 +644,26 @@ def test_bradley_terry_recovers_planted_order(spark):
     top4 = sorted(rows, key=lambda r: r["rank"])[:4]
     wr_sorted = sorted(win_rate, key=win_rate.get, reverse=True)[:8]
     assert all(r["item"] in wr_sorted for r in top4)
+
+
+def test_partition_advisor_prefers_balanced_midcardinality(spark):
+    """The advisor must penalize the low-cardinality skewed extremes:
+    o_orderstatus (3 values, one dominant) and o_orderpriority (5)
+    fail the cardinality floor, so both in-range candidates
+    (order_month, o_custkey — 1500 distinct at this SF; at production
+    scale custkey would blow the 10k cap and the same scoring would
+    reject it) must outscore them. Exactly one recommendation, and it
+    is in-range."""
+    from ingest_fast_spark.queries.pipelineq import layout_partition_advisor
+
+    rows = {r["column_name"]: r for r in
+            layout_partition_advisor(spark, SF).collect()}
+    assert sum(1 for r in rows.values() if r["recommended"]) == 1
+    winner = next(r for r in rows.values() if r["recommended"])
+    assert 8 <= winner["n_distinct"] <= 10000
+    for bad in ("o_orderstatus", "o_orderpriority"):
+        assert rows[bad]["score_milli"] < rows["order_month"]["score_milli"]
+        assert rows[bad]["score_milli"] < winner["score_milli"]
+    # the dominant status partition holds >30% of rows — the skew the
+    # evenness term exists to punish
+    assert rows["o_orderstatus"]["top1_share_micro"] > 300_000
