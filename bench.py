@@ -223,6 +223,8 @@ HEADLINE = [
     "quality_compression_invariants",
     "embed_matryoshka_recall",
     "multimodal_motion_energy",
+    "text_code_detect",
+    "layout_partition_advisor",
 ]
 
 

@@ -133,6 +133,8 @@ _SHOWCASE_ORDER = [
     "quality_compression_invariants",  # NEW: zlib-ratio algebra
     "embed_matryoshka_recall",   # NEW: truncated-dim retrieval audit
     "multimodal_motion_energy",  # NEW: integer SAD frame profile
+    "text_code_detect",          # NEW: code-vs-prose router
+    "layout_partition_advisor",  # NEW: partition-column scoring
     # (3) the oldest (r2) attestations — refresh to exactly 50
     "agg_percentiles",
     "fast_aggregate_docs",
@@ -145,7 +147,8 @@ _SHOWCASE_ORDER = [
     # (date_time_funcs, decontaminate_benchmark, dedup_cluster_canonical,
     #  dedup_embedding_cosine, dedup_exact, dedup_simhash,
     #  doc_unigram_logppl, embed_topk_bruteforce, agg_basic_stats,
-    #  agg_distinct_collect, event_transition_matrix, funnel_stages, join_anti, join_asof,
+    #  agg_distinct_collect, event_transition_matrix, filter_project,
+    #  graph_pagerank (now positions 51-52), funnel_stages, join_anti, join_asof,
     #  join_inner_broadcast, join_lateral_topk, join_left_outer,
     #  join_range, join_semi, pack_training_sequences, q18, q1, q21,
     #  q3/q5/q7, quality_model_score, scalar_string_funcs, search_*,

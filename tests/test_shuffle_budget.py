@@ -287,6 +287,9 @@ SHUFFLE_BUDGET = {
     # two ranking windows + the overlap join + final per-query agg
     "embed_matryoshka_recall": 5,
     "multimodal_motion_energy": 0,  # synth + SAD walk, map-only
+    "text_code_detect": 0,  # length-diff + regexp features, map-only
+    # one combinable groupBy per candidate column; the rank is 4 rows
+    "layout_partition_advisor": 4,
 }
 
 
