@@ -225,6 +225,8 @@ HEADLINE = [
     "multimodal_motion_energy",
     "text_code_detect",
     "layout_partition_advisor",
+    "multimodal_resize_attest",
+    "multimodal_frame_sample",
 ]
 
 

@@ -8103,3 +8103,147 @@ def text_code_detect(spark, sf_dir):
         score.alias("code_score_milli"),
         (score >= 3000).alias("is_code"),
     )
+
+
+@register(
+    "multimodal_resize_attest",
+    oracle="""
+    SELECT d.doc_id, g.i, g.j,
+           CAST(d.doc_id % 100 + 32 * g.i + 2 * g.j AS BIGINT) AS value
+    FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+    CROSS JOIN (
+      SELECT CAST(ii.i AS BIGINT) AS i, CAST(jj.j AS BIGINT) AS j
+      FROM (SELECT unnest(generate_series(0, 3)) AS i) ii
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj
+    ) g
+    """,
+)
+def multimodal_resize_attest(spark, sf_dir):
+    """Nearest-neighbor resize attestation — the thumbnail pass before a
+    vision encoder, proven pixel-exact: each document synthesizes an 8×8
+    grayscale PNG whose pixel (y, x) = id%100 + 16y + x (a formula with
+    no 256-wrap), the production ``resize_images`` operator shrinks it
+    to 4×4, and every output pixel is emitted as a row. Nearest-neighbor
+    at 2:1 samples source pixel (2i, 2j), so the oracle states value =
+    id%100 + 32i + 2j in closed form — a green row proves the PNG
+    decode, the index-grid resample, and the raw-buffer byte order all
+    at once.
+
+    Scale shape: three chained map-only mapInPandas passes (synthesize,
+    resize, unpack) — zero exchanges; 16 rows per image."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                a = i % 100
+                y, x = np.mgrid[0:8, 0:8]
+                px = (a + 16 * y + x).astype(np.uint8)[..., None]  # (h, w, 1)
+                ids.append(i)
+                payloads.append(M.make_png_general(px, 8, 0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/png",
+                    "media_meta": "{}",
+                }
+            )
+
+    def unpack(batches):
+        import pandas as pd
+
+        for pdf_ in batches:
+            out = {"doc_id": [], "i": [], "j": [], "value": []}
+            for i, payload in zip(pdf_["doc_id"], pdf_["payload"]):
+                raw = bytes(payload)
+                for k in range(16):
+                    out["doc_id"].append(i)
+                    out["i"].append(k // 4)
+                    out["j"].append(k % 4)
+                    out["value"].append(raw[k])
+            yield pd.DataFrame(out)
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    resized = M.resize_images(d.mapInPandas(gen, M.PAYLOAD_SCHEMA), 4, 4)
+    return resized.select("doc_id", "payload").mapInPandas(
+        unpack, "doc_id long, i long, j long, value long"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id, CAST(g.k AS BIGINT) AS frame_idx,
+           CAST(d.doc_id % 100 + 7 * ([0, 2, 5, 7][g.k + 1]) AS BIGINT)
+             AS luma,
+           CAST(48 AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) g
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Evenly-spaced frame sampling attestation — the keyframe-grid pass
+    that feeds a vision encoder one image per video segment: each
+    document synthesizes a 10-frame 8×6 Y4M clip whose frame f has solid
+    luma id%100 + 7f (no 256-wrap), the production ``sample_frames``
+    operator extracts 4 evenly-spaced frames (source indices ⌊k·10/4⌋ =
+    0, 2, 5, 7), and each sampled frame's luma and byte count are
+    emitted. The oracle states the sampled source indices and lumas in
+    closed form — proving the Y4M frame walk, the spacing arithmetic,
+    and that ACTUAL plane bytes (not placeholder slices) come back.
+
+    Scale shape: three chained map-only mapInPandas passes — zero
+    exchanges; 4 rows per clip."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                a = i % 100
+                ids.append(i)
+                payloads.append(M.make_y4m(8, 6, [a + 7 * f for f in range(10)]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "video/y4m",
+                    "media_meta": "{}",
+                }
+            )
+
+    def unpack(batches):
+        import pandas as pd
+
+        for pdf_ in batches:
+            out = {"doc_id": [], "frame_idx": [], "luma": [], "n_bytes": []}
+            for i, k, fr in zip(
+                pdf_["doc_id"], pdf_["frame_idx"], pdf_["frame"]
+            ):
+                raw = bytes(fr)
+                out["doc_id"].append(i)
+                out["frame_idx"].append(k)
+                out["luma"].append(raw[0] if raw else None)
+                out["n_bytes"].append(len(raw))
+            yield pd.DataFrame(out)
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    frames = M.sample_frames(d.mapInPandas(gen, M.PAYLOAD_SCHEMA), n_frames=4)
+    return frames.mapInPandas(
+        unpack, "doc_id long, frame_idx long, luma long, n_bytes long"
+    )

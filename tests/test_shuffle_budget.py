@@ -290,6 +290,8 @@ SHUFFLE_BUDGET = {
     "text_code_detect": 0,  # length-diff + regexp features, map-only
     # one combinable groupBy per candidate column; the rank is 4 rows
     "layout_partition_advisor": 4,
+    "multimodal_resize_attest": 0,  # synth+resize+unpack, map-only
+    "multimodal_frame_sample": 0,   # synth+sample+unpack, map-only
 }
 
 
