@@ -597,16 +597,19 @@ def embed_matryoshka_recall(spark, sf_dir):
     model actually front-loads information MRL-style. Emits per-query
     top-10 overlap and recall. Both rankings are the standard broadcast-
     queries × corpus scan with round-6 cosine and (score, id) ordering;
-    the truncated leg just slices the array — the plan is two scans +
-    two per-query windows + one overlap join, no new machinery."""
+    the truncated leg just slices the array. Both legs ride the GEMM
+    scale path (``brute_force_topk`` — per-partition local top-k, only
+    partitions×k candidate rows reach the final rank; verified
+    row-identical to the all-JVM expr variant), so the audit itself
+    survives the corpus it is sizing the index for."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
-    full = S.brute_force_topk_expr(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    full = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     trunc_emb = emb.select(
         "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
     )
-    trunc = S.brute_force_topk_expr(
+    trunc = S.brute_force_topk(
         trunc_emb, trunc_emb.filter(F.col("vec_id") < 5), k=10
     )
     f = full.select("query_id", "vec_id")

@@ -284,8 +284,8 @@ SHUFFLE_BUDGET = {
     "search_mmr_rerank": 3,
     "multimodal_audio_filterbank": 0,  # synth + DFT, map-only
     "quality_compression_invariants": 0,  # zlib per row, map-only
-    # two ranking windows + the overlap join + final per-query agg
-    "embed_matryoshka_recall": 5,
+    # GEMM legs: local-topk candidate windows + overlap join + agg
+    "embed_matryoshka_recall": 2,
     "multimodal_motion_energy": 0,  # synth + SAD walk, map-only
     "text_code_detect": 0,  # length-diff + regexp features, map-only
     # one combinable groupBy per candidate column; the rank is 4 rows
