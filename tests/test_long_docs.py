@@ -57,3 +57,45 @@ def test_weighted_minhash_samples_long_doc(long_doc):
     # shingles without quadratic re-tokenization; smoke via the pair API
     out = D.weighted_minhash_pairs(long_doc.union(long_doc.select(F.lit(2), "text")))
     assert out.count() == 1  # the two copies collide on every seed
+
+
+def test_span_corruption_covers_megatoken_doc(spark, long_doc):
+    """pack_span_corruption's position sequence() must cover ALL tokens of
+    a 30k-token document (no silent cap) in linear time, and the mask
+    algebra must reconcile: masked ≈ 1 − (19/20)³ of tokens within a
+    loose band, sentinels ≤ masked, lengths consistent."""
+    import time
+
+    from ingest_fast_spark.queries import llm as L
+    from pyspark.sql import functions as F
+
+    d = long_doc.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    # Reuse the registered query's expression path via a temp view of the
+    # fixture: simplest is to call the query fn against a parquet dir, so
+    # instead rebuild the core expressions here through the public query
+    # on a 1-doc frame written to a temp location.
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="spanlong")
+    for t in ("documents",):
+        long_doc.withColumn("n_chars", F.length("text")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("lang", F.lit("en")).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"{t}.parquet")
+        )
+    # satisfy load_table for the other tables it never touches
+    t0 = time.time()
+    out = L.pack_span_corruption(spark, tmp).collect()
+    dt = time.time() - t0
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tokens"] == N_TOK
+    rate = r["n_masked"] / r["n_tokens"]
+    assert 0.12 < rate < 0.17, rate
+    assert r["n_sentinels"] <= r["n_masked"]
+    assert r["input_len"] + r["target_len"] == r["n_tokens"] + 2 * r["n_sentinels"] + 1
+    assert dt < 60, f"megatoken span corruption took {dt:.1f}s"
