@@ -327,6 +327,37 @@ SHOWCASE = [
         "and the final argmax — not a per-pair HOF cosine; a dense-pair "
         "gate bounds the exact baseline and points to the LSH path.",
     ),
+    (
+        "pack_span_corruption",
+        "T5 span-corruption shaping (round 9): the hash-noise mask, span "
+        "merge, and sentinel count are ONE fused whole-stage-codegen "
+        "projection over sequence() HOFs — zero exchanges, zero Python; "
+        "corruption is reproducible because it is seeded by (doc_id, "
+        "position), not worker state.",
+    ),
+    (
+        "web_robots_rules",
+        "robots.txt evaluation (round 9): group extraction (regexp), "
+        "Allow/Disallow parsing (array HOFs), and RFC 9309 longest-match "
+        "precedence (one integer max over scored prefix hits) all in-row "
+        "— scan-speed codegen, no UDF, no exchange.",
+    ),
+    (
+        "preference_bradley_terry",
+        "Bradley-Terry fit (round 9): the plan shows only the 16-row "
+        "result relation — the corpus-sized work is the sufficient-"
+        "statistics groupBy (preferences → m×m match counts) and the MM "
+        "iterations run on that bounded state; the collect is gated by "
+        "algebra (≤ items² rows), not data size.",
+    ),
+    (
+        "search_mmr_rerank",
+        "MMR rerank (round 9): candidate pool via broadcast-queries × "
+        "corpus scan + per-query window; the O(pool²) diversity matrix "
+        "and greedy selection live in per-query cogrouped applyInPandas "
+        "— quadratic only in the constant pool, distributed across "
+        "queries.",
+    ),
 ]
 
 
