@@ -3462,6 +3462,7 @@ _MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
       FROM documents
       WHERE source IS NOT NULL AND text IS NOT NULL AND length(text) > 0
       GROUP BY source
+      HAVING n_tokens > 0
     ),
     s AS (
       SELECT source, n_tokens,
@@ -3514,7 +3515,14 @@ def curation_mixture_weights(spark, sf_dir):
             lambda t: F.length(t) > 0,
         )
     )
-    n = d.groupBy("source").agg(F.sum(toks.cast("long")).alias("n_tokens"))
+    # A source whose surviving docs hold zero tokens (all-whitespace text)
+    # contributes nothing to the mixture — and would divide by zero in the
+    # upsample ratio. Drop it on both engines (oracle: HAVING n_tokens > 0).
+    n = (
+        d.groupBy("source")
+        .agg(F.sum(toks.cast("long")).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
     s = n.select(
         "source",
         "n_tokens",
