@@ -41,6 +41,25 @@ QUERIES = [
     # the expensive one); watch its constant vs the r8 flate-only run
     "multimodal_pdf_text",
     "multimodal_jpeg_roundtrip",
+    # round-9 third wave (the session-2 additions): web curation,
+    # preference fit, seq2seq shaping, sketch compression, diversified
+    # rerank, EXIF/audio/video features, resize/frame attestations,
+    # compression signal, code routing, layout advisor, truncation audit
+    "web_url_filter",
+    "web_robots_rules",
+    "preference_bradley_terry",
+    "pack_span_corruption",
+    "dedup_bbit_minhash",
+    "search_mmr_rerank",
+    "multimodal_exif",
+    "multimodal_audio_filterbank",
+    "multimodal_motion_energy",
+    "multimodal_resize_attest",
+    "multimodal_frame_sample",
+    "quality_compression_invariants",
+    "embed_matryoshka_recall",
+    "text_code_detect",
+    "layout_partition_advisor",
     # continuity canaries from the r8 study
     "dedup_winnowing",
     "dedup_winnowing_fast",
