@@ -8250,3 +8250,94 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.mapInPandas(
         unpack, "doc_id long, frame_idx long, luma long, n_bytes long"
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey % 3000 AS s, o_orderkey % 3000 AS d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        AND (o_custkey % 3000) <> (o_orderkey % 3000)
+    ),
+    und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw),
+    adj AS (SELECT DISTINCT s, d FROM
+            (SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw)),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY s),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(du.deg * dv.deg) AS BIGINT) AS s_jk,
+             CAST(SUM(du.deg + dv.deg) AS BIGINT) AS s_sum,
+             CAST(SUM(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT) AS s_sq
+      FROM und JOIN deg du ON du.s = und.u JOIN deg dv ON dv.s = und.v
+    )
+    SELECT m AS m_edges, s_jk, s_sum, s_sq,
+           CASE WHEN 2 * m * s_sq - s_sum * s_sum <> 0 THEN
+             CAST(floor(1e6 * (4 * m * s_jk - s_sum * s_sum)
+                        / (2 * m * s_sq - s_sum * s_sum) + 0.5) AS BIGINT)
+           ELSE NULL END AS assortativity_micro
+    FROM sums
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002, Phys. Rev. Lett. 89): the
+    Pearson correlation of degrees across edges — positive means hubs
+    link to hubs (social networks), negative means hubs link to leaves
+    (the web, biology). For a crawl graph it is the one-number summary
+    that predicts whether hub-capped algorithms (the clustering-
+    coefficient guard, prefix-filter skew bounds) will bite.
+
+    Exactness: with the ½(j+k) symmetrized form the correlation reduces
+    to r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²) — three
+    INTEGER edge sums and one final double division, so both engines
+    agree to the last micro-unit regardless of partition order.
+
+    Scale shape: degree table (one groupBy), one edges⋈deg⋈deg join
+    keyed on endpoints, one combinable 4-sum aggregate — nothing beyond
+    the standard two-hop machinery, no windows, no collect."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = (
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select(
+            (F.col("o_custkey") % 3000).alias("s"),
+            (F.col("o_orderkey") % 3000).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    und = raw.select(
+        F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
+    ).distinct()
+    adj = (
+        raw.select("s", "d")
+        .unionAll(raw.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+    )
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("s").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("s").alias("v"), F.col("deg").alias("dv"))
+    sums = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("du") * F.col("dv")).alias("s_jk"),
+            F.sum(F.col("du") + F.col("dv")).alias("s_sum"),
+            F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias(
+                "s_sq"
+            ),
+        )
+    )
+    num = F.lit(4) * F.col("m") * F.col("s_jk") - F.col("s_sum") * F.col("s_sum")
+    den = F.lit(2) * F.col("m") * F.col("s_sq") - F.col("s_sum") * F.col("s_sum")
+    return sums.select(
+        F.col("m").alias("m_edges"),
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        F.when(
+            den != 0,
+            F.floor(F.lit(1e6) * num / den + F.lit(0.5)).cast("long"),
+        ).alias("assortativity_micro"),  # regular graph: r is 0/0, report NULL
+    )

@@ -514,3 +514,29 @@ def test_clustering_coefficient_hub_cap(spark):
         assert capped[n]["degree"] == r["degree"]
         assert capped[n]["n_triangles"] == r["n_triangles"]
         assert capped[n]["lcc"] == r["lcc"]
+
+
+def test_assortativity_closed_forms(spark, tmp_path):
+    """Known graphs: a star K1,3 has r = -1 exactly (hubs link only to
+    leaves); a 4-cycle is degree-regular so r is 0/0 and must report
+    NULL, not crash or fake a number."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.queries.llm import graph_assortativity
+
+    def run(edges):
+        d = str(tmp_path / f"g{len(edges)}")
+        rows = [(s, d2) for s, d2 in edges]
+        spark.createDataFrame(
+            rows, "o_custkey long, o_orderkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        return graph_assortativity(spark, d).collect()[0]
+
+    star = run([(0, 1), (0, 2), (0, 3)])
+    assert star["m_edges"] == 3
+    assert star["assortativity_micro"] == -1_000_000
+    cycle = run([(10, 11), (11, 12), (12, 13), (13, 10)])
+    assert cycle["m_edges"] == 4
+    assert cycle["assortativity_micro"] is None
