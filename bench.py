@@ -227,6 +227,8 @@ HEADLINE = [
     "layout_partition_advisor",
     "multimodal_resize_attest",
     "multimodal_frame_sample",
+    "graph_assortativity",
+    "stream_percentile_windowed",
 ]
 
 

@@ -135,6 +135,8 @@ _SHOWCASE_ORDER = [
     "multimodal_motion_energy",  # NEW: integer SAD frame profile
     "text_code_detect",          # NEW: code-vs-prose router
     "layout_partition_advisor",  # NEW: partition-column scoring
+    "graph_assortativity",       # NEW: integer Newman r
+    "stream_percentile_windowed",  # NEW: exact streaming quantiles
     "multimodal_resize_attest",  # NEW: pixel-exact NN resize
     "multimodal_frame_sample",   # NEW: even-spacing frame grid
     # (3) the oldest (r2) attestations — refresh to exactly 50

@@ -764,3 +764,48 @@ def stream_topk_mg(spark, sf_dir):
             (F.coalesce("n_missed", F.lit(0)) == 0).alias("frequent_covered"),
         )
     )
+
+
+@register(
+    "stream_percentile_windowed",
+    oracle="""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT bucket, event_type, list_sort(list(cents)) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY bucket, event_type
+    )
+    SELECT bucket, event_type, n,
+           CAST(floor(1e6 * (CAST(vs[CAST(floor((n - 1) * 0.5) AS INT) + 1]
+                                  AS DOUBLE)
+                 + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+                   * (CAST(vs[least(CAST(floor((n - 1) * 0.5) AS INT) + 2, n)]
+                           AS DOUBLE)
+                      - CAST(vs[CAST(floor((n - 1) * 0.5) AS INT) + 1]
+                             AS DOUBLE))) + 0.5) AS BIGINT) AS p50_micro,
+           CAST(floor(1e6 * (CAST(vs[CAST(floor((n - 1) * 0.95) AS INT) + 1]
+                                  AS DOUBLE)
+                 + ((n - 1) * 0.95 - floor((n - 1) * 0.95))
+                   * (CAST(vs[least(CAST(floor((n - 1) * 0.95) AS INT) + 2, n)]
+                           AS DOUBLE)
+                      - CAST(vs[CAST(floor((n - 1) * 0.95) AS INT) + 1]
+                             AS DOUBLE))) + 0.5) AS BIGINT) AS p95_micro
+    FROM g
+    """,
+)
+def stream_percentile_windowed(spark, sf_dir):
+    """EXACT streaming percentiles (p50/p95 of integer cents) per hourly
+    window and event type — the latency/SLA rollup, converged to the
+    batch answer. State per group is the sorted value list (the honest
+    cost of exact quantiles; the mergeable-sketch alternative is
+    ``sketch_quantile_report``), and the (n−1)p interpolation is written
+    out explicitly over the sorted array so the oracle states the
+    identical IEEE arithmetic on both engines."""
+    return _run(
+        SE.windowed_percentiles(SE.stream_events(spark, sf_dir)),
+        "q_pct",
+    )

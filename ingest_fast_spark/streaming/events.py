@@ -272,3 +272,44 @@ def stream_stream_interval_join(
         F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
         F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
     )
+
+
+def windowed_percentiles(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact per-window p50/p95 of integer-cent values per event type —
+    the latency/SLA rollup every monitoring pipeline keeps. EXACT
+    percentiles need each window's full value multiset, so the streaming
+    state per (window, type) group is its sorted value list — bounded by
+    window span × event rate, the honest cost of exactness (at firehose
+    rates swap in the mergeable quantile sketch of
+    ``sketch_quantile_report``; the algebra here is the attestation
+    target). The interpolation is written out explicitly over the sorted
+    array — k = ⌊(n−1)p⌋, lo + frac·(hi−lo), micro-floored — so the
+    DuckDB oracle states the identical arithmetic instead of trusting
+    two engines' percentile() internals to match."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def pct(p):
+        n = F.size("vs")
+        idx = (n - 1).cast("double") * F.lit(p)
+        k = F.floor(idx).cast("int")
+        frac = idx - k.cast("double")
+        lo = F.element_at("vs", k + 1).cast("double")
+        hi = F.element_at("vs", F.least(k + 2, n)).cast("double")
+        return (
+            F.floor(F.lit(1e6) * (lo + frac * (hi - lo)) + F.lit(0.5))
+            .cast("long")
+        )
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sort_array(F.collect_list(cents)).alias("vs"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+            F.size("vs").cast("long").alias("n"),
+            pct(0.5).alias("p50_micro"),
+            pct(0.95).alias("p95_micro"),
+        )
+    )
