@@ -229,6 +229,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "graph_assortativity",
     "stream_percentile_windowed",
+    "curation_epoch_schedule",
 ]
 
 

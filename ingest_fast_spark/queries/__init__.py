@@ -137,6 +137,7 @@ _SHOWCASE_ORDER = [
     "layout_partition_advisor",  # NEW: partition-column scoring
     "graph_assortativity",       # NEW: integer Newman r
     "stream_percentile_windowed",  # NEW: exact streaming quantiles
+    "curation_epoch_schedule",   # NEW: token-budget repeat rule
     "multimodal_resize_attest",  # NEW: pixel-exact NN resize
     "multimodal_frame_sample",   # NEW: even-spacing frame grid
     # (3) the oldest (r2) attestations — refresh to exactly 50

@@ -4142,3 +4142,90 @@ def layout_partition_advisor(spark, sf_dir):
     return scored.select(
         "*", (F.rank().over(w) == 1).alias("recommended")
     )
+
+
+@register(
+    "curation_epoch_schedule",
+    oracle=r"""
+    WITH n AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+                  '\s+'), t -> length(t) > 0))) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+      GROUP BY source
+      HAVING n_tokens > 0
+    ),
+    s AS (
+      SELECT source, n_tokens,
+             CAST(floor(1e6 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+               AS s_micro
+      FROM n
+    ),
+    tot AS (
+      SELECT CAST(SUM(s_micro) AS BIGINT) AS w,
+             CAST(SUM(n_tokens) AS BIGINT) AS nt
+      FROM s
+    )
+    SELECT s.source, s.n_tokens,
+           CAST(floor(2.0 * tot.nt * s.s_micro / tot.w) AS BIGINT) AS draws,
+           CAST(floor(1000.0 * floor(2.0 * tot.nt * s.s_micro / tot.w)
+                      / s.n_tokens) AS BIGINT) AS epochs_milli,
+           floor(1000.0 * floor(2.0 * tot.nt * s.s_micro / tot.w)
+                 / s.n_tokens) > 4000 AS over_repeat_cap
+    FROM s CROSS JOIN tot
+    """,
+)
+def curation_epoch_schedule(spark, sf_dir):
+    """Epoch schedule under a token budget — the data-constrained-scaling
+    decision (Muennighoff et al. 2023: value decays past ~4 repeats):
+    given temperature-mixture weights (α = ½, the
+    ``curation_mixture_weights`` rule) and a training budget of 2× the
+    corpus token count, how many tokens are DRAWN from each source and
+    how many EPOCHS of it does that imply? Sources whose schedule
+    exceeds 4 epochs are flagged — those are the ones to de-weight or
+    augment before training, and the flag is precisely what the repeat
+    rule exists to catch (upsampled low-resource sources blow the cap
+    first).
+
+    Exactness: draws = ⌊B·sᵢ/W⌋ and epochs = ⌊1000·draws/nᵢ⌋ are single
+    floored double divisions over exact integer aggregates — identical
+    IEEE sequences both engines. Scale shape: identical to the mixture
+    query — one combinable per-source aggregate, then |sources| rows."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    )
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    n = (
+        d.groupBy("source")
+        .agg(F.sum(toks.cast("long")).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    s = n.select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(1e6) * F.sqrt(F.col("n_tokens").cast("double")))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    tot = s.agg(F.sum("s_micro").alias("w"), F.sum("n_tokens").alias("nt"))
+    draws = F.floor(
+        F.lit(2.0) * F.col("nt") * F.col("s_micro") / F.col("w")
+    ).cast("long")
+    epochs = F.floor(
+        F.lit(1000.0) * draws.cast("double") / F.col("n_tokens")
+    ).cast("long")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        draws.alias("draws"),
+        epochs.alias("epochs_milli"),
+        (epochs > 4000).alias("over_repeat_cap"),
+    )

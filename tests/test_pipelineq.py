@@ -667,3 +667,22 @@ def test_partition_advisor_prefers_balanced_midcardinality(spark):
     # the dominant status partition holds >30% of rows — the skew the
     # evenness term exists to punish
     assert rows["o_orderstatus"]["top1_share_micro"] > 300_000
+
+
+def test_epoch_schedule_conserves_budget_and_flags_small_sources(spark):
+    """Total draws must equal the 2x-corpus budget within one floor step
+    per source; sqrt-temperature upsampling means the SMALLEST source
+    carries the highest epoch count; any over_repeat_cap flag implies
+    epochs > 4.0."""
+    from ingest_fast_spark.queries.pipelineq import curation_epoch_schedule
+
+    rows = curation_epoch_schedule(spark, SF).collect()
+    assert rows
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    total_draws = sum(r["draws"] for r in rows)
+    assert 0 <= 2 * total_tokens - total_draws <= len(rows)
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    assert smallest["epochs_milli"] > largest["epochs_milli"]
+    for r in rows:
+        assert r["over_repeat_cap"] == (r["epochs_milli"] > 4000)
