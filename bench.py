@@ -230,6 +230,7 @@ HEADLINE = [
     "graph_assortativity",
     "stream_percentile_windowed",
     "curation_epoch_schedule",
+    "ivm_incremental_topk",
 ]
 
 

@@ -138,6 +138,7 @@ _SHOWCASE_ORDER = [
     "graph_assortativity",       # NEW: integer Newman r
     "stream_percentile_windowed",  # NEW: exact streaming quantiles
     "curation_epoch_schedule",   # NEW: token-budget repeat rule
+    "ivm_incremental_topk",      # NEW: slack-buffer order IVM
     "multimodal_resize_attest",  # NEW: pixel-exact NN resize
     "multimodal_frame_sample",   # NEW: even-spacing frame grid
     # (3) the oldest (r2) attestations — refresh to exactly 50

@@ -3372,3 +3372,145 @@ def agg_bootstrap_ci_fast_invariants(spark, sf_dir):
         ).alias("ci_brackets_total"),
         ((fw * 5 >= F.col("pw")) & (fw <= F.col("pw") * 5)).alias("width_ratio_ok"),
     )
+
+
+@register(
+    "ivm_incremental_topk",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    thr AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS t FROM (
+        SELECT c FROM base ORDER BY c DESC, o_custkey LIMIT 20)
+    ),
+    edited AS (
+      SELECT o_custkey,
+             CAST(floor((o_totalprice + CASE WHEN o_orderkey % 7 = 0
+                                             THEN 100 ELSE 0 END)
+                        * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_custkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderkey % 11 = 0
+    ),
+    newtot AS (
+      SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM edited GROUP BY o_custkey
+    ),
+    top10 AS (
+      SELECT o_custkey, total_cents, n_orders,
+             CAST(ROW_NUMBER() OVER (ORDER BY total_cents DESC, o_custkey)
+                  AS BIGINT) AS rank
+      FROM newtot ORDER BY total_cents DESC, o_custkey LIMIT 10
+    )
+    SELECT rank, o_custkey, total_cents, n_orders,
+           (SELECT MIN(total_cents) FROM top10) < thr.t AS underflow
+    FROM top10 CROSS JOIN thr
+    """,
+)
+def ivm_incremental_topk(spark, sf_dir):
+    """Incremental view maintenance for an ORDER-SENSITIVE view — the
+    top-10 customers by spend — completing the IVM family (aggregate:
+    ``ivm_incremental_agg``; join: ``ivm_incremental_join``). Top-k is
+    not a ring aggregate, so the standard trick is a SLACK BUFFER: keep
+    the top-2k entries of the maintained per-customer totals view, apply
+    the changeset only to buffer members and delta-touched customers
+    (key lookups into the maintained view — never a base rescan), and
+    take the new top-k from those candidates. Correct whenever the
+    maintained k-th total still clears the pre-edit 2k-th total (every
+    untouched customer outside the buffer sits below it); the
+    ``underflow`` flag is exactly that guard — FALSE means the
+    maintained answer is provably the true top-k, TRUE means this batch
+    must fall back to one re-rank of the totals view (still never the
+    base table). The oracle recomputes the top-10 from the edited table
+    in full and derives the same flag, so a green row proves maintained
+    == recomputed under the same CDC rule as the other IVM queries.
+
+    Scale shape: the maintained totals view is |customers| rows; the
+    changeset aggregation is map-side combinable; candidates are ≤ 2k +
+    |touched customers| rows; the final rank is a 30-row sort."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    k = F.col("o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.groupBy("o_custkey").agg(
+        F.sum(cents).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    buffer = base.orderBy(F.desc("c"), F.asc("o_custkey")).limit(20)
+    thr = buffer.agg(F.min("c").alias("t"))
+    # Signed per-customer deltas under the shared CDC edit rule.
+    deletes = o.filter(k % 13 == 0).select(
+        "o_custkey", (-cents).alias("dc"), F.lit(-1).cast("long").alias("dn")
+    )
+    upd_old = o.filter((k % 7 == 0) & (k % 13 != 0)).select(
+        "o_custkey", (-cents).alias("dc"), F.lit(-1).cast("long").alias("dn")
+    )
+    upd_new = o.filter((k % 7 == 0) & (k % 13 != 0)).select(
+        "o_custkey",
+        F.floor((F.col("o_totalprice") + 100) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("dc"),
+        F.lit(1).cast("long").alias("dn"),
+    )
+    inserts = o.filter(k % 11 == 0).select(
+        "o_custkey", cents.alias("dc"), F.lit(1).cast("long").alias("dn")
+    )
+    deltas = (
+        deletes.unionByName(upd_old)
+        .unionByName(upd_new)
+        .unionByName(inserts)
+        .groupBy("o_custkey")
+        .agg(F.sum("dc").alias("dc"), F.sum("dn").alias("dn"))
+    )
+    # Candidates: buffer ∪ touched — totals by key lookup into the
+    # maintained view (base here), never a rescan of orders.
+    cand_keys = (
+        buffer.select("o_custkey").unionByName(deltas.select("o_custkey")).distinct()
+    )
+    cand = (
+        base.join(cand_keys, "o_custkey", "leftsemi")
+        .join(deltas, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            (F.col("c") + F.coalesce(F.col("dc"), F.lit(0))).alias("total_cents"),
+            (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    top10 = (
+        cand.orderBy(F.desc("total_cents"), F.asc("o_custkey"))
+        .limit(10)
+        .select(
+            "*",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("total_cents"), F.asc("o_custkey"))
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    kmin = top10.agg(F.min("total_cents").alias("m"))
+    return (
+        top10.crossJoin(F.broadcast(kmin))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "rank",
+            "o_custkey",
+            "total_cents",
+            "n_orders",
+            (F.col("m") < F.col("t")).alias("underflow"),
+        )
+    )

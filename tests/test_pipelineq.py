@@ -686,3 +686,23 @@ def test_epoch_schedule_conserves_budget_and_flags_small_sources(spark):
     assert smallest["epochs_milli"] > largest["epochs_milli"]
     for r in rows:
         assert r["over_repeat_cap"] == (r["epochs_milli"] > 4000)
+
+
+def test_ivm_topk_guard_and_shape(spark):
+    """The slack-buffer maintenance must produce a valid ranking (1..10,
+    totals non-increasing, ties broken by custkey) with the underflow
+    guard FALSE on this changeset — the condition under which the
+    oracle's full-recompute equality (driver-checked) proves the
+    maintained answer exactly."""
+    from ingest_fast_spark.queries.relational import ivm_incremental_topk
+
+    rows = sorted(
+        ivm_incremental_topk(spark, SF).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert all(not r["underflow"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert (a["total_cents"], -a["o_custkey"]) >= (
+            b["total_cents"], -b["o_custkey"]
+        )
+        assert a["total_cents"] >= b["total_cents"]
