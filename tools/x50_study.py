@@ -60,6 +60,10 @@ QUERIES = [
     "embed_matryoshka_recall",
     "text_code_detect",
     "layout_partition_advisor",
+    "graph_assortativity",
+    "stream_percentile_windowed",
+    "curation_epoch_schedule",
+    "ivm_incremental_topk",
     # continuity canaries from the r8 study
     "dedup_winnowing",
     "dedup_winnowing_fast",
