@@ -23,9 +23,15 @@ greedy BPE merge semantics including the overlapping-run case
 expressible in BOTH engines, so the registered query is oracle-EXACT —
 rare for an iterative algorithm (cf. graph_pagerank's unrolled oracle).
 
-No driver-side collect anywhere: the per-round argmax is a 1-row
-DataFrame crossJoin-broadcast back into the merge application; rounds
-are localCheckpoint-barriered so the plan stays linear in rounds.
+Driver state is bounded at the algorithm's constants: the per-round
+argmax is ONE collected row (the ``quality_train_logreg`` convention —
+algorithm-intrinsic scalars, never data), so each round is exactly one
+Spark job (the pair-count TakeOrdered) and the chosen merge folds back
+into the next round's plan as literal strings. The r8 formulation
+instead kept the argmax distributed (1-row crossJoin-broadcast) with
+TWO eager localCheckpoints per round — 16 extra jobs and 8 vocab
+materializations whose fixed cost dominated the sf0.1 bench
+(optimization guide §1.2: remove passes before tuning per-task work).
 """
 
 from __future__ import annotations
@@ -61,27 +67,32 @@ def _symbols(repr_col) -> F.Column:
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
-    """Learn ``n_merges`` BPE merges from the corpus. Returns
-    (rank, left_sym, right_sym, freq): the merge table in learned order,
-    where ``freq`` is the pair's weighted count at the time it was
-    chosen. Deterministic: ties broken lexicographically on (left,
-    right), and string order is codepoint order in both engines."""
-    w = (
-        word_freq_table(docs, text_col)
-        .select(_initial_repr(F.col("word")).alias("repr"), "freq")
-        .localCheckpoint(eager=True)
-    )
-    if w.isEmpty():
-        # Degenerate corpus: skip the 8 rounds of (argmax + replace +
-        # checkpoint) jobs they'd burn producing nothing. Same 0-row
-        # result the oracle's CTEs produce on an empty word table.
-        return docs.sparkSession.createDataFrame(
-            [], "rank int, left_sym string, right_sym string, freq long"
-        )
-    bests: list[DataFrame] = []
+def bpe_train_local(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    wf: DataFrame | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; return them as a bounded python list
+    [(rank, left_sym, right_sym, freq)]. The per-round argmax is ONE
+    collected row (bounded, algorithm-intrinsic driver state — the
+    ``quality_train_logreg`` convention), so each round costs exactly one
+    Spark job: the pair-count TakeOrderedAndProject over the checkpointed
+    word table with the already-chosen merges applied as a chained
+    literal ``replace`` (map-only, identical composition to the oracle's
+    materialized w0→w1→… CTEs — replace is a deterministic function, so
+    chaining == re-materializing). Deterministic ties as before
+    (freq DESC, then lexicographic on codepoints — both engines agree).
+
+    ``wf`` lets callers share one checkpointed (word, freq) table between
+    training and the encode pass (saves a corpus-sized aggregation)."""
+    if wf is None:
+        wf = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    w = wf.select(_initial_repr(F.col("word")).alias("repr"), "freq")
+    merges: list[tuple[int, str, str, int]] = []
+    expr = F.col("repr")
     for r in range(n_merges):
-        syms = _symbols(F.col("repr"))
+        syms = _symbols(expr)
         pairs = F.when(
             F.size(syms) >= 2,
             F.transform(
@@ -97,27 +108,30 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("pair_freq"))
         )
-        best = (
-            pc.orderBy(F.desc("pair_freq"), "a", "b")
-            .limit(1)
-            .localCheckpoint(eager=True)  # 1 row, materialized on executors
+        rows = pc.orderBy(F.desc("pair_freq"), "a", "b").limit(1).collect()
+        if not rows:
+            # Merge exhaustion (or empty corpus): no pair left anywhere.
+            # Matches the oracle, whose b_r CTE is empty from here on.
+            break
+        a, b, pf = rows[0]["a"], rows[0]["b"], int(rows[0]["pair_freq"])
+        merges.append((r + 1, a, b, pf))
+        expr = F.replace(
+            expr,
+            F.lit(SEP + a + _SEP2 + b + SEP),
+            F.lit(SEP + a + b + SEP),
         )
-        bests.append(best.select(F.lit(r + 1).alias("rank"), "a", "b", "pair_freq"))
-        search = F.concat(F.lit(SEP), F.col("a"), F.lit(_SEP2), F.col("b"), F.lit(SEP))
-        repl = F.concat(F.lit(SEP), F.col("a"), F.col("b"), F.lit(SEP))
-        w = (
-            w.crossJoin(F.broadcast(best))
-            .select(F.replace(F.col("repr"), search, repl).alias("repr"), "freq")
-            .localCheckpoint(eager=True)
-        )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "rank",
-        F.col("a").alias("left_sym"),
-        F.col("b").alias("right_sym"),
-        F.col("pair_freq").alias("freq"),
+    return merges
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    (rank, left_sym, right_sym, freq): the merge table in learned order,
+    where ``freq`` is the pair's weighted count at the time it was
+    chosen. Deterministic: ties broken lexicographically on (left,
+    right), and string order is codepoint order in both engines."""
+    merges = bpe_train_local(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, freq long"
     )
 
 
@@ -201,32 +215,61 @@ def bpe_oracle_sql(n_merges: int = 8) -> str:
     """
 
 
+def _merges_as_list(merges) -> list[tuple[int, str, str]]:
+    """Normalize a merge table (bounded python list or the ≤n_merges-row
+    DataFrame ``bpe_train`` returns) to [(rank, left, right)]."""
+    if isinstance(merges, DataFrame):
+        return [
+            (r["rank"], r["left_sym"], r["right_sym"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    return [(m[0], m[1], m[2]) for m in merges]
+
+
 def bpe_word_lengths(
-    docs: DataFrame, merges: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    merges,
+    n_merges: int = 8,
+    text_col: str = "text",
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """(word, n_bpe_word) for every DISTINCT corpus word under a learned
     merge table — the vocabulary-sized encode pass shared by
     ``bpe_encode_lengths`` and the fertility report. Merge application is
-    the same portable string replace as training, chained in rank
-    order."""
-    wf = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    the same portable string replace as training, chained in rank order
+    as literal strings (the merge table is ≤ n_merges rows by
+    construction — bounded, so inlining it is the broadcast-join's
+    degenerate case with zero exchanges). ``merges`` may be the bounded
+    list from ``bpe_train_local`` or the DataFrame from ``bpe_train``."""
+    ms = _merges_as_list(merges)
+    by_rank = {r: (a, b) for r, a, b in ms}
+    if wf is None:
+        wf = word_freq_table(docs, text_col)
     enc = wf.select("word", _initial_repr(F.col("word")).alias("repr"))
     expr = F.col("repr")
     for r in range(1, n_merges + 1):
-        m = merges.filter(F.col("rank") == r).select(
-            F.col("left_sym").alias(f"a{r}"), F.col("right_sym").alias(f"b{r}")
+        if r not in by_rank:
+            # Exhausted merge table: rank r is EMPTY, and the r8 crossJoin
+            # formulation (like the oracle's CROSS JOIN over an empty b_r)
+            # produced an empty relation — preserve that contract.
+            return enc.sparkSession.createDataFrame(
+                [], "word string, n_bpe_word int"
+            )
+        a, b = by_rank[r]
+        expr = F.replace(
+            expr,
+            F.lit(SEP + a + _SEP2 + b + SEP),
+            F.lit(SEP + a + b + SEP),
         )
-        enc = enc.crossJoin(F.broadcast(m))
-        search = F.concat(
-            F.lit(SEP), F.col(f"a{r}"), F.lit(_SEP2), F.col(f"b{r}"), F.lit(SEP)
-        )
-        repl = F.concat(F.lit(SEP), F.col(f"a{r}"), F.col(f"b{r}"), F.lit(SEP))
-        expr = F.replace(expr, search, repl)
     return enc.select("word", F.size(_symbols(expr)).alias("n_bpe_word"))
 
 
 def bpe_encode_lengths(
-    docs: DataFrame, merges: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    merges,
+    n_merges: int = 8,
+    text_col: str = "text",
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge table to the corpus and report per-document
     BPE token counts next to whitespace token counts (the number packing
@@ -234,7 +277,7 @@ def bpe_encode_lengths(
     encoded once (vocabulary-sized work), then the per-doc counts come
     from a broadcast join of the word→length map onto the exploded token
     stream — the corpus never carries symbol strings through a shuffle."""
-    word_lens = bpe_word_lengths(docs, merges, n_merges, text_col)
+    word_lens = bpe_word_lengths(docs, merges, n_merges, text_col, wf=wf)
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"),

@@ -5739,8 +5739,9 @@ def bpe_train_merges(spark, sf_dir):
     the first 8 merge rules from the corpus, operating on the word-
     frequency table so every round after the single corpus-sized
     groupBy(word) touches only a vocabulary-sized relation. The per-round
-    argmax is a 1-row broadcast (no driver collect); merge application is
-    a map-only string replace over an engine-portable symbol encoding,
+    argmax is ONE collected row (bounded algorithm state, the
+    quality_train_logreg convention); merge application is a map-only
+    string replace over an engine-portable symbol encoding,
     which is what makes this ITERATIVE algorithm oracle-EXACT in DuckDB
     (the oracle unrolls the same 8 rounds as CTEs). Greedy-merge parity
     with a pure-Python tuple-based reference is pinned in
@@ -5769,10 +5770,14 @@ def bpe_encode_lengths(spark, sf_dir):
     symbol strings. Oracle-exact end-to-end: the DuckDB twin re-trains
     the same merges in unrolled CTEs and re-applies them."""
     from ..operators.bpe import bpe_encode_lengths as enc
-    from ..operators.bpe import bpe_train
+    from ..operators.bpe import bpe_train_local, word_freq_table
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return enc(d, bpe_train(d, n_merges=8), n_merges=8)
+    # ONE corpus-sized word aggregation, checkpointed, shared by training
+    # and the encode pass (the r8 shape computed it twice).
+    wf = word_freq_table(d).localCheckpoint(eager=True)
+    merges = bpe_train_local(d, n_merges=8, wf=wf)
+    return enc(d, merges, n_merges=8, wf=wf)
 
 
 def _bpe_fertility_oracle() -> str:
@@ -5797,10 +5802,11 @@ def bpe_fertility_by_source(spark, sf_dir):
     stream (hint-free: the vocabulary is unbounded at 100 TB, AQE
     broadcasts while it fits) feeding a per-source partial-aggregable
     rollup. Oracle-exact end-to-end via the unrolled-CTE training twin."""
-    from ..operators.bpe import bpe_train, bpe_word_lengths
+    from ..operators.bpe import bpe_train_local, bpe_word_lengths, word_freq_table
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    wl = bpe_word_lengths(d, bpe_train(d, n_merges=8), n_merges=8)
+    wf = word_freq_table(d).localCheckpoint(eager=True)
+    wl = bpe_word_lengths(d, bpe_train_local(d, n_merges=8, wf=wf), n_merges=8, wf=wf)
     words = d.select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),

@@ -3752,6 +3752,16 @@ def quality_train_logreg(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     n = feats.count()
+    # The 25 GD steps are SEQUENTIAL tiny aggregates: each job's cost at
+    # bench scale is per-task fixed overhead on every checkpointed block,
+    # not arithmetic. Narrow-coalesce the iterate-side read to a
+    # byte-proportional width (~8 MB/partition of 3-double rows) so each
+    # step schedules a handful of tasks instead of one per core
+    # (optimization guide §1.2/§2.2: fewer, larger partitions when the
+    # relation is small relative to the cluster). Scale-adaptive: at 1e9+
+    # rows this exceeds the checkpoint's own width and is a no-op.
+    it_parts = max(1, (n * 32) // (8 << 20))
+    feats_it = feats.coalesce(int(it_parts)) if it_parts < feats.rdd.getNumPartitions() else feats
     if n == 0:
         # Empty input: no gradient exists (SUM over zero rows is NULL and
         # accuracy is 0/0) — emit the report shape with NULL values
@@ -3766,13 +3776,13 @@ def quality_train_logreg(spark, sf_dir):
     for _ in range(_LR_ITERS):
         z = F.lit(w[0]) * F.lit(1.0) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
         dd = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
-        g = feats.agg(
+        g = feats_it.agg(
             *[F.sum(F.floor(dd * x * F.lit(1e9))).alias(f"g{j}") for j, x in enumerate(xs)]
         ).collect()[0]
         w = [w[j] - _LR_RATE * ((g[f"g{j}"] / 1e9) / n) for j in range(3)]
     z = F.lit(w[0]) * F.lit(1.0) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    n_correct = feats.agg(
+    n_correct = feats_it.agg(
         F.sum(
             F.when((sig >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0)
         ).alias("c")
