@@ -21,10 +21,15 @@ from . import register
 _SEQ = itertools.count()
 
 
-def _run(df, base_name: str, output_mode: str = "complete"):
+def _run(df, base_name: str, output_mode: str = "complete", width: int | None = None):
     # Unique sink name per invocation: queries may run several times in one
     # session (selfcheck, driver, tests) and memory-sink names are global.
-    return SE.run_available_now(df, f"{base_name}_{next(_SEQ)}", output_mode)
+    # ``width`` sizes the state-store count to the input (JVM-side
+    # stateful operators only — see SE.stream_state_width); Python
+    # stateful handlers keep full parallelism.
+    return SE.run_available_now(
+        df, f"{base_name}_{next(_SEQ)}", output_mode, state_partitions=width
+    )
 
 
 @register(
@@ -39,7 +44,11 @@ def _run(df, base_name: str, output_mode: str = "complete"):
 )
 def stream_windowed_counts(spark, sf_dir):
     """Watermarked tumbling-window streaming agg == batch time_bucket."""
-    return _run(SE.windowed_counts(SE.stream_events(spark, sf_dir)), "q_win")
+    return _run(
+        SE.windowed_counts(SE.stream_events(spark, sf_dir)),
+        "q_win",
+        width=SE.stream_state_width(spark, sf_dir),
+    )
 
 
 @register(
@@ -59,7 +68,11 @@ def stream_windowed_counts(spark, sf_dir):
 def stream_sliding_counts(spark, sf_dir):
     """1h/30m sliding windows: every event lands in exactly two windows
     (the two 30-min-aligned starts covering its timestamp)."""
-    return _run(SE.sliding_window_counts(SE.stream_events(spark, sf_dir)), "q_slide")
+    return _run(
+        SE.sliding_window_counts(SE.stream_events(spark, sf_dir)),
+        "q_slide",
+        width=SE.stream_state_width(spark, sf_dir),
+    )
 
 
 @register(
@@ -92,6 +105,9 @@ def stream_session_windows(spark, sf_dir):
     return _run(
         SE.session_window_counts(SE.stream_events(spark, sf_dir), gap="30 minutes"),
         "q_sess",
+        # width=bytes-adaptive measured SLOWER here (1.45 vs 1.25 s): the
+        # session-merge operator's per-key sort work outweighs the
+        # store-count overhead — keep full parallelism.
     )
 
 
@@ -133,6 +149,7 @@ def stream_interval_join(spark, sf_dir):
         SE.stream_stream_interval_join(SE.stream_events(spark, sf_dir)),
         "q_ssjoin",
         output_mode="append",
+        width=SE.stream_state_width(spark, sf_dir),
     )
 
 
@@ -149,7 +166,8 @@ def stream_dedup(spark, sf_dir):
     input is finite)."""
     stream = SE.stream_events(spark, sf_dir).select("user_id", "event_type")
     return _run(stream.dropDuplicates(["user_id", "event_type"]), "q_dedup",
-                output_mode="append")
+                output_mode="append",
+                width=SE.stream_state_width(spark, sf_dir))
 
 
 @register(
@@ -183,7 +201,8 @@ def stream_static_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    return _run(agg, "q_static_join", output_mode="complete")
+    return _run(agg, "q_static_join", output_mode="complete",
+                width=SE.stream_state_width(spark, sf_dir))
 
 
 @register(
@@ -205,7 +224,8 @@ def stream_dedup_within_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run(deduped, "q_dedup_wm", output_mode="append")
+    return _run(deduped, "q_dedup_wm", output_mode="append",
+                width=SE.stream_state_width(spark, sf_dir))
 
 
 @register(
@@ -235,6 +255,7 @@ def stream_hourly_rollup(spark, sf_dir):
         SE.hourly_rollup_of_quarters(SE.stream_events(spark, sf_dir)),
         "q_chain",
         output_mode="append",
+        width=SE.stream_state_width(spark, sf_dir),
     )
 
 
@@ -380,7 +401,8 @@ def stream_hll_registers(spark, sf_dir):
         .groupBy("register")
         .agg(F.max("rho").alias("rho"))
     )
-    done = _run(regs, "q_hll", output_mode="complete")
+    done = _run(regs, "q_hll", output_mode="complete",
+                width=SE.stream_state_width(spark, sf_dir))
     spine = spark.range(K.HLL_M).select(F.col("id").alias("register"))
     dense = spine.join(done, "register", "left").select(
         "register", F.coalesce("rho", F.lit(0)).cast("int").alias("rho")
@@ -468,7 +490,8 @@ def stream_hll_windowed(spark, sf_dir):
     regs = routed.groupBy(F.window("ts", "1 hour").alias("w"), "register").agg(
         F.max("rho").alias("rho")
     )
-    done = _run(regs, "q_hll_win", output_mode="complete").select(
+    done = _run(regs, "q_hll_win", output_mode="complete",
+                width=SE.stream_state_width(spark, sf_dir)).select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "register",
         "rho",
@@ -601,6 +624,10 @@ def stream_cms_windowed(spark, sf_dir):
     cells_stream = cells_in.groupBy(
         F.window("ts", "1 hour").alias("w"), "c.row_i", "c.bucket"
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # NO bytes-adaptive width here: CMS state is windows × d × w cells
+    # (~737k rows at sf0.1) — DECOUPLED from input bytes, and one store
+    # serializing that snapshot measured 5.95 s vs 3.60 s at full
+    # parallelism. State-heavy sketches keep one store per core.
     cells = _run(cells_stream, "q_cms_win", output_mode="complete").select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         F.col("row_i"),
@@ -808,4 +835,5 @@ def stream_percentile_windowed(spark, sf_dir):
     return _run(
         SE.windowed_percentiles(SE.stream_events(spark, sf_dir)),
         "q_pct",
+        width=SE.stream_state_width(spark, sf_dir),
     )
