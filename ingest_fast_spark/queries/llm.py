@@ -3810,28 +3810,46 @@ def pack_span_corruption(spark, sf_dir):
             == 0
         )
 
-    def masked(t):
+    pos = F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - 1)
+    # Hash each position ONCE into a per-row seed array; the old inlined
+    # formulation re-evaluated portable_hash60 (md5 + conv — the
+    # expensive part, see agg_bootstrap_ci's breakdown) up to 9× per
+    # position across the masked/sentinel lambdas. The seed array is an
+    # attribute of the child projection, so the two aggregates below do
+    # cheap element_at lookups instead of re-hashing (guide §1.2: don't
+    # compute things you throw away). Same hash, same booleans, same
+    # output — oracle unchanged.
+    seeded = d.withColumn(
+        "seeds", F.transform(pos, lambda t: seed(t))
+    )
+
+    def m(t):
+        # masked at 0-based position t, reading the 1-based seed array.
+        # Every index is clamped to >= 1 because the old inlined form
+        # evaluated seed() harmlessly at negative positions under a
+        # false guard (e.g. m(t-1) at t=0) — element_at must stay in
+        # range the same way; the guards zero out the clamped reads.
+        s = F.col("seeds")
         return (
-            seed(t)
-            | ((t >= 1) & seed(t - 1))
-            | ((t >= 2) & seed(t - 2))
+            F.element_at(s, F.greatest((t + 1).cast("int"), F.lit(1)))
+            | ((t >= 1) & F.element_at(s, F.greatest(t.cast("int"), F.lit(1))))
+            | ((t >= 2) & F.element_at(s, F.greatest((t - 1).cast("int"), F.lit(1))))
         )
 
-    pos = F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - 1)
     n_masked = F.aggregate(
-        F.transform(pos, lambda t: F.when(masked(t), 1).otherwise(0)),
+        F.transform(pos, lambda t: F.when(m(t), 1).otherwise(0)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     n_sentinels = F.aggregate(
         F.transform(
             pos,
-            lambda t: F.when(masked(t) & ~((t >= 1) & masked(t - 1)), 1).otherwise(0),
+            lambda t: F.when(m(t) & ~((t >= 1) & m(t - 1)), 1).otherwise(0),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return d.select(
+    return seeded.select(
         "doc_id",
         "n_tokens",
         n_masked.alias("n_masked"),

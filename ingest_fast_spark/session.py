@@ -28,13 +28,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Keep AQE's parallelism-first coalescing at cluster parallelism even
-    # when post-shuffle bytes are tiny: the default 1 MB floor merges
-    # small-but-expression-heavy stages (interpreted HOF lambdas, pandas
-    # UDF batches) down to ONE task. With parallelismFirst (default true)
-    # the target stays max(bytes/parallelism, this floor), so at real
-    # scale bytes/parallelism dominates and this is a no-op.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1b",
+    # AQE tiny-shuffle coalescing floor. r8 pinned this to "1b" to keep
+    # small-but-expression-heavy post-shuffle stages (interpreted HOF
+    # lambdas, pandas batches) wide; measured this round, the cost of
+    # that choice is per-round fixed overhead on every iterative
+    # operator's tiny shuffles (graph_pagerank 2.23→1.04 s, graph_hits
+    # 3.49→1.47 s, bfs 2.43→1.54 s, kcore 2.03→1.45 s at sf0.1 with the
+    # 64 KB floor) — far outweighing the HOF-stage effect, which the
+    # bench showed within noise (expression-heavy stages are almost all
+    # map-side here, pinned by the full-bench A/B in OPTIMIZATION_r09).
+    # 64 KB (not the 1 MB default) still splits genuinely compute-heavy
+    # small stages across a few tasks; at real scale bytes/parallelism
+    # dominates either way and this floor is a no-op.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64kb",
     # Arrow for any pandas UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
