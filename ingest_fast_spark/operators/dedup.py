@@ -2219,14 +2219,21 @@ def weighted_minhash_pairs(
         F.col(id_col).alias("doc_id"), F.explode(sh).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # All num_seeds argmins in ONE groupBy(doc) pass as separate min_by
-    # aggregate expressions — no x16 corpus-row explode (the first-cut
-    # exploded formulation paid 16x rows into the aggregate; measured
-    # 68 -> 23 s at sf5 for the portable variant when rewritten this
-    # way). The exchange carries num_seeds small structs per doc per map
-    # task; each min_by is map-side partial-aggregable.
-    aggs = []
-    for seed in range(1, num_seeds + 1):
+    # The per-seed key numerator -ln(u(token, seed)) depends ONLY on the
+    # token, never the doc — and tokens repeat heavily across documents
+    # (measured 260k (doc, token) rows vs 27k distinct tokens at sf0.1,
+    # a 9.6x dedup factor; Heaps' law keeps the ratio favorable as the
+    # corpus grows). On the PORTABLE path, hash each DISTINCT token once
+    # into all num_seeds numerators and join them back, instead of
+    # re-deriving the md5 chain per (doc, token) row inside every
+    # min_by: 16 md5s x 260k rows -> 16 x 27k (guide §1.2 — don't
+    # recompute what a cheap lookup provides; one-JVM A/B min-of-3 at
+    # sf0.1: 5.01 -> 3.65 s). AQE broadcasts the token-dim table while
+    # it fits; at scale it degrades to one extra equi-join shuffle of
+    # narrow rows, still cheaper than 16 md5 chains per occurrence. The
+    # xxhash64 fast path keeps the inlined form: the hash is cheaper
+    # than the join (same A/B: 2.33 inlined vs 2.40 joined).
+    def u_for(seed):
         if portable:
             h = portable_hash60(
                 F.concat_ws("|", F.col("token"), F.lit(str(seed)))
@@ -2237,13 +2244,39 @@ def weighted_minhash_pairs(
             # sampling algebra is identical, only the hash family moves
             # off the md5 chain the oracle needs.
             h = F.pmod(F.xxhash64(F.col("token"), F.lit(seed)), F.lit(_CWS_M))
-        u = (h + F.lit(0.5)) / F.lit(float(_CWS_M))
-        k = -F.log(u) / F.col("tf")
-        aggs.append(
-            F.min_by("token", F.struct(k.alias("k"), F.col("token"))).alias(
-                f"_s{seed}"
-            )
+        return (h + F.lit(0.5)) / F.lit(float(_CWS_M))
+
+    if portable:
+        nlu_cols = [
+            (-F.log(u_for(seed))).alias(f"_nlu{seed}")
+            for seed in range(1, num_seeds + 1)
+        ]
+        tok_dim = tf.select("token").distinct().select("token", *nlu_cols)
+        tf = tf.join(tok_dim, "token")
+
+        def k_for(seed):
+            # nlu/tf is numerically IDENTICAL to the inlined
+            # -log(u)/tf (same double ops in the same order), so every
+            # argmin — and the oracle parity — is unchanged.
+            return F.col(f"_nlu{seed}") / F.col("tf")
+
+    else:
+
+        def k_for(seed):
+            return -F.log(u_for(seed)) / F.col("tf")
+
+    # All num_seeds argmins in ONE groupBy(doc) pass as separate min_by
+    # aggregate expressions — no x16 corpus-row explode (the first-cut
+    # exploded formulation paid 16x rows into the aggregate; measured
+    # 68 -> 23 s at sf5 for the portable variant when rewritten this
+    # way). The exchange carries num_seeds small structs per doc per map
+    # task; each min_by is map-side partial-aggregable.
+    aggs = [
+        F.min_by("token", F.struct(k_for(seed).alias("k"), F.col("token"))).alias(
+            f"_s{seed}"
         )
+        for seed in range(1, num_seeds + 1)
+    ]
     wide = tf.groupBy("doc_id").agg(*aggs)
     samp = wide.select(
         "doc_id",

@@ -7371,10 +7371,16 @@ def embedding_jl_distortion(spark, sf_dir):
         lambda acc, d: acc + d * d,
     )
     den = dot(F.col("v"), F.col("v"))
+    # The projection (32 interpreted HOF dot products per row) feeds BOTH
+    # the summary aggregate and the output rows; without a barrier each
+    # consumer recomputes it (no exchange in between to reuse).
+    # Materialize the narrow (vec_id, ratio_micro) frame once — 16
+    # bytes/row regardless of embedding width (guide §1.2 shared-subplan
+    # materialization; one-JVM A/B min-of-3 at sf0.1: 3.18 -> 1.70 s).
     r = e.select(
         "vec_id",
         F.floor(sq / den * 1000000.0 + 0.5).cast("long").alias("ratio_micro"),
-    )
+    ).localCheckpoint(eager=True)
     s = r.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(

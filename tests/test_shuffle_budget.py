@@ -203,8 +203,11 @@ SHUFFLE_BUDGET = {
     "record_linkage_fs": 2,
     "privacy_dp_histogram": 1,  # the (source, lang) count; noise is map-only
     # tf agg, per-(doc,seed) min_by agg, hot-bucket window, the (seed,
-    # token) pair self-join sides + pair agg
-    "dedup_weighted_minhash": 7,
+    # token) pair self-join sides + pair agg, + the token-dim hash-once
+    # leg (distinct + join-back; r9-opt — trades 2 narrow exchanges for
+    # 16 md5 chains per (doc,token) occurrence, 5.01->3.65 s at sf0.1;
+    # AQE broadcasts the dim side while it fits)
+    "dedup_weighted_minhash": 9,
     # postings of query terms only: the broadcast query filter keeps the
     # positional joins on one (doc)-keyed exchange + final pair agg
     "search_phrase_positional": 2,
