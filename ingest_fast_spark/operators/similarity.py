@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_parallelism
+from ..functions.scalars import lit_doubles
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -286,21 +287,21 @@ def kmeans_centroids(
         )
         if not rows:  # empty corpus (or all-null vectors): nothing to iterate
             break
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(r["centroid_id"]).cast("long").alias("cid"),
-                    F.array(
-                        *[
-                            F.lit(float(x)) if x is not None else F.lit(None)
-                            for x in r["centvec"]
-                        ]
-                    )
-                    .cast("array<double>")
-                    .alias("cv"),
+        # One SQL parse for the whole k x dim fold instead of a py4j
+        # round-trip per element (repr round-trips doubles exactly, so
+        # the folded values — and every cosine — are bit-identical).
+        from ..functions.scalars import _double_sql
+
+        cent_lit = F.expr(
+            "array("
+            + ",".join(
+                "named_struct('cid',{}L,'cv',array({}))".format(
+                    int(r["centroid_id"]),
+                    ",".join(_double_sql(x) for x in r["centvec"]),
                 )
                 for r in rows
-            ]
+            )
+            + ")"
         )
 
         def _scored(cc):
@@ -460,30 +461,46 @@ def cosine_near_dup_lsh(
     for bnd in range(bands):
         key = F.lit(0)
         for j in range(bits_per_band):
-            plane = F.array(*[F.lit(x) for x in planes[bnd * bits_per_band + j]])
+            # One SQL parse per plane instead of one py4j call per element
+            # (repr round-trips doubles exactly, so bits are unchanged).
+            plane = lit_doubles(planes[bnd * bits_per_band + j])
             bit = (F.round(dot(v, plane), 6) > 0).cast("int")
             key = key + F.shiftleft(bit, j)
         band_keys.append(F.struct(F.lit(bnd).alias("band"), key.alias("key")))
+    # The l2 norm is a per-VECTOR fact — compute it once at sketch time
+    # instead of twice inside every candidate pair's cosine; and dedup
+    # the (vec_a, vec_b) candidates BEFORE the cosine, not after — a
+    # pair colliding in all 4 bands was paying 4 verifications for one
+    # surviving row (guide §1.2). dot/(na*nb) is the identical FP
+    # expression cosine() builds, so every rounded value is unchanged.
     sketched = emb.select(
         F.col(id_col).alias("doc_id"),
         v.alias("vec"),
+        l2_norm(v).alias("nrm"),
         F.explode(F.array(*band_keys)).alias("bb"),
-    ).select("doc_id", "vec", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    ).select(
+        "doc_id", "vec", "nrm", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
     a = sketched.select(
-        F.col("doc_id").alias("vec_a"), F.col("vec").alias("va"), "band", "key"
+        F.col("doc_id").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "band", "key",
     )
     b = sketched.select(
-        F.col("doc_id").alias("vec_b"), F.col("vec").alias("vb"), "band", "key"
+        F.col("doc_id").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "band", "key",
     )
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+        .dropDuplicates(["vec_a", "vec_b"])
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import ensure_parallelism, load_table
 from ..functions import text as T
+from ..functions.scalars import lit_double_matrix
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -203,6 +204,10 @@ def dedup_weighted_minhash_fast_invariants(spark, sf_dir):
     all-pairs); the companion adds three 1-row aggregates + one
     left-semi join on the pair keys."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT materialized: both twins' duplicated legs (count + left-semi)
+    # already collapse via ReuseExchange inside ONE job; an eager
+    # localCheckpoint per twin measured 4.65 -> 4.93 s (it serializes the
+    # legs into sequential jobs and loses the shared-exchange reuse).
     portable = D.weighted_minhash_pairs(docs).select("doc_a", "doc_b")
     fast = D.weighted_minhash_pairs(docs, portable=False).select("doc_a", "doc_b")
     stats = (
@@ -339,6 +344,11 @@ def dedup_winnowing_fast_invariants(spark, sf_dir):
     1-row aggregates exploded from one struct array."""
     docs = load_table(spark, sf_dir, "documents")
     kw = dict(k=16, w=4, min_shared=8, max_doc_freq=20)
+    # NOT materialized: the duplicated pair legs AND n_sel's selection
+    # pass all collapse via ReuseExchange inside ONE job (n_sel shares
+    # the fast selection projection up to the fp exchange); eager
+    # localCheckpoints measured 7.47 -> 17.94 s — they cut that sharing
+    # and re-ran the selection a third time.
     portable = D.winnow_pairs(docs, **kw, portable=True).select("doc_a", "doc_b")
     fast = D.winnow_pairs(docs, **kw, portable=False).select("doc_a", "doc_b")
     n_sel = _count1(D.winnow_fingerprints(docs, k=16, w=4, portable=False), "n_sel")
@@ -3007,6 +3017,9 @@ def dedup_soft_weights_fast_invariants(spark, sf_dir):
     from ..operators.graph import near_dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT materialized: comp's consumers share exchanges in one job (CC
+    # output is already checkpointed inside near_dup_clusters); an extra
+    # eager localCheckpoint measured 3.15 -> 4.09 s.
     comp = near_dup_clusters(docs, _cluster_pairs(docs, "fast"))
     cs = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     layer = comp.join(cs, "cluster_id").select(
@@ -3133,6 +3146,9 @@ def dedup_cluster_keep_best_fast_invariants(spark, sf_dir):
     every check is a partial-aggregable hash agg, no new joins beyond
     the layer's own."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT materialized: the layer's two consumers share exchanges in one
+    # job (CC output is already checkpointed inside near_dup_clusters);
+    # an extra eager localCheckpoint measured 1.51 -> 1.73 s.
     layer = _keep_best_layer(docs, _cluster_pairs(docs, "fast"))
     q = layer.join(docs.select("doc_id", "n_chars"), "doc_id").select(
         "cluster_id", "keep", F.coalesce("n_chars", F.lit(-1)).alias("q")
@@ -5424,10 +5440,19 @@ def dedup_minhash_lsh_fast_invariants(spark, sf_dir):
     baseline, not the scale path); the fast leg is banded LSH; the
     companion adds two left-semi joins + 1-row aggregates."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b")
-    fast = D.minhash_near_dups(
-        docs, num_hashes=16, bands=4, threshold=0.05
-    ).select("doc_a", "doc_b")
+    # exact feeds 3 consumers, fast 3 — materialize each pair frame once
+    # instead of re-running the all-pairs / LSH plans per consumer
+    # (guide §1.2 shared-subplan materialization).
+    exact = (
+        D.ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    fast = (
+        D.minhash_near_dups(docs, num_hashes=16, bands=4, threshold=0.05)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     stats = (
         _count1(exact, "n_exact")
         .crossJoin(_count1(fast, "n_fast"))
@@ -5501,29 +5526,41 @@ def ann_recall_report(spark, sf_dir):
             )
         )
 
+    # Every leg feeds 2+ consumers (hit + count), and the brute-force
+    # exact GEMM feeds BOTH ivf legs — without a barrier each consumer
+    # recomputes it (4x for the GEMM, 2x for the all-pairs legs).
+    # Materialize each leg's narrow id-pair frame once (guide §1.2
+    # shared-subplan materialization; same device as
+    # embedding_jl_distortion).
+    def mat(df):
+        return df.localCheckpoint(eager=True)
+
+    bf = mat(S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"))
     ivf = one(
         "ivf_topk@10",
-        S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
-        S.ivf_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        bf,
+        mat(S.ivf_topk(emb, queries_df, k=10).select("query_id", "vec_id")),
         ["query_id", "vec_id"],
     )
     ivf_adc = one(
         "ivf_adc_topk@10",
-        S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
-        S.ivf_adc_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        bf,
+        mat(S.ivf_adc_topk(emb, queries_df, k=10).select("query_id", "vec_id")),
         ["query_id", "vec_id"],
     )
     lsh = one(
         "cosine_lsh_pairs",
-        S.cosine_near_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b"),
-        S.cosine_near_dup_lsh(emb, threshold=0.4).select("vec_a", "vec_b"),
+        mat(S.cosine_near_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b")),
+        mat(S.cosine_near_dup_lsh(emb, threshold=0.4).select("vec_a", "vec_b")),
         ["vec_a", "vec_b"],
     )
     mh = one(
         "minhash_xxhash64_pairs",
-        D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b"),
-        D.minhash_near_dups(docs, num_hashes=16, bands=4, threshold=0.05).select(
-            "doc_a", "doc_b"
+        mat(D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b")),
+        mat(
+            D.minhash_near_dups(docs, num_hashes=16, bands=4, threshold=0.05).select(
+                "doc_a", "doc_b"
+            )
         ),
         ["doc_a", "doc_b"],
     )
@@ -5606,30 +5643,37 @@ def ann_recall_floors(spark, sf_dir):
             )
         )
 
+    # Same shared-subplan materialization as ann_recall_report: each
+    # exact leg feeds hit + count, and the brute-force GEMM feeds both
+    # ivf legs (guide §1.2).
+    def mat(df):
+        return df.localCheckpoint(eager=True)
+
+    bf = mat(S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"))
     ivf = one(
         "ivf_topk@10",
-        S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        bf,
         S.ivf_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
         ["query_id", "vec_id"],
         0.4,
     )
     ivf_adc = one(
         "ivf_adc_topk@10",
-        S.brute_force_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
+        bf,
         S.ivf_adc_topk(emb, queries_df, k=10).select("query_id", "vec_id"),
         ["query_id", "vec_id"],
         0.2,
     )
     lsh = one(
         "cosine_lsh_pairs",
-        S.cosine_near_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b"),
+        mat(S.cosine_near_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b")),
         S.cosine_near_dup_lsh(emb, threshold=0.4).select("vec_a", "vec_b"),
         ["vec_a", "vec_b"],
         0.3,
     )
     mh = one(
         "minhash_xxhash64_pairs",
-        D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b"),
+        mat(D.ngram_jaccard_pairs(docs, k=3, threshold=0.05).select("doc_a", "doc_b")),
         D.minhash_near_dups(docs, num_hashes=16, bands=4, threshold=0.05).select(
             "doc_a", "doc_b"
         ),
@@ -6630,17 +6674,25 @@ def decontaminate_semantic(spark, sf_dir):
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
     is_eval = (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)
+    # Norms are per-ROW facts: compute each side's l2 norm once before
+    # the cross join instead of re-deriving both inside every pair's
+    # cosine (3 interpreted HOF folds per pair -> 1; the division
+    # dot/(nv*nq) is the identical FP expression cosine() builds, so
+    # every rounded value is unchanged — guide §1.2 don't recompute).
     ev = e.filter(is_eval).select(
-        F.col("vec_id").alias("eval_id"), S.as_double(F.col("embedding")).alias("qv")
-    )
+        F.col("vec_id").alias("eval_id"),
+        S.as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("nq", S.l2_norm(F.col("qv")))
     tr = e.filter(~is_eval).select(
         "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", S.l2_norm(F.col("v")))
     scored = tr.crossJoin(F.broadcast(ev)).select(
         "vec_id",
         "label",
         "eval_id",
-        F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("cos_r"),
+        F.round(
+            S.dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6
+        ).alias("cos_r"),
     )
     best = scored.groupBy("vec_id", "label").agg(
         F.max_by(
@@ -7354,9 +7406,9 @@ def embedding_jl_distortion(spark, sf_dir):
     # once (the naive sum-of-products chain re-evaluates each dot twice;
     # measured 2.5s -> ~1.3s at sf0.1) and the summation order matches
     # the oracle's explicit left-to-right chain.
-    planes_lit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in planes]
-    )
+    # One SQL parse for the whole 32x64 matrix instead of 2048 py4j
+    # round-trips (repr round-trips doubles exactly — bit-identical plan).
+    planes_lit = lit_double_matrix(planes)
 
     def dot(vec, row):
         return F.aggregate(
