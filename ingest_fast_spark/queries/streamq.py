@@ -338,7 +338,9 @@ def stream_quality_gate(spark, sf_dir):
     from .pipelineq import quarantine_reasons
 
     apply_runtime_confs(spark)
-    schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    from ..catalog import parquet_schema
+
+    schema = parquet_schema(spark, _os.path.join(sf_dir, "documents.parquet"))
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")

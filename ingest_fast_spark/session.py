@@ -13,6 +13,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Spark 4's PySpark wraps EVERY DataFrame/Column API call with a call-site
+# capture for richer error messages: one conf lookup + PySparkCurrentOrigin
+# .set()/.clear() — i.e. ~3 extra py4j round-trips per API call, plus a
+# Python stack walk. Measured on this engine's query builders that wrapper
+# is ~60% of ALL py4j traffic (quality_train_logreg 10006 → 3583 trips,
+# dedup_weighted_minhash 6166 → 2340, quality_gopher_rules 1274 → 588), at
+# ~0.15-0.3 ms per trip of pure driver latency per plan build (guide §4:
+# the Python boundary is also a DRIVER-side cost). The flag below is the
+# documented switch; pyspark caches its value process-wide at first use, so
+# set the cache too — a driver-created session may issue wrapped calls
+# before our confs land, which would freeze the cache at the default.
+try:  # best-effort: private attr may move across pyspark versions
+    import pyspark.errors.utils as _pyspark_errors_utils
+
+    _pyspark_errors_utils._enable_debugging_cache = False
+except Exception:  # pragma: no cover
+    pass
+
 # Configs that are safe (and wanted) on any session that runs this engine,
 # including sessions created by an external driver. Everything here is a
 # runtime SQLConf — no JVM restart needed.
@@ -43,6 +61,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64kb",
     # Arrow for any pandas UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # No per-call Python call-site capture (see module header): the error
+    # QueryContext loses Python line numbers, plan-build latency drops ~2x.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 # Shuffles START at this many partitions per core of cluster parallelism and

@@ -44,8 +44,10 @@ EVENTS_RAW_SCHEMA = StructType(
 def raw_events_schema(spark: SparkSession, path: str) -> StructType:
     """The physical schema of an events parquet file/dir, as Spark reads it
     (ts may be INT64 nanos → long under the legacy flag, or timestamp)."""
+    from ..catalog import parquet_schema
+
     apply_runtime_confs(spark)
-    return spark.read.parquet(path).schema
+    return parquet_schema(spark, path)
 
 
 def normalize_ts(df: DataFrame) -> DataFrame:
