@@ -88,6 +88,34 @@ def shingles_df(
     )
 
 
+def shingle_hashes_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """``shingles_df`` carrying each shingle's xxhash64 instead of its
+    string — for consumers that only key on shingle IDENTITY (df counts,
+    equi-joins): the exploded row that feeds the shuffle is a 16-byte
+    (long, long) instead of (long, k-token string), cutting the heaviest
+    exchange's bytes ~4-7x (guide §2.3 narrower types). Results are
+    identical modulo the documented ~2^-64 hash-collision trade the
+    MinHash/prefix-filter family already makes; the hash itself is
+    map-side codegen, never shuffled as a string."""
+    df = ensure_parallelism(df)
+    shingles = let_col(
+        tokens_col(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice(t, i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

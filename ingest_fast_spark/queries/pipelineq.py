@@ -944,7 +944,11 @@ def text_ngram_novelty(spark, sf_dir):
     shingle — the same shuffle the Jaccard family already pays, with no
     pair enumeration at all."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    sh = D.shingles_df(d, k=_NOVELTY_K)
+    # Shingle IDENTITY is all this query keys on — ship the 8-byte
+    # xxhash64, not the 5-token string, into the df-count exchange and the
+    # join (guide §2.3; same ~2^-64 collision trade as the MinHash family;
+    # the oracle's string-keyed df counts are identical absent a collision).
+    sh = D.shingle_hashes_df(d, k=_NOVELTY_K)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
     return (
