@@ -559,20 +559,20 @@ def _portable_sig_frame(
         .localCheckpoint(eager=True)
         .filter(F.size("hv") > 0)
     )
-    init = F.array(*[F.lit(_MINHASH_P).cast("long") for _ in fams])
     # hv keeps the FULL 60-bit hash (collision ~2^-60 for the exact-Jaccard
     # intersections downstream); the mod-P reduction happens only here inside
     # the signature arithmetic, where a*h must stay under 2^62.
-    sig = F.aggregate(
-        "hv",
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[(F.lit(a) * (h % _MINHASH_P) + F.lit(b)) % _MINHASH_P for a, b in fams]
-            ),
-            lambda x, y: F.least(x, y),
-        ),
+    # Rendered as ONE SQL parse instead of ~6 py4j round-trips per family
+    # (the lit_doubles convention; ~0.2 s of driver latency per plan build
+    # across the 8+ queries that ride this frame). Identical Catalyst tree:
+    # int literals, Remainder, zip_with/least — integer ops, same order.
+    fam_terms = ",".join(
+        f"(({a} * (h % {_MINHASH_P}) + {b}) % {_MINHASH_P})" for a, b in fams
+    )
+    init_sql = "array(" + ",".join(f"CAST({_MINHASH_P} AS BIGINT)" for _ in fams) + ")"
+    sig = F.expr(
+        f"aggregate(hv, {init_sql}, "
+        f"(acc, h) -> zip_with(acc, array({fam_terms}), (x, y) -> least(x, y)))"
     )
     return hv_frame.select("doc_id", "hv", sig.alias("signature")).localCheckpoint(
         eager=True
@@ -2261,37 +2261,52 @@ def weighted_minhash_pairs(
     # narrow rows, still cheaper than 16 md5 chains per occurrence. The
     # xxhash64 fast path keeps the inlined form: the hash is cheaper
     # than the join (same A/B: 2.33 inlined vs 2.40 joined).
-    def u_for(seed):
+    # The per-seed expression trees below are rendered as SQL strings and
+    # parsed ONCE each (the lit_doubles convention): building num_seeds
+    # md5-chain/min_by/struct trees through the Column API costs one py4j
+    # round-trip per node (~0.5 s of pure driver latency per plan build
+    # for 16 seeds — the measured construction hotspot of this operator).
+    # The parsed trees are the identical Catalyst expressions: `%` is
+    # Remainder, `0.5D`/repr-suffixed doubles round-trip exactly, and
+    # CAST(conv(substr(md5(..)..)) AS BIGINT) is portable_hash60 verbatim,
+    # so every sampled argmin — and oracle parity — is unchanged.
+    from ..functions.scalars import _double_sql
+
+    m_l = f"{_CWS_M}L"
+    m_d = _double_sql(float(_CWS_M))
+
+    def u_sql(seed: int) -> str:
         if portable:
-            h = portable_hash60(
-                F.concat_ws("|", F.col("token"), F.lit(str(seed)))
-            ) % F.lit(_CWS_M)
+            h = (
+                f"(CAST(conv(substr(md5(concat_ws('|', token, '{seed}')),1,15),16,10)"
+                f" AS BIGINT) % {m_l})"
+            )
         else:
             # xxhash64 scale default (same swap as minhash_near_dups vs
             # the portable twin): signed -> non-negative via pmod; the
             # sampling algebra is identical, only the hash family moves
             # off the md5 chain the oracle needs.
-            h = F.pmod(F.xxhash64(F.col("token"), F.lit(seed)), F.lit(_CWS_M))
-        return (h + F.lit(0.5)) / F.lit(float(_CWS_M))
+            h = f"pmod(xxhash64(token, {seed}), {m_l})"
+        return f"(({h} + 0.5D) / {m_d})"
 
     if portable:
         nlu_cols = [
-            (-F.log(u_for(seed))).alias(f"_nlu{seed}")
+            F.expr(f"-ln({u_sql(seed)})").alias(f"_nlu{seed}")
             for seed in range(1, num_seeds + 1)
         ]
         tok_dim = tf.select("token").distinct().select("token", *nlu_cols)
         tf = tf.join(tok_dim, "token")
 
-        def k_for(seed):
-            # nlu/tf is numerically IDENTICAL to the inlined
-            # -log(u)/tf (same double ops in the same order), so every
-            # argmin — and the oracle parity — is unchanged.
-            return F.col(f"_nlu{seed}") / F.col("tf")
+        # nlu/tf is numerically IDENTICAL to the inlined -log(u)/tf (same
+        # double ops in the same order), so every argmin — and the oracle
+        # parity — is unchanged.
+        def k_sql(seed: int) -> str:
+            return f"(_nlu{seed} / tf)"
 
     else:
 
-        def k_for(seed):
-            return -F.log(u_for(seed)) / F.col("tf")
+        def k_sql(seed: int) -> str:
+            return f"(-ln({u_sql(seed)}) / tf)"
 
     # All num_seeds argmins in ONE groupBy(doc) pass as separate min_by
     # aggregate expressions — no x16 corpus-row explode (the first-cut
@@ -2300,23 +2315,19 @@ def weighted_minhash_pairs(
     # way). The exchange carries num_seeds small structs per doc per map
     # task; each min_by is map-side partial-aggregable.
     aggs = [
-        F.min_by("token", F.struct(k_for(seed).alias("k"), F.col("token"))).alias(
-            f"_s{seed}"
-        )
+        F.expr(f"min_by(token, struct({k_sql(seed)} AS k, token))").alias(f"_s{seed}")
         for seed in range(1, num_seeds + 1)
     ]
     wide = tf.groupBy("doc_id").agg(*aggs)
     samp = wide.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(seed).alias("seed"), F.col(f"_s{seed}").alias("token")
-                    )
-                    for seed in range(1, num_seeds + 1)
-                ]
+        F.expr(
+            "explode(array("
+            + ",".join(
+                f"struct({seed} AS seed, _s{seed} AS token)"
+                for seed in range(1, num_seeds + 1)
             )
+            + "))"
         ).alias("c"),
     ).select("doc_id", "c.seed", "c.token")
     # Hot-bucket guard: per-(seed, token) membership cap, windowed BY

@@ -94,8 +94,42 @@ def shredded_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+# Queries whose outputs are ROUND(SUM(double), d): IEEE summation is not
+# associative, so reordering rows moves the sum by ULPs, and when it sits
+# within ULPs of a .xx5 rounding boundary the rounded cent legitimately
+# flips with the layout. q1's sf0.001 sum_disc_price for (N, F) is exactly
+# such a boundary (30158055.965): any change to partial-aggregation
+# grouping — here the r9 AQE coalescing floor (1b -> 64kb), bisected — can
+# flip it. One rounding quantum of slack on FLOAT cells for these queries
+# keeps the test's real power (order-dependence bugs produce whole-row or
+# multi-quantum drift) without pinning FP associativity the engine never
+# promised. The driver's oracle gate always reads the canonical layout and
+# is unaffected.
+FP_BOUNDARY_TOLERANT = {"q1_pricing_summary"}
+
+
+def _rows_equal_mod_rounding(a, b) -> bool:
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for x, y in zip(ra, rb):
+            if x == y:
+                continue
+            if isinstance(x, float) and isinstance(y, float) and abs(x - y) <= 0.01 + 1e-9:
+                continue
+            return False
+    return True
+
+
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_layout_invariant(spark, sf_dir, shredded_dir, name):
     base = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
     shredded = sorted(map(tuple, QUERIES[name](spark, shredded_dir).collect()))
-    assert base == shredded, f"{name} depends on input file layout"
+    if name in FP_BOUNDARY_TOLERANT:
+        assert _rows_equal_mod_rounding(base, shredded), (
+            f"{name} depends on input file layout beyond FP rounding quanta"
+        )
+    else:
+        assert base == shredded, f"{name} depends on input file layout"
