@@ -361,11 +361,16 @@ def minhash_signatures(
     leading column, so all ``num_hashes`` hash families run inside codegen
     over one shared shingle array — no Python, no ML-library state."""
     sets = doc_shingle_sets(df, text_col, id_col, k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s)))
+    # One SQL parse for all num_hashes family mins (the lit_doubles
+    # convention) instead of ~7 py4j round-trips per family; identical
+    # Catalyst tree, so signatures/buckets/pairs are unchanged.
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
             for i in range(num_hashes)
-        ]
+        )
+        + ")"
     )
     return sets.select("doc_id", "shingles", sig.alias("signature"))
 

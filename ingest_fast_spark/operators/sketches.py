@@ -412,3 +412,58 @@ def kmv_sketch(items: DataFrame, item_col: str, k: int = KMV_K) -> DataFrame:
 
     hs = items.select(portable_hash60(F.col(item_col)).alias("h"))
     return hs.mapInPandas(local_k, "h long").distinct().orderBy("h").limit(k)
+
+
+def kmv_sketch_sides(
+    hashed: DataFrame, side_col: str = "side", h_col: str = "h", k: int = KMV_K
+) -> DataFrame:
+    """Per-SIDE k smallest distinct hashes in ONE corpus pass: the
+    per-partition pass keeps a size-k max-heap per side (two streaming
+    KMVs side by side), so a two-corpus comparison pays one Arrow
+    transfer and one job instead of one per side. Input must already
+    carry the hash column (hash in-row before any shuffle — the distinct
+    upstream then exchanges 16-byte (int, long) rows, never strings).
+    Batch path is vectorized: np.unique per (batch, side), then only
+    values below the current kth minimum enter the Python heap loop —
+    after the first few batches that subset is ~empty (guide §4.2)."""
+
+    def local_k(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps: dict = {}  # side -> (max-heap via negation, member set)
+        for pdf in batches:
+            for s, vals in pdf.groupby(side_col)[h_col]:
+                hp, inset = heaps.setdefault(int(s), ([], set()))
+                u = np.unique(vals.to_numpy())
+                if len(hp) == k:
+                    u = u[u < -hp[0]]
+                for v in u:
+                    v = int(v)
+                    if v in inset:
+                        continue
+                    if len(hp) < k:
+                        heapq.heappush(hp, -v)
+                        inset.add(v)
+                    elif v < -hp[0]:
+                        dropped = -heapq.heappushpop(hp, -v)
+                        inset.discard(dropped)
+                        inset.add(v)
+        for s, (hp, inset) in sorted(heaps.items()):
+            if inset:
+                yield pd.DataFrame({side_col: s, h_col: sorted(inset)})
+
+    from pyspark.sql import Window
+
+    out = hashed.select(side_col, h_col).mapInPandas(
+        local_k, f"{side_col} int, {h_col} long"
+    )
+    w = Window.partitionBy(side_col).orderBy(h_col)
+    return (
+        out.dropDuplicates([side_col, h_col])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -2532,21 +2532,35 @@ def sketch_kmv_report(spark, sf_dir):
         F.col("text").isNotNull() & F.col("source").isNotNull()
     )
     side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
-    # shingles_df keys on doc_id; join the side flag back, then reduce to
-    # distinct (side, shingle) pairs — the per-side distinct item streams
+    # The side flag is a per-row expression on the SAME scan the shingles
+    # come from — compute it in the explode projection instead of joining
+    # shingles back to documents by doc_id (r9-opt: one exchange fewer),
+    # and hash in-row BEFORE the distinct so the exchange carries 16-byte
+    # (int, long) rows, never shingle strings. Distinct-of-hashes equals
+    # hash-of-distincts (the oracle's hs does the same DISTINCT over h);
+    # the exact leg below counts hashes too — identical modulo the
+    # documented ~2^-60 md5-fold collision trade.
+    wide = ensure_parallelism(d.select(side, "text"))
+    shingle_arr = D.let_col(
+        D.tokens_col(F.col("text")),
+        lambda t: F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.array_join(F.slice(t, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     sh = (
-        D.shingles_df(d, k=3)
-        .join(d.select("doc_id", side), "doc_id")
-        .select("side", "shingle")
+        wide.select("side", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+        .select("side", D.portable_hash60(F.col("shingle")).alias("h"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    ska = K.kmv_sketch(sh.filter(F.col("side") == 0), "shingle").localCheckpoint(
-        eager=True
-    )
-    skb = K.kmv_sketch(sh.filter(F.col("side") == 1), "shingle").localCheckpoint(
-        eager=True
-    )
+    # BOTH sides' k-min sketches in one pass/job (dual streaming KMV).
+    sides = K.kmv_sketch_sides(sh).localCheckpoint(eager=True)
+    ska = sides.filter(F.col("side") == 0).select("h")
+    skb = sides.filter(F.col("side") == 1).select("h")
     un = (
         ska.union(skb).distinct().orderBy("h").limit(K.KMV_K).localCheckpoint(eager=True)
     )
@@ -2579,7 +2593,7 @@ def sketch_kmv_report(spark, sf_dir):
         .cast("long")
         .alias("jacc_est_micro"),
     )
-    ex = sh.groupBy("shingle").agg(
+    ex = sh.groupBy("h").agg(
         (F.count_distinct("side") == 2).alias("both")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_union_exact"),

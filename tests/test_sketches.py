@@ -197,3 +197,33 @@ def test_kmv_sketch_matches_python_twin_and_merges(spark):
     assert sorted(set(ska) | set(skb))[: K.KMV_K] == skab  # mergeable
     small = [f"s{i}" for i in range(40)]
     assert spark_kmv(small) == py_kmv(small)  # |S| < k: sketch IS the set
+
+
+def test_kmv_sketch_sides_equals_per_side_sketch(spark):
+    """The one-pass dual-heap variant (r9-opt) yields EXACTLY the same
+    per-side k-min sets as running kmv_sketch per side, on pre-hashed
+    input, across multi-partition layouts and a side smaller than k."""
+    from pyspark.sql import functions as F
+
+    from ingest_fast_spark.operators.dedup import portable_hash60
+
+    rng = random.Random(23)
+    rows = [(i % 2, f"t-{rng.randrange(4000)}") for i in range(6000)]
+    rows += [(0, f"rare-{i}") for i in range(30)]  # skewed side content
+    df = spark.createDataFrame(rows, "side int, s string").repartition(5)
+    hashed = df.select("side", portable_hash60(F.col("s")).alias("h"))
+    got = {
+        s: sorted(r["h"] for r in grp)
+        for s, grp in __import__("itertools").groupby(
+            sorted(K.kmv_sketch_sides(hashed).collect(), key=lambda r: r["side"]),
+            key=lambda r: r["side"],
+        )
+    }
+    for s in (0, 1):
+        want = [
+            r["h"]
+            for r in K.kmv_sketch(
+                df.filter(F.col("side") == s), "s"
+            ).collect()
+        ]
+        assert got[s] == want, f"side {s} diverged"
