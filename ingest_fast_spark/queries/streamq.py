@@ -347,6 +347,13 @@ def stream_quality_gate(spark, sf_dir):
         .option("pathGlobFilter", "documents*.parquet")
         .load(sf_dir)
     )
+    # The file-source stream is ONE task per file, and this query is all
+    # map-side expression work — spread it when the watched file set is
+    # narrower than the cluster (no-op at production file counts; the
+    # stateful stream queries measured WORSE with this extra exchange and
+    # keep their state-store shuffle as the only one — A/B in
+    # OPTIMIZATION_r09.md).
+    raw = SE.ensure_stream_parallelism(raw, sf_dir, "documents*.parquet")
     reasons = quarantine_reasons(F.col("text"), F.col("n_chars"))
     gated = raw.filter(F.col("doc_id").isNotNull()).select(
         "doc_id",
