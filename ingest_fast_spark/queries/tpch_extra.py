@@ -457,11 +457,15 @@ def q17_small_quantity(spark, sf_dir):
 def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier finalized order. The correlated EXISTS / NOT EXISTS
-    pair is decorrelated into one order-level aggregation —
-    count(distinct supplier) and count(distinct late supplier) per
-    order — joined back to the late lineitems: two shuffles total on
-    orderkey instead of two per-row subqueries. 'Late' = shipped >90
-    days after order date (no l_receiptdate/l_commitdate in testdata)."""
+    pair is decorrelated into ONE order-level aggregate pass:
+    per order, the distinct-supplier and distinct-late-supplier counts
+    (collect_set sizes — no Expand), the unique late supplier when
+    n_late_supp==1 (max over the single distinct value), and the number
+    of late lineitems (numwait counts l1 ROWS, so it is carried as a
+    per-order count and summed per supplier). One lineitem scan and one
+    orderkey exchange replace the old two-scan aggregate + sort-merge
+    join-back. 'Late' = shipped >90 days after order date (no
+    l_receiptdate/l_commitdate in testdata)."""
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
@@ -471,17 +475,18 @@ def q21_waiting_suppliers(spark, sf_dir):
         .withColumn("is_late", late)
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    order_stats = lo.groupBy(F.col("l_orderkey").alias("so_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    order_stats = lo.groupBy("l_orderkey").agg(
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(F.collect_set(late_supp)).alias("n_late_supp"),
+        F.max(late_supp).alias("late_suppkey"),
+        F.sum(F.when(F.col("is_late"), F.lit(1)).otherwise(F.lit(0))).alias("late_rows"),
     )
     return (
-        lo.filter(F.col("is_late"))
-        .join(order_stats, F.col("l_orderkey") == F.col("so_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        order_stats.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
     )
 
 
