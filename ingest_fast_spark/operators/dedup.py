@@ -130,11 +130,50 @@ def ngram_jaccard_pairs(
     blocking that keeps this sub-quadratic. ``max_doc_freq`` drops
     ultra-common shingles (skew keys) before the join.
     """
-    sh = shingles_df(df, text_col, id_col, k)
     # Join on the 64-bit shingle hash, not the string: ~2.5× less shuffle
     # and long-vs-long compares. A hash collision would need two distinct
     # shingles in the same corpus to share an xxhash64 (p ≈ n²/2⁶⁵ —
     # ~1e-10 even at a billion distinct shingles).
+    if max_doc_freq is None:
+        # The per-doc set size is known BEFORE the explode (the shingle
+        # array is already distinct), so carry it through as a third
+        # column: the sizes aggregate and both size join-backs disappear —
+        # the pair groupBy picks n_a/n_b up with max() for free (r9-opt:
+        # one corpus-keyed aggregate + two joins removed; the exploded
+        # exchange widens by one long).
+        sets = doc_shingle_sets(df, text_col, id_col, k)
+        sh = sets.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("shingle"),
+        ).localCheckpoint(eager=True)
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle"
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle"
+        )
+        overlap = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+            )
+        )
+        return overlap.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+
+    sh = shingles_df(df, text_col, id_col, k)
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     # The shingle list feeds THREE consumers (sizes, join-left, join-right);
     # without materialization each branch re-runs the scan+explode (4
@@ -143,12 +182,14 @@ def ngram_jaccard_pairs(
     # (MEMORY_AND_DISK) and still far cheaper than recomputing the explode
     # per branch.
     sh = sh.localCheckpoint(eager=True)
-    if max_doc_freq is not None:
-        # No broadcast hint: distinct k-shingles grow ~linearly with the
-        # corpus (unlike unigram vocab), so a forced broadcast is a driver
-        # OOM at scale. AQE converts to broadcast when actually small.
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    # No broadcast hint: distinct k-shingles grow ~linearly with the
+    # corpus (unlike unigram vocab), so a forced broadcast is a driver
+    # OOM at scale. AQE converts to broadcast when actually small.
+    # n_shingles must be the POST-guard count here (the Jaccard
+    # denominator uses the df-filtered sets), so the size cannot ride the
+    # explode in this branch.
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

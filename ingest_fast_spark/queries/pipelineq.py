@@ -1610,26 +1610,32 @@ def minhash_scurve_report(spark, sf_dir):
     cands = D._portable_candidates(sigs, _SC_HASHES, _SC_BANDS).withColumn(
         "det", F.lit(1)
     )
-    sh = sigs.select("doc_id", F.explode("hv").alias("h"))
-    sz = sigs.select("doc_id", F.size("hv").alias("n"))
+    # Per-doc set size rides the explode (hv is already the distinct set),
+    # so the two size join-backs disappear: the pair groupBy recovers
+    # na/nb with max() for free (r9-opt, same shape as ngram_jaccard_pairs).
+    sh = sigs.select("doc_id", F.size("hv").alias("n"), F.explode("hv").alias("h"))
     ov = (
-        sh.join(sh.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        sh.join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "h"
+            ),
+            "h",
+        )
         .filter(F.col("doc_id") < F.col("doc_b"))
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.count(F.lit(1)).alias("nc"))
-    )
-    exact = (
-        ov.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("nc") / (F.col("na") + F.col("nb") - F.col("nc")), 6).alias(
-                "jaccard"
-            ),
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.max("n").alias("na"),
+            F.max("nb").alias("nb"),
         )
-        .filter(F.col("jaccard") >= 0.05)
     )
+    exact = ov.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("nc") / (F.col("na") + F.col("nb") - F.col("nc")), 6).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= 0.05)
     tagged = exact.join(cands, ["doc_a", "doc_b"], "left").select(
         F.col("jaccard").alias("j"), F.coalesce(F.col("det"), F.lit(0)).alias("det")
     )
