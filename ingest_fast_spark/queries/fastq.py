@@ -91,12 +91,16 @@ VIAF_ROWS = [
 
 
 def _lines_df(spark, lines):
-    # One partition: createDataFrame defaults to defaultParallelism (32)
-    # partitions, so the fused 3-branch union would run 96-task stages for
-    # ~35 fixture rows — pure scheduling overhead. repartition(1), NOT
-    # coalesce(1): a coalesced LocalRelation task inherits 32 preferred
-    # locations and stalls on spark.locality.wait (~3-4s) EVERY stage.
-    return spark.createDataFrame([(l,) for l in lines], "value string").repartition(1)
+    # One partition AT CREATION (parallelize numSlices=1): createDataFrame
+    # defaults to defaultParallelism (32) partitions, so the fused 3-branch
+    # union would run 96-task stages for ~35 fixture rows — pure scheduling
+    # overhead. repartition(1) fixed that but left one round-robin exchange
+    # per branch in every fastq plan (r9-opt interleaved A/B: end-to-end
+    # 1.97 → 1.44 s min-of-4); coalesce(1) is still wrong — a coalesced
+    # LocalRelation task inherits 32 preferred locations and stalls on
+    # spark.locality.wait (~3-4s) EVERY stage.
+    rdd = spark.sparkContext.parallelize([(l,) for l in lines], 1)
+    return spark.createDataFrame(rdd, "value string")
 
 
 def _triples_by_type(spark):

@@ -208,8 +208,9 @@ SHUFFLE_BUDGET = {
     # 16 md5 chains per (doc,token) occurrence, 5.01->3.65 s at sf0.1;
     # AQE broadcasts the dim side while it fits)
     "dedup_weighted_minhash": 9,
-    # postings of query terms only: the broadcast query filter keeps the
-    # positional joins on one (doc)-keyed exchange + final pair agg
+    # trigram-collapse (r9-opt): top-phrase agg on the checkpointed
+    # trigram frame + the broadcast-filtered (phrase, doc) count — the
+    # full-postings positional joins are gone
     "search_phrase_positional": 2,
     # touch⋈purchase user join, the per-purchase rank windows, the
     # credited union's channel agg, the direct-leg anti join
