@@ -91,9 +91,15 @@ def bpe_train_local(
     w = wf.select(_initial_repr(F.col("word")).alias("repr"), "freq")
     merges: list[tuple[int, str, str, int]] = []
     expr = F.col("repr")
-    for r in range(n_merges):
-        syms = _symbols(expr)
-        pairs = F.when(
+
+    def adjacent_pairs(syms):
+        # ``syms`` MUST be a let-bound lambda variable here: a direct
+        # reference to the split(substring(replace-chain)) tree inside
+        # the transform lambda re-evaluates that whole tree once PER
+        # ELEMENT (HOF lambdas are interpreted and nothing hoists the
+        # subexpression) — O(n²) per word, hours on a single 50k-char
+        # token (caught by test_empty_input's adversarial fixture).
+        return F.when(
             F.size(syms) >= 2,
             F.transform(
                 F.sequence(F.lit(1), F.size(syms) - 1),
@@ -103,6 +109,11 @@ def bpe_train_local(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    from .dedup import let_col
+
+    for r in range(n_merges):
+        pairs = let_col(_symbols(expr), adjacent_pairs)
         pc = (
             w.select(F.explode(pairs).alias("p"), "freq")
             .groupBy("p.a", "p.b")

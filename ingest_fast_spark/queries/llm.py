@@ -8358,28 +8358,35 @@ def graph_assortativity(spark, sf_dir):
 
     Scale shape: degree table (one groupBy), one edges⋈deg⋈deg join
     keyed on endpoints, one combinable 4-sum aggregate — nothing beyond
-    the standard two-hop machinery, no windows, no collect."""
+    the standard two-hop machinery, no windows, no collect.
+
+    r9-opt: ONE corpus-keyed distinct instead of three. The symmetrized
+    adjacency the oracle's ``adj`` CTE builds is exactly {(u,v),(v,u)}
+    over the undirected edge set, so each node's degree equals the
+    number of ``und`` edges incident to it — computed by exploding the
+    two endpoints of the already-distinct edge table, never by
+    re-distincting the doubled raw stream. The pre-``und`` raw DISTINCT
+    is subsumed by ``und``'s own distinct (least/greatest of duplicate
+    rows collapse identically). Integer sums are order-free, so the
+    output is bitwise unchanged."""
     o = load_table(spark, sf_dir, "orders")
-    raw = (
+    und = (
         o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull())
         .select(
             (F.col("o_custkey") % 3000).alias("s"),
             (F.col("o_orderkey") % 3000).alias("d"),
         )
         .filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v"))
         .distinct()
     )
-    und = raw.select(
-        F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
-    ).distinct()
-    adj = (
-        raw.select("s", "d")
-        .unionAll(raw.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    du = deg.select(F.col("s").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("s").alias("v"), F.col("deg").alias("dv"))
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
     sums = (
         und.join(du, "u")
         .join(dv, "v")

@@ -294,10 +294,11 @@ SHUFFLE_BUDGET = {
     "text_code_detect": 0,  # length-diff + regexp features, map-only
     # one combinable groupBy per candidate column; the rank is 4 rows
     "layout_partition_advisor": 4,
-    # edge distincts (raw/und/adj) + degree agg + the two endpoint joins
-    # + the single-row sum; deg is node-cardinality so it is NOT forced
+    # ONE undirected-edge distinct (degrees ride an explode of its
+    # endpoints, r9-opt) + degree agg + the two endpoint joins + the
+    # single-row sum; deg is node-cardinality so it is NOT forced
     # broadcast (unbounded at crawl scale — AQE demotes when small)
-    "graph_assortativity": 9,
+    "graph_assortativity": 5,
     "stream_percentile_windowed": 0,  # finished memory-sink table
     "curation_epoch_schedule": 2,  # source token agg + 1-row totals
     "multimodal_resize_attest": 0,  # synth+resize+unpack, map-only
