@@ -252,12 +252,66 @@ ANOMALY_RAW_OUTPUT = StructType(
 )
 
 
+def _anomaly_scan(buf, vals):
+    """Vectorized rolling z-score over one user's ordered values: returns
+    ``(flagged_indices, rounded_z_per_flag, new_buf)``.
+
+    BIT-IDENTICAL to the sequential reference loop (pinned by
+    tests/test_anomaly_vectorized.py) — the per-row Python loop was
+    ~5 µs/row of pure interpreter cost, the guide-§4 boundary tax at
+    billions of events. Exactness is by construction, not accident:
+
+    * window sums accumulate COLUMN BY COLUMN, j = 0..W-1 — the same
+      left-to-right float-addition order as Python's ``sum()`` over the
+      prior list, with 0.0 padding standing in for the missing leading
+      elements (0.0 + x == x exactly, and the padded variance terms are
+      masked to 0.0 before they join the accumulation);
+    * the final 6-dp rounding of candidate rows uses Python ``round()``,
+      not ``np.round`` (they differ at ULP boundaries); candidates are
+      pre-filtered at |z| > thr − 1e-6, a margin wider than any rounding
+      movement, so no flagged row can be missed.
+    """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    W = _Z_WINDOW
+    nb = len(buf)
+    series = np.concatenate([np.asarray(buf, dtype=np.float64), vals])
+    n = series.size
+    new_buf = [float(x) for x in series[-W:]]
+    if n == nb:
+        return [], [], new_buf
+    padded = np.concatenate([np.zeros(W), series])
+    win = sliding_window_view(padded, W)[nb:n]  # row i: prior of vals[i]
+    pos = np.arange(nb, n)
+    c = np.minimum(pos, W)  # prior count per row
+    acc = np.zeros(n - nb)
+    for j in range(W):
+        acc = acc + win[:, j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = acc / c
+        var = np.zeros(n - nb)
+        for j in range(W):
+            t = win[:, j] - m
+            t = t * t
+            t[pos < W - j] = 0.0  # padded slot: contributes nothing
+            var = var + t
+        s = np.sqrt(var / (c - 1))
+        z = (vals - m) / s
+    cand = (c >= _Z_MIN_PRIOR) & (s > 0) & (np.abs(z) > _Z_THR - 1e-6)
+    idx, zr = [], []
+    for i in np.nonzero(cand)[0]:
+        r = round(float(z[i]), 6)
+        if abs(r) > _Z_THR:
+            idx.append(int(i))
+            zr.append(r)
+    return idx, zr, new_buf
+
+
 def _update_anomaly_state(key, pdf_iter, state: GroupState):
     """Walk this batch's events for one user in (ts, event_id) order,
     z-scoring each value against the trailing ring buffer (carried in
     state across micro-batches), and emit only the flagged rows."""
-    import math
-
     import pandas as pd
 
     buf = list(state.get[0]) if state.exists else []
@@ -269,26 +323,20 @@ def _update_anomaly_state(key, pdf_iter, state: GroupState):
         pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
             ["ts_us", "event_id"], kind="mergesort"
         )
-        for r in pdf.itertuples(index=False):
-            prior = buf[-_Z_WINDOW:]
-            c = len(prior)
-            if c >= _Z_MIN_PRIOR:
-                m = sum(prior) / c
-                s = math.sqrt(sum((x - m) ** 2 for x in prior) / (c - 1))
-                if s > 0:
-                    z = round((float(r.value) - m) / s, 6)
-                    if abs(z) > _Z_THR:
-                        # A NULL event_id arrives as NaN; int(NaN) raises and
-                        # would kill the stream. The batch twin emits such
-                        # rows with NULL event_id — do the same here.
-                        eid = None if pd.isna(r.event_id) else int(r.event_id)
-                        out.append(
-                            (int(r.user_id), eid, int(r.ts_us),
-                             float(r.value), z)
-                        )
-            buf.append(float(r.value))
-            if len(buf) > _Z_WINDOW:
-                buf = buf[-_Z_WINDOW:]
+        vals = pdf["value"].to_numpy(dtype="float64")
+        idx, zs, buf = _anomaly_scan(buf, vals)
+        if idx:
+            uids = pdf["user_id"].to_numpy()
+            eids = pdf["event_id"].to_numpy()
+            tss = pdf["ts_us"].to_numpy()
+            for i, z in zip(idx, zs):
+                # A NULL event_id arrives as NaN; int(NaN) raises and
+                # would kill the stream. The batch twin emits such rows
+                # with NULL event_id — do the same here.
+                eid = None if pd.isna(eids[i]) else int(eids[i])
+                out.append(
+                    (int(uids[i]), eid, int(tss[i]), float(vals[i]), z)
+                )
     state.update((buf,))
     yield pd.DataFrame(
         out, columns=["user_id", "event_id", "ts_us", "value", "zscore"]
