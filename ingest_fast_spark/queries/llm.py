@@ -3988,7 +3988,11 @@ def _symspell_pairs(c, key_col: str, name_col: str, max_dist: int):
     # the entire query runs on one core (measured: the d1 verify alone
     # was 3.0s single-task at sf0.1; the d2 composite minutes). At real
     # scale the scan has thousands of splits and this is a no-op.
-    c = ensure_parallelism(c)
+    # work_amplification: the deletion explode multiplies every name by
+    # ~len+1 (d1) / ~len^2/2 (d2) BEFORE any shuffle, so raw input bytes
+    # under-provision the scan slice (guide §2.2 applied to effective
+    # bytes; see catalog.ensure_parallelism).
+    c = ensure_parallelism(c, work_amplification=20 if max_dist == 1 else 200)
     variants = c.select(
         F.col(key_col).alias("k"),
         F.col(name_col).alias("nm"),

@@ -77,8 +77,20 @@ RUNTIME_CONFS: dict[str, str] = {
 INITIAL_PARTITION_FACTOR = 8
 
 
+# Sessions already configured by apply_runtime_confs (id-keyed; the engine
+# holds its sessions for the process lifetime). The function is called
+# defensively from every events/stream loader — ~12 ms of py4j conf.set
+# traffic per call that only needs to happen once per session (r10,
+# guide §4 driver-side cost).
+_CONFIGURED_SESSIONS: set[int] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime confs to an externally created session."""
+    """Apply the engine's runtime confs to an externally created session
+    (idempotent; no-op after the first call for a given session)."""
+    if id(spark) in _CONFIGURED_SESSIONS:
+        return spark
+    _CONFIGURED_SESSIONS.add(id(spark))
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
