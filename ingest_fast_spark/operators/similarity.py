@@ -475,33 +475,47 @@ def cosine_near_dup_lsh(
             bit = (F.round(dot(v, plane), 6) > 0).cast("int")
             key = key + F.shiftleft(bit, j)
         band_keys.append(F.struct(F.lit(bnd).alias("band"), key.alias("key")))
-    # The l2 norm is a per-VECTOR fact — compute it once at sketch time
-    # instead of twice inside every candidate pair's cosine; and dedup
-    # the (vec_a, vec_b) candidates BEFORE the cosine, not after — a
-    # pair colliding in all 4 bands was paying 4 verifications for one
-    # surviving row (guide §1.2). dot/(na*nb) is the identical FP
-    # expression cosine() builds, so every rounded value is unchanged.
-    sketched = emb.select(
+    # r10 restructure (VERDICT item 4; guide §1.2 + §8):
+    #   * the 16 interpreted dot products per row are computed ONCE into a
+    #     checkpointed sketch frame — the un-barriered plan evaluated the
+    #     whole sketch projection twice, once per join side;
+    #   * the (band, key) candidate join shuffles only (id, band, key) —
+    #     the pre-r10 plan carried the 64-double vector and its norm
+    #     through BOTH sides of the band shuffle AND the pair-dedup
+    #     shuffle (§8: decide with small rows, attach payloads once);
+    #   * vectors re-attach from the same checkpointed frame after the
+    #     dedup, so only surviving pairs ever see them (AQE broadcasts
+    #     the frame while it is small; at scale they are id-keyed hash
+    #     joins against the sparse candidate list).
+    # The l2 norm stays a per-VECTOR fact computed at sketch time, the
+    # candidates dedup BEFORE the cosine, and dot/(na*nb) is the identical
+    # FP expression cosine() builds, so every rounded value is unchanged.
+    sk = emb.select(
         F.col(id_col).alias("doc_id"),
         v.alias("vec"),
         l2_norm(v).alias("nrm"),
-        F.explode(F.array(*band_keys)).alias("bb"),
-    ).select(
-        "doc_id", "vec", "nrm", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+        F.array(*band_keys).alias("bbs"),
+    ).localCheckpoint(eager=True)
+    ids = sk.select("doc_id", F.explode("bbs").alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
     )
-    a = sketched.select(
-        F.col("doc_id").alias("vec_a"), F.col("vec").alias("va"),
-        F.col("nrm").alias("na"), "band", "key",
-    )
-    b = sketched.select(
-        F.col("doc_id").alias("vec_b"), F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"), "band", "key",
-    )
-    return (
+    a = ids.select(F.col("doc_id").alias("vec_a"), "band", "key")
+    b = ids.select(F.col("doc_id").alias("vec_b"), "band", "key")
+    cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = sk.select(
+        F.col("doc_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = sk.select(
+        F.col("doc_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
