@@ -221,8 +221,17 @@ def run_curation(
     ).localCheckpoint(eager=True)
     corpus = docs.join(curated.select("doc_id", "cluster_id"), "doc_id")
 
+    # size_hint: the curated corpus is a SUBSET of docs plus one long
+    # column, and the docs scan estimate is accurate where the join
+    # product is fiction (Catalyst multiplied it to ~4 TB for 366 rows,
+    # which wrote 100,000 near-empty files — see sources/layout.py).
+    from .sources.layout import estimated_bytes
+
     n_files = write_sized(
-        corpus, os.path.join(out_dir, "corpus"), target_file_bytes=target_file_bytes
+        corpus,
+        os.path.join(out_dir, "corpus"),
+        target_file_bytes=target_file_bytes,
+        size_hint_bytes=estimated_bytes(docs),
     )
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "decisions"))
     return {

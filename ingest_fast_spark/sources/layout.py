@@ -36,8 +36,22 @@ _SANE_ESTIMATE_BOUND = 1 << 50  # 1 PiB in-memory
 _MAX_PARTITIONS = 100_000
 
 
-def sized_partitions(df: DataFrame, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+def sized_partitions(
+    df: DataFrame,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    size_hint_bytes: int | None = None,
+) -> int:
+    """``size_hint_bytes``: a caller-known UPPER BOUND on the output size
+    (in-memory scale). Catalyst's post-join estimates MULTIPLY child sizes,
+    which can pass the sanity bound while being wildly wrong — r10 caught
+    ``run_curation`` sizing a 366-row survivor join at ~4 TB and writing
+    100,000 near-empty files (a 7-minute small-files incident at sf0.001,
+    and exactly the §6 metastore flood this module exists to prevent). A
+    caller that knows its output is a subset of an accurately-estimated
+    scan passes that scan's estimate as the bound."""
     est = estimated_bytes(df)
+    if size_hint_bytes is not None and size_hint_bytes > 0:
+        est = min(est, size_hint_bytes) if est > 0 else size_hint_bytes
     if est <= 0 or est > _SANE_ESTIMATE_BOUND:
         # No usable estimate (post-join default blow-up): keep the plan's
         # current width instead of inventing one.
@@ -47,11 +61,14 @@ def sized_partitions(df: DataFrame, target_file_bytes: int = 128 * 1024 * 1024) 
 
 
 def write_sized(
-    df: DataFrame, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    size_hint_bytes: int | None = None,
 ) -> int:
     """Write parquet with ~``target_file_bytes`` files regardless of the
     job's task count. Returns the partition count used."""
-    n = sized_partitions(df, target_file_bytes)
+    n = sized_partitions(df, target_file_bytes, size_hint_bytes)
     df.repartition(n).write.mode("overwrite").parquet(path)
     return n
 

@@ -56,6 +56,24 @@ def test_sized_partitions_scales_with_target(spark, sf_dir):
     assert sized_partitions(e, 1024) > sized_partitions(e, 1024 * 1024 * 1024)
 
 
+def test_size_hint_caps_join_estimate_blowup(spark, sf_dir):
+    """Catalyst's post-join size estimate multiplies child sizes; without a
+    caller bound it sized a 366-row survivor join at ~4 TB and wrote
+    100,000 near-empty files (r10, jobs.run_curation). The hint is an
+    upper bound from an accurately-estimated scan."""
+    from ingest_fast_spark.sources.layout import estimated_bytes
+
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select("doc_id").limit(50).localCheckpoint(eager=True)
+    joined = docs.join(keys, "doc_id")
+    hinted = sized_partitions(
+        joined, target_file_bytes=1 << 20, size_hint_bytes=estimated_bytes(docs)
+    )
+    # 50 surviving docs can never justify more files than the whole table
+    assert hinted <= sized_partitions(docs, target_file_bytes=1 << 20)
+    assert hinted <= 8
+
+
 def test_range_layout_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     path = str(tmp_path / "ranged")
