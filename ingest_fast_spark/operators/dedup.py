@@ -1748,6 +1748,11 @@ _WINNOW_POS_BIG = 1 << 63
 WINNOW_CHUNK_GRAMS = 1 << 18
 
 
+# Memoized winnowing selection trees keyed (k, w, chunk, portable) — see
+# the note at the bottom of _winnow_chunk_selects.
+_WINNOW_SELS_CACHE: dict = {}
+
+
 def _winnow_chunk_selects(
     df: DataFrame,
     text_col: str,
@@ -1887,7 +1892,16 @@ def _winnow_chunk_selects(
             + (F.lit(_WINNOW_LOCAL_MOD - 1) - j.cast("long")),
         )
 
-    sels = let_col(F.col("sub"), lambda sub: let_col(hs_of(sub), select_windows))
+    # The selection tree is a pure function of (k, w, chunk, portable) over
+    # the unresolved column `sub` — an immutable Column expression, so it
+    # is memoized across constructions (r10; building it costs ~0.3 s of
+    # py4j round-trips: log2(w) doubling passes, each a let-bound
+    # zip_with/filter HOF chain).
+    key = (k, w, chunk, portable)
+    sels = _WINNOW_SELS_CACHE.get(key)
+    if sels is None:
+        sels = let_col(F.col("sub"), lambda sub: let_col(hs_of(sub), select_windows))
+        _WINNOW_SELS_CACHE[key] = sels
     return chunks.select("doc_id", "g0", sels.alias("sels"))
 
 

@@ -837,60 +837,47 @@ def pq_encode(
     rounded L2 distances — map-only except the final per-vector window,
     which is keyed by (vec_id, sub) and never carries full vectors.
     Returns (vec_id, codes array<int> ordered by subspace, recon_mse)."""
+    # Construction is SQL-rendered (the lit_doubles one-parse convention,
+    # r10): the subspace explode/slice trees, the per-pair L2 aggregate,
+    # and the final code/mse aggregates each parse as ONE expression
+    # string instead of one py4j round-trip per node — profiled at ~510
+    # trips -> ~60 per build (~0.39 -> ~0.1 s of driver latency, shared by
+    # the pq_codes/pq_adc/ivf_adc builders). Expression semantics are
+    # unchanged: 0.0D/1000000.0D keep the DOUBLE literals the Column form
+    # built (bare 0.0 parses as DECIMAL in Spark SQL).
     e = corpus.filter(
         F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
-    ).select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
-    dim_expr = F.size("v")
+    ).selectExpr(
+        f"`{id_col}` AS vec_id", f"CAST(`{vec_col}` AS array<double>) AS v"
+    )
     cent = (
         e.orderBy("vec_id")
         .limit(k)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+        .selectExpr("vec_id AS centroid_id", "v AS cv")
     )
-    subs = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.struct(
-                s.cast("int").alias("sub"),
-                F.slice("v", s * (dim_expr / m).cast("int") + 1, (dim_expr / m).cast("int")).alias(
-                    "sv"
-                ),
-            ),
+
+    def _sub_explode(col: str, field: str) -> str:
+        width = f"CAST(size({col})/{m} AS int)"
+        return (
+            f"explode(transform(sequence(0, {m - 1}), s -> struct("
+            f"CAST(s AS int) AS sub, slice({col}, s*{width}+1, {width}) AS {field}))) AS p"
         )
+
+    sub_rows = e.selectExpr("vec_id", _sub_explode("v", "sv")).selectExpr(
+        "vec_id", "p.sub AS sub", "p.sv AS sv"
     )
-    sub_rows = e.select("vec_id", subs.alias("p")).select(
-        "vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    cent_sub = cent.selectExpr("centroid_id", _sub_explode("cv", "csv")).selectExpr(
+        "centroid_id", "p.sub AS sub", "p.csv AS csv"
     )
-    cent_sub = cent.select(
-        "centroid_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("sub"),
-                    F.slice(
-                        "cv", s * (F.size("cv") / m).cast("int") + 1, (F.size("cv") / m).cast("int")
-                    ).alias("csv"),
-                ),
-            )
-        ).alias("p"),
-    ).select("centroid_id", F.col("p.sub").alias("sub"), F.col("p.csv").alias("csv"))
-    dist = F.round(
-        F.aggregate(
-            F.zip_with("sv", "csv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    dist_sql = (
+        "round(aggregate(zip_with(sv, csv, (x, y) -> (x-y)*(x-y)), 0.0D, "
+        "(acc, x) -> acc + x), 6)"
     )
     w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("centroid_id"))
     best = (
         sub_rows.join(F.broadcast(cent_sub), "sub")
-        .select(
-            "vec_id",
-            "sub",
-            "centroid_id",
-            dist.alias("dist"),
-            F.size("sv").alias("n_el"),
+        .selectExpr(
+            "vec_id", "sub", "centroid_id", f"{dist_sql} AS dist", "size(sv) AS n_el"
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -901,14 +888,14 @@ def pq_encode(
     # between two runs of the same query). dist is already rounded to 6
     # decimals, so dist·10⁶ is integral up to FP error that round()
     # removes; the long sum is then order-independent.
-    micro = F.round(F.col("dist") * 1e6).cast("long")
     return best.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "centroid_id"))),
-            lambda t: t["centroid_id"].cast("int"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, centroid_id))), "
+            "t -> CAST(t.centroid_id AS int))"
         ).alias("codes"),
-        F.round(
-            F.sum(micro) / (F.sum("n_el") * F.lit(1000000.0)), 6
+        F.expr(
+            "round(sum(CAST(round(dist * 1000000.0D) AS bigint)) / "
+            "(sum(n_el) * 1000000.0D), 6)"
         ).alias("recon_mse"),
     )
 

@@ -740,6 +740,14 @@ def stream_topk_mg(spark, sf_dir):
         ST.mg_heavy_hitters_stream(SE.stream_events(spark, sf_dir)),
         "q_mg",
         output_mode="update",
+        # Unlike the other applyInPandasWithState rows, MG's group count is
+        # the EVENT-TYPE domain (~5 keys, bounded forever), so per-store
+        # fixed costs dominate at any input size and the bytes-adaptive
+        # width applies (r10 probe, warm min-of-3: 1.34 s at 32 stores,
+        # 1.17 at 8, 1.00 at 2). The per-USER handlers measured the
+        # opposite (anomaly 1.60@32 -> 4.75@2, timer 3.18@32 -> 6.39@2:
+        # ~10k serial Python group calls per task) and keep full width.
+        width=SE.stream_state_width(spark, sf_dir),
     )
     # Under AvailableNow a static dir is one micro-batch; if the source
     # ever split it, keep each key's LAST emission (largest n_processed).
