@@ -1652,14 +1652,32 @@ def containment_pairs(
     sh = shingles_df(df, text_col, id_col, k)
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sh = sh.localCheckpoint(eager=True)  # feeds df + the per-doc arrays
-    # Hint-free joins throughout: the distinct-shingle df table is
-    # ~linear in the corpus; AQE broadcasts it while it is small.
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     if max_doc_freq is not None:
+        # Hint-free joins: the distinct-shingle df table is ~linear in the
+        # corpus; AQE broadcasts it while it is small.
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         freq = freq.filter(F.col("df_") <= max_doc_freq)
         sh = sh.join(freq, "shingle").drop("df_")
+        ranked_src = sh.join(freq, "shingle")
+    else:
+        # One aggregate carries BOTH the doc frequency and the doc list —
+        # (shingle, df_, docs) exploded back to (doc_id, df_, shingle) —
+        # so the corpus-sized shingle stream crosses exactly TWO
+        # exchanges (by shingle, then by doc below) instead of three
+        # (freq agg + the freq join's re-shuffle + the doc group): r10,
+        # guide §2.4; x10 phase-split had this stage at 3.5 s of the
+        # 4.9 s total. (doc_id, shingle) is unique by construction
+        # (array_distinct upstream), so count(*) == doc frequency.
+        ranked_src = (
+            sh.groupBy("shingle")
+            .agg(
+                F.count(F.lit(1)).alias("df_"),
+                F.collect_list("doc_id").alias("ds"),
+            )
+            .select("df_", "shingle", F.explode("ds").alias("doc_id"))
+        )
     byd = (
-        sh.join(freq, "shingle")
+        ranked_src
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df_", "shingle"))).alias("ranked"))
         .select(
